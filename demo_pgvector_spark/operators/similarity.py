@@ -1,0 +1,125 @@
+"""Similarity search operators — the engine's core domain.
+
+Re-expresses the reference's flagship retrieval query
+(``retrieve_similar_source_chunks``, src/lib/database.py:282-337):
+
+    SELECT sc.id, 1 - (embedding <=> :q) AS similarity_score,
+           scd.chunk_text, scd.metadata
+    FROM source_chunks sc JOIN source_chunk_data scd ON sc.id = scd.chunk_id
+    WHERE 1 - (embedding <=> :q) >= :threshold
+    ORDER BY embedding <=> :q ASC LIMIT :k
+
+as the DataFrame composition  project → filter → orderBy → limit → join.
+
+Scale notes (100 TB posture):
+- The query vector is a plan literal → broadcast with the task binaries;
+  there is NO shuffle on the top-k path: Spark plans orderBy+limit as
+  ``TakeOrderedAndProject`` (per-partition partial top-k, k rows per
+  partition to the driver).
+- The similarity expression is computed ONCE via an aliased column and
+  reused for filter + sort (the reference writes it 3×; Postgres may or
+  may not CSE it — SURVEY §4).
+- The payload join happens AFTER the limit, so only k rows join against
+  the chunk-data table — with a selective top-k this is a broadcast join
+  of k rows against a big table, which Catalyst turns into a broadcast
+  hash join with the tiny side broadcast.
+- kNN join (table × table) broadcasts the probe side and does per-probe
+  window top-k; for sublinear candidate generation see operators/ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    query_vector_literal,
+)
+
+
+def similarity_scores(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = False,
+) -> DataFrame:
+    """Project (id, similarity_score) for every row — ``proj_similarity``.
+
+    ``normalized=True`` uses the dot product directly (valid when stored
+    vectors are L2-normalized, as the reference guarantees — SURVEY Q5).
+    """
+    q = query_vector_literal(query_vec)
+    sim = dot(F.col(vec_col), q) if normalized else cosine_similarity(F.col(vec_col), q)
+    return vectors.select(F.col(id_col), sim.alias("similarity_score"))
+
+
+def sim_topk(
+    vectors: DataFrame,
+    payload: DataFrame,
+    query_vec: list[float],
+    top_k: int = 10,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Flagship: exact brute-force top-k cosine with threshold + payload join.
+
+    Deterministic tie-break on id (documented divergence from the
+    reference, which has no secondary sort key — SURVEY Q5).
+    """
+    if not 0.0 <= threshold <= 1.0:
+        # Parameter validation mirrors cli/search_doc_chunks.py:51-55.
+        raise ValueError(f"similarity_threshold must be in [0, 1], got {threshold}")
+    scored = similarity_scores(vectors, query_vec, id_col, vec_col, normalized)
+    hits = (
+        scored.filter(F.col("similarity_score") >= F.lit(float(threshold)))
+        .orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+        .limit(int(top_k))
+    )
+    # Broadcast the k-row side: the payload table is the big one at scale.
+    joined = F.broadcast(hits).join(
+        payload, hits[id_col] == payload[payload_id_col], "inner"
+    )
+    return joined
+
+
+def knn_join(
+    probes: DataFrame,
+    vectors: DataFrame,
+    k: int = 3,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Table×table k-nearest-neighbor join (extension beyond the reference,
+    which only ever probes with a single parameter vector).
+
+    Physical shape: broadcast the (small) probe side → per-row distance →
+    window top-k per probe. The cross product never shuffles the big side;
+    the only wide operation is the per-probe window, partitioned by
+    probe_id so each probe's candidates sort independently.
+    """
+    pairs = vectors.crossJoin(F.broadcast(probes))
+    sim = (
+        dot(F.col(vec_col), F.col(probe_vec))
+        if normalized
+        else cosine_similarity(F.col(vec_col), F.col(probe_vec))
+    )
+    scored = pairs.select(
+        F.col(probe_id), F.col(id_col), sim.alias("similarity_score")
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("similarity_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "similarity_score", "rank")
+    )

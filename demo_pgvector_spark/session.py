@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the conf below is chosen so the same plans
+hold on a large cluster: AQE on (runtime re-planning, skew-join handling),
+Arrow on (vectorized pandas UDF exchange), UTC session timezone
+(deterministic timestamp semantics regardless of host), and a shuffle
+partition count that AQE can coalesce downward.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "demo_pgvector_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession used by tests and bench runs."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The driver harness constructs its own SparkSession and hands it to
+    ``queries()`` callables; these confs are all runtime-settable and make
+    results deterministic (UTC timestamps) and fast (AQE) without needing
+    to own the builder.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down — proceed with session defaults
+    return spark

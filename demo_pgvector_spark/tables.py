@@ -1,0 +1,100 @@
+"""Table loaders and engine-table schemas.
+
+The engine's logical data model mirrors the reference's four tables
+(models / sources / source_chunks / source_chunk_data — see
+/root/reference/config/init.sql:5-38) re-expressed as columnar Parquet
+DataFrames. The driver testdata (TESTDATA.md) provides the TPC-H-ish star
+schema plus ``documents`` and ``embeddings``, which stand in for the
+chunk-payload and chunk-vector tables respectively.
+
+At 100 TB the scan is the dominant cost: every loader goes through
+``spark.read.parquet`` so Catalyst gets filter/column pushdown for free,
+and nothing here ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Engine-table schemas (reference config/init.sql:5-38 re-typed for Spark).
+MODELS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("embedding_dim", T.IntegerType(), False),
+    ]
+)
+
+SOURCES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("source_type", T.IntegerType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("genre", T.StringType(), True),
+        T.StructField("subgenre", T.StringType(), True),
+        T.StructField("year", T.IntegerType(), True),
+        T.StructField("model_id", T.LongType(), True),
+    ]
+)
+
+SOURCE_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("source_id", T.LongType(), True),
+        T.StructField("model_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), True),
+    ]
+)
+
+SOURCE_CHUNK_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("chunk_text", T.StringType(), True),
+    ]
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; plain parquet scan → full pushdown support.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read it as raw nanos and truncate to micros
+    (same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    """
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

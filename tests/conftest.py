@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from demo_pgvector_spark import tables
+from demo_pgvector_spark.session import get_session
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_session("tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in tables.TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con

@@ -1,0 +1,116 @@
+"""Local Spark-vs-DuckDB parity harness — mimics the driver's correctness gate.
+
+Usage:
+    python tools/parity.py [key ...] [--sf /root/testdata/sf0.01]
+
+For each registry key with an oracle: run the Spark query and the DuckDB
+SQL over the same parquet dir, then compare row count, sorted column
+names, and the full multiset of values (exact match after normalization —
+the same bar as the driver's value hash).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import os
+import sys
+import time
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from demo_pgvector_spark import registry, tables  # noqa: E402
+from demo_pgvector_spark.session import get_session  # noqa: E402
+
+
+def _norm_val(v):
+    if isinstance(v, Decimal):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ")
+    if isinstance(v, list):
+        return tuple(_norm_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_val(x)) for k, x in v.items()))
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def compare_key(spark, con, key: str, sf_dir: str, verbose: bool = True):
+    fn, sql = registry.REGISTRY[key]
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+
+    if sql is None:
+        print(f"  {key}: rows-only ({len(s_rows)} rows, {t_spark:.1f}s)")
+        return len(s_rows) >= 0
+
+    t0 = time.time()
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    t_duck = time.time() - t0
+
+    ok = True
+    if sorted(s_cols) != sorted(d_cols):
+        print(f"  {key}: COLUMN MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        ok = False
+    if len(s_rows) != len(d_rows):
+        print(f"  {key}: ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}")
+        ok = False
+    if ok:
+        _, sn = _norm_rows(s_cols, s_rows)
+        _, dn = _norm_rows(d_cols, d_rows)
+        if sn != dn:
+            ok = False
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+            print(f"  {key}: VALUE MISMATCH ({len(diffs)}/{len(sn)} rows differ)")
+            for a, b in diffs[:3]:
+                print(f"    spark: {a}\n    duck : {b}")
+    if ok and verbose:
+        print(f"  {key}: OK ({len(s_rows)} rows, spark {t_spark:.1f}s, duck {t_duck:.2f}s)")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*", default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    keys = args.keys or list(registry.REGISTRY)
+    spark = get_session("parity")
+    con = duckdb.connect()
+    for name in tables.TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{args.sf}/{name}.parquet'"
+        )
+
+    print(f"parity @ {args.sf}: {len(keys)} keys")
+    failures = [k for k in keys if not compare_key(spark, con, k, args.sf)]
+    if failures:
+        print(f"FAILED: {failures}")
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
