@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_pgvector_spark import tables
+from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
+from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.session import tune_session
 
@@ -319,6 +321,301 @@ FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# §2.6 / §2.8 scalar + classification operators
+# ---------------------------------------------------------------------------
+
+def q_classify_source_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiction/nonfiction CASE classifier (src/lib/database.py:97-126) over
+    stand-in metadata columns synthesized from the documents dim (the
+    testdata has no text_type/genre; the mapping below is applied
+    identically on both sides so the classifier itself is what's tested)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "Novel")
+        .when(F.col("lang") == "fr", " SCI-FI ")
+        .when(F.col("lang") == "de", "essay")
+        .when(F.col("lang") == "zh", "poem")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("text_type"),
+        F.when(F.col("source").isin("src1", "src2", "src3"), "Horror")
+        .when(F.col("source") == "src4", "biography")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("genre"),
+    )
+    return staged.select(
+        "doc_id",
+        text_fns.classify_source_type(F.col("text_type"), F.col("genre")).alias(
+            "source_type"
+        ),
+    )
+
+
+O_CLASSIFY_SOURCE_TYPE = """
+WITH staged AS (
+  SELECT doc_id,
+    CASE lang WHEN 'en' THEN 'Novel' WHEN 'fr' THEN ' SCI-FI '
+              WHEN 'de' THEN 'essay' WHEN 'zh' THEN 'poem' END AS text_type,
+    CASE WHEN source IN ('src1','src2','src3') THEN 'Horror'
+         WHEN source = 'src4' THEN 'biography' END AS genre
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN lower(trim(coalesce(text_type,''))) IN
+         ('short story','novel','novella','poem','fiction','science fiction',
+          'sci-fi','sf','fantasy','fable','drama','play') THEN 1
+       WHEN lower(trim(coalesce(genre,''))) IN
+         ('science fiction','fantasy','horror','mystery','thriller') THEN 1
+       ELSE 2 END AS source_type
+FROM staged
+"""
+
+
+def q_extract_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int(str(pub)[:4]) with null-on-failure (src/lib/database.py:128-136);
+    every 10th row gets a non-date string to exercise the except→None path."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_orderpriority")
+        )
+        .otherwise(F.col("o_orderdate").cast("string"))
+        .alias("publication_date"),
+    )
+    return staged.select(
+        "o_orderkey",
+        text_fns.extract_year(F.col("publication_date")).alias("year"),
+    )
+
+
+O_EXTRACT_YEAR = """
+SELECT o_orderkey,
+       TRY_CAST(substring(publication_date, 1, 4) AS INTEGER) AS year
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+              ELSE CAST(o_orderdate AS VARCHAR) END AS publication_date
+  FROM orders
+)
+"""
+
+
+def q_str_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display truncation text[:500]+'...' (cli/search_doc_chunks.py:118-121)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fns.truncate_display(F.col("text"), 500).alias("display_text"),
+        F.length("text").alias("n_len"),
+    )
+
+
+O_STR_TRUNCATE = """
+SELECT doc_id,
+       CASE WHEN length(text) > 500 THEN substring(text, 1, 500) || '...'
+            ELSE text END AS display_text,
+       length(text) AS n_len
+FROM documents
+"""
+
+
+def q_str_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """\\b\\w+\\b word tokenization (src/lib/embedding.py:77) — token count
+    and first token per document."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text_fns.tokenize(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_token"),
+    )
+
+
+O_STR_TOKENIZE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t[1] AS first_token FROM toks
+"""
+
+
+def q_agg_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies (scaled form of src/lib/embedding.py:88-107's
+    per-text Counter): explode(tokenize) → groupBy(word).count, top-50."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(text_fns.tokenize(F.col("text"))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+O_AGG_WORD_COUNTS = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+def q_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON metadata field access (JSONB round-trip,
+    src/lib/database.py:256,333-334) over events.props."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").try_cast("int").alias("k"),
+    )
+
+
+O_JSON_METADATA = """
+SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 / M4 RAG assembly — ordered aggregation + prompt templates
+# ---------------------------------------------------------------------------
+
+RAG_PROMPT = "what do the Archives say about windows and sorting?"
+
+
+def _rag_hits(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Top-5 retrieval with stand-in metadata columns (title/author/pub are
+    synthesized deterministically — the testdata documents dim has none)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    hits = sim_topk(
+        emb, docs, _query_vec(spark, sf_dir), top_k=5, threshold=threshold
+    )
+    w = Window.orderBy(F.col("similarity_score").desc(), F.col("vec_id").asc())
+    return hits.select(
+        F.row_number().over(w).alias("rank"),
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("title"),
+        F.concat(F.lit("author-"), F.col("doc_id") % 7).alias("author"),
+        F.concat(F.lit("19"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")).alias(
+            "publication_date"
+        ),
+        F.col("text").alias("chunk_text"),
+    )
+
+
+_ORACLE_RAG_HITS = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, {_ORACLE_SIM} AS sim FROM embeddings e, q
+),
+hits AS (
+  SELECT vec_id, sim FROM scored WHERE sim >= {{threshold}}
+  ORDER BY sim DESC, vec_id ASC LIMIT 5
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h.sim DESC, h.vec_id ASC) AS rank,
+         'doc-' || d.doc_id AS title,
+         'author-' || (d.doc_id % 7) AS author,
+         '19' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0') AS publication_date,
+         d.text AS chunk_text
+  FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+)
+"""
+
+_ORACLE_EXCERPT = (
+    "chr(10) || 'Excerpt from \"' || title || '\", by ' || author || "
+    "', published in ' || publication_date || ':' || chr(10) || '>>>' || chr(10) || "
+    "chunk_text || chr(10) || '<<<' || chr(10) || chr(10) || chr(10)"
+)
+
+
+def q_agg_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation of top-5 excerpts (cli/generate_text.py:68-85)."""
+    tune_session(spark)
+    hits = _rag_hits(spark, sf_dir, threshold=0.01)
+    return rag.aggregated_excerpts(hits)
+
+
+O_AGG_CONTEXT_CONCAT = (
+    _ORACLE_RAG_HITS.format(threshold=0.01)
+    + f"""
+SELECT coalesce(string_agg({_ORACLE_EXCERPT}, '' ORDER BY rank), '') AS agg_chunk_text
+FROM ranked
+"""
+)
+
+
+def q_rag_prompt_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full contextualized prompt (cli/generate_text.py:121-140) — the
+    deterministic end of the RAG pipeline; generation is an external sink."""
+    tune_session(spark)
+    agg = rag.aggregated_excerpts(_rag_hits(spark, sf_dir, threshold=0.01))
+    return rag.contextualized_prompt(agg, RAG_PROMPT)
+
+
+def q_rag_prompt_nocontext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-context fallback branch (cli/generate_text.py:103-119): an
+    impossible threshold retrieves nothing → disclaimer template."""
+    tune_session(spark)
+    agg = rag.aggregated_excerpts(_rag_hits(spark, sf_dir, threshold=1.0 - 1e-12))
+    return rag.contextualized_prompt(agg, RAG_PROMPT)
+
+
+def _oracle_rag_prompt(threshold: float) -> str:
+    pre = (
+        'chr(10) || \'You are a helpful assistant with a library that you refer to as "the Archives"\''
+        " || chr(10) || 'designed to be helpful for the sorts'"
+        " || chr(10) || 'of questions whose investigations you are likely to be asked to contribute to.'"
+        " || chr(10)"
+    )
+    p = RAG_PROMPT
+    no_ctx = (
+        f"{pre} || chr(10) || 'However, when you consulted the library for information related to the prompt'"
+        f" || chr(10) || '\"{p}\", you found no relevant information.' || chr(10) || chr(10)"
+        " || 'Please respond to the following prompt with a disclaimer that notes the lack of'"
+        " || chr(10) || 'information and, if you can appropriately determine the category, genre,'"
+        " || chr(10) || 'author, etc. for information that might prove helpful, suggest how the library'"
+        " || chr(10) || 'might be expanded to include more information.' || chr(10) || chr(10)"
+        f" || 'The prompt to which you must respond is:' || chr(10) || '    \"{p}\"' || chr(10)"
+    )
+    with_ctx = (
+        f"{pre} || chr(10) || 'When you consulted the library for information related to the prompt'"
+        f" || chr(10) || '\"{p}\", you found the following relevant information:' || chr(10)"
+        " || '''''''' || chr(10) || ctx || chr(10) || '''''''' || chr(10) || chr(10)"
+        " || 'Please respond to the following prompt and, if the information from the library'"
+        " || chr(10) || 'is relevant, use the information to respond to the prompt. Include references'"
+        " || chr(10) || 'to the source data by including the few lines of text from'"
+        " || chr(10) || 'the source data that contain the information you are referring to along with the'"
+        " || chr(10) || 'author, title of the work and the publication date.' || chr(10) || chr(10)"
+        f" || 'The prompt to which you must respond is:' || chr(10) || '    \"{p}\"' || chr(10)"
+    )
+    return (
+        _ORACLE_RAG_HITS.format(threshold=threshold)
+        + f""",
+agg AS (
+  SELECT coalesce(string_agg({_ORACLE_EXCERPT}, '' ORDER BY rank), '') AS ctx
+  FROM ranked
+)
+SELECT CASE WHEN ctx = '' THEN {no_ctx} ELSE {with_ctx} END AS prompt FROM agg
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry assembly
 # ---------------------------------------------------------------------------
 
@@ -336,6 +633,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sort_distance": (q_sort_distance, O_SORT_DISTANCE),
     "limit_topk": (q_limit_topk, O_LIMIT_TOPK),
     "join_chunk_data": (q_join_chunk_data, O_JOIN_CHUNK_DATA),
+    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
+    "str_truncate": (q_str_truncate, O_STR_TRUNCATE),
+    "str_tokenize": (q_str_tokenize, O_STR_TOKENIZE),
+    "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
+    "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
+    "rag_prompt_context": (q_rag_prompt_context, _oracle_rag_prompt(0.01)),
+    "rag_prompt_nocontext": (q_rag_prompt_nocontext, _oracle_rag_prompt(1.0 - 1e-12)),
 }
 
 
