@@ -62,8 +62,13 @@ def truncate_display(c: Column, n: int = 500) -> Column:
 
 def tokenize(c: Column) -> Column:
     """re.findall(r'\\b\\w+\\b', text.lower()) — src/lib/embedding.py:77.
-    Expressed as split-on-non-word + empty filter (identical token stream)."""
-    return F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != "")
+
+    Python's ``\\w`` is Unicode-aware while Java's default ``\\W`` is
+    ASCII-only, so the split uses the explicit Unicode class
+    ``[^\\p{L}\\p{N}_]+`` (letters, digits, underscore) — verified to
+    produce the same token stream as CPython on the multilingual corpus
+    (incl. zh documents)."""
+    return F.filter(F.split(F.lower(c), r"[^\p{L}\p{N}_]+"), lambda t: t != "")
 
 
 def round4(c: Column) -> Column:

@@ -23,13 +23,15 @@ Scale notes (100 TB posture):
   the chunk-data table — with a selective top-k this is a broadcast join
   of k rows against a big table, which Catalyst turns into a broadcast
   hash join with the tiny side broadcast.
-- kNN join (table × table) broadcasts the probe side and does per-probe
-  window top-k; for sublinear candidate generation see operators/ann.py.
+- kNN join (table × table) broadcasts the probe side and does a
+  two-stage partial top-k per probe (``topk_per_group``) — never a
+  single per-probe window partition; for sublinear candidate generation
+  see operators/ann.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from demo_pgvector_spark.functions.vector import (
@@ -88,6 +90,55 @@ def sim_topk(
     return joined
 
 
+def topk_per_group(
+    scored: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str = "similarity_score",
+    k: int = 3,
+) -> DataFrame:
+    """Two-stage distributed top-k per group — the scale-safe replacement
+    for ``Window.partitionBy(group).orderBy(score)`` + ``row_number``.
+
+    A single per-group window shuffles EVERY scored row into one partition
+    per group: with few groups over a big table that is a per-group
+    full-table single-partition sort. Instead:
+
+    1. local top-k: group by (group, spark_partition_id()) and keep
+       ``slice(array_sort(collect_list(struct(-score, id))), 1, k)``.
+       Each group of the first aggregation lives entirely inside one input
+       partition, so the exchange is spread over |groups| × |partitions|
+       keys — no skew, no single-partition sort.
+    2. merge: re-aggregate by group over the already-k-bounded arrays —
+       only k × num_input_partitions rows per group ever reach stage 2.
+
+    Sorting on struct(-score, id) gives descending score with ascending-id
+    tie-break in one lexicographic array_sort. Ranks are assigned by
+    ``posexplode`` over the final k-array (1-based).
+    """
+    neg = F.struct(
+        (-F.col(score_col)).cast("double").alias("ns"),
+        F.col(id_col).alias("id"),
+    )
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy(group_col, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_list(neg)), 1, k).alias("topk"))
+    )
+    merged = local.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias("topk")
+    )
+    exploded = merged.select(
+        group_col, F.posexplode("topk").alias("pos", "hit")
+    )
+    return exploded.select(
+        group_col,
+        F.col("hit.id").alias(id_col),
+        (-F.col("hit.ns")).alias(score_col),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
 def knn_join(
     probes: DataFrame,
     vectors: DataFrame,
@@ -97,14 +148,21 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalized: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Table×table k-nearest-neighbor join (extension beyond the reference,
     which only ever probes with a single parameter vector).
 
     Physical shape: broadcast the (small) probe side → per-row distance →
-    window top-k per probe. The cross product never shuffles the big side;
-    the only wide operation is the per-probe window, partitioned by
-    probe_id so each probe's candidates sort independently.
+    two-stage partial top-k per probe (``topk_per_group``). The cross
+    product itself never shuffles the big side; the scored rows shuffle
+    once, hashed over (probe, input-partition) keys — evenly distributed —
+    and the final merge sees only k rows per (probe, partition). For
+    sublinear candidate generation (avoid scoring every pair at all) see
+    ``operators/ann.py``.
+
+    ``exclude_self`` drops ``probe_id == vec_id`` pairs *before* ranking,
+    so ranks are a true 1..k over the other vectors.
     """
     pairs = vectors.crossJoin(F.broadcast(probes))
     sim = (
@@ -115,11 +173,6 @@ def knn_join(
     scored = pairs.select(
         F.col(probe_id), F.col(id_col), sim.alias("similarity_score")
     )
-    w = Window.partitionBy(probe_id).orderBy(
-        F.col("similarity_score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(probe_id, id_col, "similarity_score", "rank")
-    )
+    if exclude_self:
+        scored = scored.filter(F.col(probe_id) != F.col(id_col))
+    return topk_per_group(scored, probe_id, id_col, "similarity_score", k)

@@ -151,16 +151,15 @@ JOIN documents d ON e.vec_id = d.doc_id
 
 def q_vec_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (SURVEY §2.3): table×table kNN join — for each probe vector
-    (vec_id < 20) the top-3 most similar other vectors."""
+    (vec_id < 20) the true top-3 most similar OTHER vectors (self-matches
+    excluded before ranking, so ranks are 1..3)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     cands = emb.select("vec_id", "embedding")
-    out = knn_join(probes, cands, k=3, normalized=False)
-    # exclude self-matches so the result is informative
-    out = out.filter(F.col("probe_id") != F.col("vec_id"))
+    out = knn_join(probes, cands, k=3, normalized=False, exclude_self=True)
     return out.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -181,9 +180,10 @@ scored AS (
                             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
                                      e.vec_id ASC) AS rank
   FROM embeddings e CROSS JOIN probes p
+  WHERE p.probe_id <> e.vec_id
 )
 SELECT probe_id, vec_id AS neighbor_id, ROUND(sim, 6) AS similarity_score, rank
-FROM scored WHERE rank <= 3 AND probe_id <> vec_id
+FROM scored WHERE rank <= 3
 """
 
 
@@ -439,7 +439,8 @@ def q_str_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STR_TOKENIZE = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS t
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS t
   FROM documents
 )
 SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t[1] AS first_token FROM toks
@@ -465,7 +466,7 @@ def q_agg_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_AGG_WORD_COUNTS = r"""
 SELECT word, CAST(count(*) AS BIGINT) AS cnt
 FROM (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
                             x -> x <> '')) AS word
   FROM documents
 )
@@ -499,8 +500,15 @@ RAG_PROMPT = "what do the Archives say about windows and sorting?"
 
 def _rag_hits(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Top-5 retrieval with stand-in metadata columns (title/author/pub are
-    synthesized deterministically — the testdata documents dim has none)."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    synthesized deterministically — the testdata documents dim has none).
+
+    The probe is the stored embedding of vec_id=QUERY_VEC_ID, so that row is
+    excluded from the candidate set — otherwise its self-similarity of
+    exactly 1.0 would defeat any 'impossible' threshold and the no-context
+    branch could never fire."""
+    emb = tables.load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
     docs = tables.load(spark, sf_dir, "documents")
     hits = sim_topk(
         emb, docs, _query_vec(spark, sf_dir), top_k=5, threshold=threshold
@@ -521,6 +529,7 @@ _ORACLE_RAG_HITS = f"""
 WITH q AS ({_ORACLE_QVEC}),
 scored AS (
   SELECT e.vec_id, {_ORACLE_SIM} AS sim FROM embeddings e, q
+  WHERE e.vec_id <> 0
 ),
 hits AS (
   SELECT vec_id, sim FROM scored WHERE sim >= {{threshold}}

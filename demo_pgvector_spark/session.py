@@ -27,6 +27,9 @@ def get_session(app_name: str = "demo_pgvector_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is TIMESTAMP(NANOS): session-wide decision to
+        # read nanos as LongType (loaders truncate to micros explicitly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -45,6 +48,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # nanos-timestamp parquet (events.ts) reads as LongType session-wide;
+        # see tables.load for the explicit truncation to micros.
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(k, v)

@@ -15,6 +15,7 @@ and nothing here ever collects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
@@ -76,18 +77,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; plain parquet scan → full pushdown support.
 
     ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as raw nanos and truncate to micros
-    (same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    parquet reader rejects unless the session-level conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (done once at session
+    construction — ``session.get_session`` / ``session.tune_session`` — NOT
+    mutated here); with it set, the column arrives as raw nanos LongType and
+    is truncated to micros (same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP).
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
