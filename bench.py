@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"<key>": <sec>, ...}, "sf": 0.1}
+
+Per-query time = wall-clock of plan construction + execution to a fully
+materialized driver-side result (``collect``), measured after one warmup
+run of the flagship so JVM/codegen startup is not billed to the first key.
+
+The query set deliberately mixes the two workload families the engine
+serves: the reference's vector-retrieval path (flagship top-k, kNN join)
+and shuffle-heavy relational analytics over the biggest testdata table
+(TPC-H-style aggregate + big join), plus a text-pipeline aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from demo_pgvector_spark import registry  # noqa: E402
+from demo_pgvector_spark.session import get_session  # noqa: E402
+
+BENCH_KEYS = (
+    "vec_sim_topk",
+    "vec_knn_join",
+    "tpch_q1",
+    "join_lineitem_orders",
+    "agg_word_counts",
+    "rag_prompt_context",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: first Spark job pays JVM + codegen + parquet-footer startup.
+    registry.REGISTRY["vec_sim_topk"][0](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        fn = registry.REGISTRY[key][0]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[key] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

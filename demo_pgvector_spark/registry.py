@@ -492,6 +492,109 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# SURVEY M5 / §2.4 extension: shuffle-heavy analytics over lineitem
+# (the one testdata table big enough to stress the engine — 600k rows at
+# sf0.1; these are the bench workhorses, VERDICT r1 "Next round" #6).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem: partial-aggregable
+    groupBy on two low-cardinality keys — map-side combine reduces each
+    partition to ≤|flag×status| rows before the (tiny) shuffle.
+
+    All money arithmetic runs in DECIMAL so the sums are order-independent
+    (double summation order differs between Spark partitions and DuckDB's
+    single-threaded fold, which would break value-hash parity)."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price * (one - disc) * (one + tax)).cast("double"), 2
+            ).alias("sum_charge"),
+            F.round((F.sum(qty) / F.count("*")).cast("double"), 6).alias("avg_qty"),
+            F.round((F.sum(price) / F.count("*")).cast("double"), 6).alias(
+                "avg_price"
+            ),
+            F.round((F.sum(disc) / F.count("*")).cast("double"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(price * (1 - disc)) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM(qty) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
+  ROUND(CAST(SUM(price) / COUNT(*) AS DOUBLE), 6) AS avg_price,
+  ROUND(CAST(SUM(disc) / COUNT(*) AS DOUBLE), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_discount AS DECIMAL(18,2)) AS disc,
+         CAST(l_tax AS DECIMAL(18,2)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join of the two big tables (600k × 150k at sf0.1) + grouped
+    revenue rollup per order priority. Both sides exceed the broadcast
+    threshold at scale → sort-merge/shuffled-hash on l_orderkey=o_orderkey;
+    AQE picks the strategy and coalesces post-shuffle partitions."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_JOIN_LINEITEM_ORDERS = """
+SELECT o_orderpriority,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.4 / M4 RAG assembly — ordered aggregation + prompt templates
 # ---------------------------------------------------------------------------
 
@@ -648,6 +751,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "str_tokenize": (q_str_tokenize, O_STR_TOKENIZE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
+    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
     "rag_prompt_context": (q_rag_prompt_context, _oracle_rag_prompt(0.01)),
     "rag_prompt_nocontext": (q_rag_prompt_nocontext, _oracle_rag_prompt(1.0 - 1e-12)),
