@@ -1,0 +1,182 @@
+"""Write-path operators: upsert semantics without a transactional store.
+
+The reference's write path is three row-at-a-time psycopg2 routines:
+
+- U1 ``create_or_lookup_model_id`` (src/lib/database.py:58-88): SELECT id
+  by name, INSERT RETURNING id on miss;
+- U2 ``create_or_lookup_source`` (src/lib/database.py:90-215): SELECT by
+  the UNIQUE key ``(model_id, author, title, year)`` with null-safe
+  comparisons (``IS NOT DISTINCT FROM``, config/init.sql:23), INSERT on
+  miss, IntegrityError retry for races;
+- ``insert_source_chunk`` (src/lib/database.py:217-280): two INSERTs
+  (vector row + payload row) sharing the generated chunk id in one
+  transaction.
+
+Spark-first re-expression (SURVEY M2): set-oriented batch upserts —
+deduplicate the incoming batch on the unique key, LEFT ANTI join against
+the existing table to keep only novel keys, allocate surrogate ids as
+``max(existing.id) + row_number()`` over a deterministic key order, then
+UNION. Idempotence replaces transactionality: re-applying the same batch
+is a no-op (proven by property test), so the reference's race-retry path
+(SURVEY Q4) has no batch equivalent to reproduce.
+
+Scale notes (100 TB posture):
+- The anti-join shuffles on the unique key — the same hash partitioning
+  the dedup already needs, so AQE reuses one exchange shape; with a small
+  dimension table the existing side broadcasts.
+- Id allocation uses an UNPARTITIONED ``row_number`` window — a single-
+  partition sort over the NOVEL rows only. This is deliberate: a global
+  sequence is inherently serial, and dimension-batch deltas (new models /
+  new sources per import run) are small even when the fact data is 100 TB.
+  Do NOT reuse this for fact-table ids — ``allocate_ids`` below offers a
+  partition-parallel variant via ``monotonically_increasing_id`` when
+  dense ids are not required.
+- ``max(id)`` is folded in via a 1-row broadcast cross join (no collect).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _nullsafe_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> Column:
+    """AND-fold of null-safe equalities — Spark's ``eqNullSafe`` is the
+    exact analogue of the reference's ``IS NOT DISTINCT FROM`` predicate
+    (src/lib/database.py:152-159)."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & left[k].eqNullSafe(right[k])
+    return cond
+
+
+def _key_order(keys: Sequence[str]) -> list[Column]:
+    """Deterministic total order over (possibly null) key columns.
+
+    NULLS FIRST explicitly on every key: Spark defaults asc to nulls-first
+    but DuckDB defaults to nulls-last, so oracle SQL must spell the same
+    ordering (``ASC NULLS FIRST``)."""
+    return [F.col(k).asc_nulls_first() for k in keys]
+
+
+def dedupe_batch(
+    incoming: DataFrame, keys: Sequence[str], order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """Keep exactly one row per unique key from the incoming batch.
+
+    ``dropDuplicates`` keeps an *arbitrary* row per key — nondeterministic
+    under retries and unverifiable against an oracle — so this picks the
+    row_number()==1 row under an explicit order instead (the reference's
+    per-row loop keeps the FIRST occurrence; with ``order_by`` = arrival
+    key this reproduces that)."""
+    order = (
+        [F.col(c).asc_nulls_first() for c in order_by]
+        if order_by
+        else _key_order(keys)
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    id_col: str = "id",
+    batch_order: Sequence[str] | None = None,
+) -> DataFrame:
+    """Generic lookup-or-insert: returns ``existing`` plus one new row (with
+    a freshly allocated id) for every incoming unique key not already
+    present. Null-safe key matching throughout.
+
+    Column contract: ``incoming`` must carry every ``existing`` column
+    except ``id_col``; it may carry extra columns (e.g. an arrival-order
+    key referenced by ``batch_order``), which are dropped after dedup.
+    """
+    payload_cols = [c for c in existing.columns if c != id_col]
+    batch = dedupe_batch(incoming, keys, batch_order).select(*payload_cols)
+    novel = batch.join(existing, _nullsafe_cond(batch, existing, keys), "left_anti")
+
+    max_id = existing.agg(
+        F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("_max_id")
+    )
+    w = Window.orderBy(*_key_order(keys))
+    allocated = (
+        novel.crossJoin(F.broadcast(max_id))
+        .withColumn(id_col, (F.col("_max_id") + F.row_number().over(w)).cast("long"))
+        .drop("_max_id")
+    )
+    return existing.select(id_col, *payload_cols).unionByName(
+        allocated.select(id_col, *payload_cols)
+    )
+
+
+def upsert_models(
+    existing: DataFrame,
+    incoming: DataFrame,
+    batch_order: Sequence[str] | None = None,
+) -> DataFrame:
+    """U1 (src/lib/database.py:58-88): lookup-or-insert by ``name``."""
+    return upsert(existing, incoming, keys=["name"], batch_order=batch_order)
+
+
+SOURCE_UNIQUE_KEYS = ("model_id", "author", "title", "year")
+
+
+def upsert_sources(
+    existing: DataFrame,
+    incoming: DataFrame,
+    batch_order: Sequence[str] | None = None,
+) -> DataFrame:
+    """U2 (src/lib/database.py:90-215): null-safe dedup upsert on the
+    UNIQUE key (model_id, author, title, year) from config/init.sql:23."""
+    return upsert(
+        existing, incoming, keys=list(SOURCE_UNIQUE_KEYS), batch_order=batch_order
+    )
+
+
+def append_chunks(
+    existing_chunks: DataFrame,
+    batch: DataFrame,
+    id_col: str = "id",
+    order_by: Sequence[str] = ("source_id", "chunk_number"),
+) -> tuple[DataFrame, DataFrame]:
+    """The two-table chunk insert (src/lib/database.py:217-280) as one
+    lineage: allocate a shared chunk id per batch row, then project the
+    vector row (``source_chunks``) and the payload row
+    (``source_chunk_data``) from the same allocated frame.
+
+    ``batch`` columns: source_id, model_id, embedding, metadata (JSON
+    string), chunk_text, plus the ``order_by`` columns that make id
+    allocation deterministic. Atomicity is the Parquet job-level
+    all-or-nothing commit instead of a DB transaction.
+    """
+    max_id = existing_chunks.agg(
+        F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("_max_id")
+    )
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in order_by])
+    allocated = (
+        batch.crossJoin(F.broadcast(max_id))
+        .withColumn(id_col, (F.col("_max_id") + F.row_number().over(w)).cast("long"))
+        .drop("_max_id")
+    )
+    chunks = allocated.select(id_col, "source_id", "model_id", "embedding")
+    chunk_data = allocated.select(
+        F.col(id_col).alias("chunk_id"), "metadata", "chunk_text"
+    )
+    return chunks, chunk_data
+
+
+def allocate_ids(df: DataFrame, id_col: str = "id", offset: int = 0) -> DataFrame:
+    """Partition-parallel surrogate ids for FACT-scale appends: unique,
+    monotonically increasing, NOT dense (64-bit partition-prefixed).
+    Use when id density doesn't matter — no global sort, no shuffle."""
+    return df.withColumn(
+        id_col, (F.monotonically_increasing_id() + F.lit(offset + 1)).cast("long")
+    )

@@ -26,6 +26,7 @@ from demo_pgvector_spark import tables
 from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import rag
+from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.session import tune_session
 
@@ -595,6 +596,218 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# §2.6 write path — U1/U2 upserts + two-table chunk append (SURVEY M2)
+# ---------------------------------------------------------------------------
+
+def q_upsert_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 lookup-or-insert by name (src/lib/database.py:58-88): existing
+    models synthesized from nation, incoming batch = even-keyed nations
+    (overlap → looked up) + region names (novel → inserted with
+    max-id + row_number ids)."""
+    tune_session(spark)
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    existing = nation.filter(F.col("n_nationkey") < 15).select(
+        (F.col("n_nationkey") + 1).cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+        F.lit(64).cast("int").alias("embedding_dim"),
+    )
+    incoming = (
+        nation.filter(F.col("n_nationkey") % 2 == 0)
+        .select(F.col("n_name").alias("name"))
+        .union(region.select(F.col("r_name").alias("name")))
+        .withColumn("embedding_dim", F.lit(128).cast("int"))
+    )
+    return write_ops.upsert_models(existing, incoming)
+
+
+O_UPSERT_MODEL = """
+WITH existing AS (
+  SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+         CAST(64 AS INTEGER) AS embedding_dim
+  FROM nation WHERE n_nationkey < 15
+),
+incoming_raw AS (
+  SELECT n_name AS name, CAST(128 AS INTEGER) AS embedding_dim
+  FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT r_name, CAST(128 AS INTEGER) FROM region
+),
+batch AS (
+  SELECT name, embedding_dim FROM (
+    SELECT name, embedding_dim,
+           ROW_NUMBER() OVER (PARTITION BY name ORDER BY name ASC NULLS FIRST) AS rn
+    FROM incoming_raw
+  ) WHERE rn = 1
+),
+novel AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.name IS NOT DISTINCT FROM b.name)
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT id, name, embedding_dim FROM existing
+UNION ALL
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY name ASC NULLS FIRST) AS BIGINT),
+       name, embedding_dim
+FROM novel, mx
+"""
+
+
+def _staged_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic source rows keyed off c_custkey; NULLIF
+    residues exercise the null-safe key branches (author a3 → NULL,
+    year 1901 → NULL), mirroring the nullable UNIQUE key columns of
+    config/init.sql:13-24."""
+    k = F.col("c_custkey")
+    return tables.load(spark, sf_dir, "customer").select(
+        k.alias("k"),
+        F.nullif(F.concat(F.lit("a"), (k % 5).cast("string")), F.lit("a3")).alias(
+            "author"
+        ),
+        F.concat(F.lit("t"), (k % 7).cast("string")).alias("title"),
+        F.nullif((F.lit(1900) + (k % 3)).cast("int"), F.lit(1901)).alias("year"),
+        (k % 2).cast("long").alias("model_id"),
+        F.concat(F.lit("u"), (k % 4).cast("string")).alias("url"),
+        F.nullif(F.concat(F.lit("g"), (k % 5).cast("string")), F.lit("g2")).alias(
+            "genre"
+        ),
+        F.lit(None).cast("string").alias("subgenre"),
+        (F.lit(1) + (k % 2)).cast("int").alias("source_type"),
+    )
+
+
+_ORACLE_STAGED_SOURCES = """
+  SELECT c_custkey AS k,
+         NULLIF('a' || (c_custkey % 5), 'a3') AS author,
+         't' || (c_custkey % 7) AS title,
+         CAST(NULLIF(1900 + (c_custkey % 3), 1901) AS INTEGER) AS year,
+         CAST(c_custkey % 2 AS BIGINT) AS model_id,
+         'u' || (c_custkey % 4) AS url,
+         NULLIF('g' || (c_custkey % 5), 'g2') AS genre,
+         CAST(NULL AS VARCHAR) AS subgenre,
+         CAST(1 + (c_custkey % 2) AS INTEGER) AS source_type
+  FROM customer
+"""
+
+_SOURCE_COLS = (
+    "author title source_type url genre subgenre year model_id".split()
+)
+
+
+def q_upsert_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 null-safe dedup upsert (src/lib/database.py:90-215) on the
+    UNIQUE key (model_id, author, title, year): existing table built from
+    rows k<100 (one row per key, lowest-k wins = first occurrence, id=k);
+    incoming batch k∈[50,450] overlaps existing AND contains intra-batch
+    duplicate keys, exercising batch dedup + anti-join + id allocation."""
+    tune_session(spark)
+    staged = _staged_sources(spark, sf_dir)
+    w = Window.partitionBy("model_id", "author", "title", "year").orderBy(
+        F.col("k").asc()
+    )
+    existing = (
+        staged.filter(F.col("k") < 100)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("k").cast("long").alias("id"), *_SOURCE_COLS)
+    )
+    incoming = staged.filter((F.col("k") >= 50) & (F.col("k") <= 450))
+    return write_ops.upsert_sources(existing, incoming, batch_order=("k",))
+
+
+O_UPSERT_SOURCE = f"""
+WITH staged AS ({_ORACLE_STAGED_SOURCES}),
+existing AS (
+  SELECT CAST(k AS BIGINT) AS id, {', '.join(_SOURCE_COLS)} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY model_id, author, title, year
+                                 ORDER BY k ASC) AS rn
+    FROM staged WHERE k < 100
+  ) WHERE rn = 1
+),
+batch AS (
+  SELECT {', '.join(_SOURCE_COLS)} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY model_id, author, title, year
+                                 ORDER BY k ASC NULLS FIRST) AS rn
+    FROM staged WHERE k BETWEEN 50 AND 450
+  ) WHERE rn = 1
+),
+novel AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM existing e
+    WHERE e.model_id IS NOT DISTINCT FROM b.model_id
+      AND e.author IS NOT DISTINCT FROM b.author
+      AND e.title IS NOT DISTINCT FROM b.title
+      AND e.year IS NOT DISTINCT FROM b.year)
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT id, {', '.join(_SOURCE_COLS)} FROM existing
+UNION ALL
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY model_id ASC NULLS FIRST,
+                                   author ASC NULLS FIRST,
+                                   title ASC NULLS FIRST,
+                                   year ASC NULLS FIRST) AS BIGINT),
+       {', '.join(_SOURCE_COLS)}
+FROM novel, mx
+"""
+
+
+def q_ins_chunk_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table chunk insert (src/lib/database.py:217-280): one batch of
+    (vector + payload) rows gets a shared allocated chunk id, split into
+    source_chunks / source_chunk_data projections, then re-joined — the
+    same join shape the read path uses (database.py:304-305)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    existing = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1).cast("long").alias("id"),
+        (F.col("vec_id") % 10).cast("long").alias("source_id"),
+        F.lit(1).cast("long").alias("model_id"),
+        F.col("embedding"),
+    )
+    batch = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+        .join(docs, F.col("vec_id") == F.col("doc_id"), "inner")
+        .select(
+            (F.col("vec_id") % 10).cast("long").alias("source_id"),
+            F.lit(1).cast("long").alias("model_id"),
+            F.col("embedding"),
+            F.col("vec_id").alias("chunk_number"),
+            F.to_json(F.struct(F.col("vec_id").alias("chunk_number"))).alias(
+                "metadata"
+            ),
+            F.col("text").alias("chunk_text"),
+        )
+    )
+    chunks, chunk_data = write_ops.append_chunks(existing, batch)
+    return chunks.join(
+        chunk_data, chunks.id == chunk_data.chunk_id, "inner"
+    ).select("id", "source_id", "model_id", "metadata", "chunk_text")
+
+
+O_INS_CHUNK_TXN = """
+WITH existing AS (
+  SELECT CAST(vec_id + 1 AS BIGINT) AS id FROM embeddings WHERE vec_id < 100
+),
+batch AS (
+  SELECT CAST(e.vec_id % 10 AS BIGINT) AS source_id,
+         CAST(1 AS BIGINT) AS model_id,
+         e.vec_id AS chunk_number,
+         to_json(struct_pack(chunk_number := e.vec_id)) AS metadata,
+         d.text AS chunk_text
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id BETWEEN 100 AND 199
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY source_id ASC NULLS FIRST,
+                                   chunk_number ASC NULLS FIRST) AS BIGINT) AS id,
+       source_id, model_id, metadata, chunk_text
+FROM batch, mx
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.4 / M4 RAG assembly — ordered aggregation + prompt templates
 # ---------------------------------------------------------------------------
 
@@ -751,6 +964,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "str_tokenize": (q_str_tokenize, O_STR_TOKENIZE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
+    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
+    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
