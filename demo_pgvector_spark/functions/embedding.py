@@ -1,0 +1,97 @@
+"""Deterministic hash-seeded pseudo-embedding — the reference's one
+genuinely novel algorithm (src/lib/embedding.py:69-120), re-implemented
+from its published behavior:
+
+1. sha256(text) → 32-bit seed → base vector ~ N(0, 1)^dim;
+2. per unique word: md5(word) → seed → word vector ~ N(0, count/total)^dim,
+   added scaled by 0.1;
+3. scaled by (1 + 0.1·min(len(text)/100, 1)) (length factor);
+4. plus noise ~ N(0, 0.05·|vocab|/|words|)^dim (diversity factor), drawn
+   from the RNG state left by the last word seed (the reference reseeds
+   inside the word loop and never reseeds before this draw);
+5. L2-normalized (zero vector passes through).
+
+The LLM-response mix-in is disabled (``model_response=''`` — SURVEY Q3):
+the reference concatenates ``f'{text} {response}'`` before hashing, so
+with an empty response the hashed string is ``text + ' '`` — reproduced
+faithfully, trailing space included.
+
+Documented divergence: the reference iterates ``set(words)`` — CPython
+set order depends on the per-process hash seed, making the reference
+nondeterministic across processes in the last float ulps (addition order)
+and in the diversity-noise RNG state. This implementation iterates
+``sorted(set(words))`` so results are bit-stable everywhere; golden tests
+pin them.
+
+Execution shape: a vectorized pandas_udf (Arrow batches). The per-row
+work is numpy RNG draws — pure Python built-ins cannot express it, and a
+row-at-a-time Python UDF would add per-row serialization on 100 TB of
+text; the pandas_udf amortizes the bridge per batch and parallelizes
+per-partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_DIM = 64  # testdata embedding dim; the reference default is 1536
+
+_WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
+
+
+def hash_embed_py(text: str, dim: int = DEFAULT_DIM, model_response: str = "") -> list[float]:
+    """Plain-Python reference implementation (the golden-vector source)."""
+    combined = f"{text} {model_response}"
+
+    words = _WORD_RE.findall(combined.lower().strip())
+
+    base_seed = int(hashlib.sha256(combined.encode()).hexdigest()[:8], 16)
+    rng = np.random.RandomState(base_seed % (2**32))
+    base = rng.normal(0, 1, dim)
+
+    total = len(words)
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+
+    # sorted() replaces the reference's nondeterministic set order (see
+    # module docstring); the final `rng` state feeds the diversity noise.
+    for word in sorted(counts):
+        word_seed = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+        weight = counts[word] / total
+        rng = np.random.RandomState(word_seed % (2**32))
+        base += rng.normal(0, weight, dim) * 0.1
+
+    length_factor = min(len(combined) / 100.0, 1.0)
+    complexity = len(counts) / max(total, 1)
+    base *= 1.0 + length_factor * 0.1
+    base += rng.normal(0, complexity * 0.05, dim)
+
+    norm = np.linalg.norm(base)
+    if norm > 0:
+        base = base / norm
+    return [float(x) for x in base]
+
+
+def make_hash_embed_udf(dim: int = DEFAULT_DIM):
+    """Vectorized pandas_udf: text column → array<double> embedding."""
+
+    @pandas_udf("array<double>")
+    def hash_embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hash_embed_py(t if t is not None else "", dim))
+
+    return hash_embed
+
+
+def hash_embed(c: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Column form: ``hash_embed(col('text'))`` — the engine's
+    ``emb_generate`` surface with the deterministic embedder plugged in
+    (the LLM enrichment being an external, nondeterministic stage the
+    engine treats as pluggable — SURVEY §2.7 ``emb_generate``)."""
+    return make_hash_embed_udf(dim)(c)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from demo_pgvector_spark import tables
+from demo_pgvector_spark.functions import embedding as emb_fns
 from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import rag
@@ -596,6 +597,58 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# §2.7 embedding generation — emb_hash_embed / hash scalar parity
+# ---------------------------------------------------------------------------
+
+def q_emb_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded embedding (src/lib/embedding.py:69-120)
+    over every document, as a vectorized pandas_udf. The oracle is a
+    golden parquet precomputed by the identical plain-Python algorithm
+    (tools/make_golden.py), keyed by sha256(text) so one golden file
+    serves every scale factor — this row proves the distributed Arrow
+    path matches the single-process path bit-for-bit. Output is the
+    first 8 components rounded to 6dp (full vectors are golden-pytested)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = emb_fns.hash_embed(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.transform(F.slice(emb, 1, 8), lambda x: F.round(x, 6)).alias("emb_prefix"),
+    )
+
+
+O_EMB_HASH_EMBED = """
+SELECT d.doc_id,
+       list_transform(g.embedding[1:8], x -> round(x, 6)) AS emb_prefix
+FROM documents d
+JOIN read_parquet('/root/repo/golden/emb_hash_embed.parquet') g
+  ON sha256(d.text) = g.text_sha
+"""
+
+
+def q_hash_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256/md5 text→hex scalar parity (the seed derivation of
+    src/lib/embedding.py:80,93) — JVM built-ins, no Python."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10)
+        .cast("long")
+        .alias("base_seed"),
+    )
+
+
+O_HASH_SHA256 = """
+SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+       CAST(('0x' || substring(sha256(text), 1, 8))::UBIGINT AS BIGINT) AS base_seed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.6 write path — U1/U2 upserts + two-table chunk append (SURVEY M2)
 # ---------------------------------------------------------------------------
 
@@ -964,6 +1017,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "str_tokenize": (q_str_tokenize, O_STR_TOKENIZE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
+    "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
     "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
     "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
