@@ -26,6 +26,7 @@ from demo_pgvector_spark import tables
 from demo_pgvector_spark.functions import embedding as emb_fns
 from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
+from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
@@ -649,6 +650,125 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# §2.7 extension: ANN (LSH-bucketed sublinear search) — operators/ann.py
+# ---------------------------------------------------------------------------
+
+# DuckDB re-implementation of the LSH stages, shared by both ANN oracles.
+# Planes come from golden/ann_planes.parquet (same deterministic tensor as
+# operators/ann.py hyperplanes()); signatures, multiprobe buckets,
+# candidates, and exact re-rank are all recomputed independently in SQL —
+# the parity row gates the *implementation*, recall is pytest-gated
+# (see operators/ann.py docstring on why full recall is impossible on
+# near-orthogonal data).
+_ORACLE_ANN_COMMON = """
+p AS (SELECT t, j, plane FROM read_parquet('/root/repo/golden/ann_planes.parquet')),
+vsig AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.t
+)"""
+
+
+def q_vec_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 for the flagship probe: signature filter
+    (codegen, zero shuffle) → exact re-rank over candidates only
+    (TakeOrderedAndProject). The scale path the reference lacks entirely
+    (no ivfflat/hnsw index exists — config/init.sql:27-32)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = ann_ops.ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select(
+        "vec_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
+    )
+
+
+O_VEC_ANN_TOPK = f"""
+WITH {_ORACLE_ANN_COMMON},
+q AS ({_ORACLE_QVEC}),
+qsig AS (
+  SELECT p.t,
+         SUM(CASE WHEN list_dot_product(q.qv, p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM q CROSS JOIN p GROUP BY p.t
+),
+buckets AS (
+  SELECT t, sig FROM qsig
+  UNION ALL
+  SELECT qsig.t, xor(qsig.sig, CAST(1 << p.j AS BIGINT))
+  FROM qsig JOIN p ON p.t = qsig.t
+),
+cand AS (SELECT DISTINCT v.vec_id FROM vsig v JOIN buckets b ON v.t = b.t AND v.sig = b.sig),
+scored AS (
+  SELECT c.vec_id, {_ORACLE_SIM} AS sim
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_vec_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN kNN *join* (probes vec_id < 20, k=3, self-match included at
+    rank 1): bucket equi-join candidate generation — the big side is
+    never cross-joined or shuffled; compare vec_knn_join which scores
+    every pair."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ann_ops.ann_join(probes, emb.select("vec_id", "embedding"), k=3)
+    return out.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("similarity_score", 6).alias("similarity_score"),
+        "rank",
+    )
+
+
+O_VEC_ANN_JOIN = f"""
+WITH {_ORACLE_ANN_COMMON},
+probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < 20
+),
+psig AS (
+  SELECT pr.probe_id, p.t,
+         SUM(CASE WHEN list_dot_product(pr.pv, p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM probes pr CROSS JOIN p GROUP BY pr.probe_id, p.t
+),
+pbuckets AS (
+  SELECT probe_id, t, sig FROM psig
+  UNION ALL
+  SELECT psig.probe_id, psig.t, xor(psig.sig, CAST(1 << p.j AS BIGINT))
+  FROM psig JOIN p ON p.t = psig.t
+),
+cand AS (
+  SELECT DISTINCT b.probe_id, v.vec_id
+  FROM vsig v JOIN pbuckets b ON v.t = b.t AND v.sig = b.sig
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pr.pv) AS sim
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN probes pr ON c.probe_id = pr.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id AS neighbor_id, ROUND(sim, 6) AS similarity_score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.6 write path — U1/U2 upserts + two-table chunk append (SURVEY M2)
 # ---------------------------------------------------------------------------
 
@@ -1019,6 +1139,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
+    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
+    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
     "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
     "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
     "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),

@@ -49,6 +49,29 @@ def make() -> str:
     return f"{dst} ({len(data)} distinct texts)"
 
 
+def make_planes() -> str:
+    """LSH hyperplanes shared between the Spark ANN operator and the
+    DuckDB oracle, which independently recomputes signatures/buckets/
+    candidates from them (operators/ann.py module docstring)."""
+    from demo_pgvector_spark.operators.ann import hyperplanes
+
+    dst = os.path.join(GOLDEN_DIR, "ann_planes.parquet")
+    planes = hyperplanes(dim=64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (t INTEGER, j INTEGER, plane DOUBLE[])")
+    con.executemany(
+        "INSERT INTO p VALUES (?, ?, ?)",
+        [
+            (t, j, [float(x) for x in planes[t, j]])
+            for t in range(planes.shape[0])
+            for j in range(planes.shape[1])
+        ],
+    )
+    con.execute(f"COPY p TO '{dst}' (FORMAT PARQUET)")
+    return dst
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     print("wrote", make())
+    print("wrote", make_planes())
