@@ -1,0 +1,235 @@
+"""Deduplication operators — the first pillar of the LLM-training-data
+pipeline surface (extension; the reference's only dedup is the upsert
+UNIQUE constraint, config/init.sql:23, covered by operators/write.py).
+
+Five operators, all pure Catalyst expressions (no Python in any row path):
+
+- exact_dedup        — content-hash groupBy; keeper = min id per hash.
+- minhash_signatures — k-word shingles → H minhashes via universal
+                       hashing over an md5-derived 32-bit base.
+- minhash_pairs      — banded-LSH candidate pairs (bucket self-join — no
+                       all-pairs product) + exact shingle-Jaccard verify.
+- simhash            — 32-bit SimHash: per-token hash bit votes,
+                       partial-aggregable (map-side combine).
+- embedding_pairs    — near-dup by embedding cosine over LSH-bucket
+                       candidate pairs (reuses operators/ann.py planes).
+
+Hash choice: the 32-bit base is the first 8 hex chars of md5, and the H
+minhash functions are affine maps (a·x + b) mod P over it. md5 exists
+bit-identically in Spark, DuckDB, and Python, which is what lets the
+CORRECTNESS oracle recompute every stage independently; a production
+deployment would swap the base for xxhash64 (one JVM intrinsic instead
+of md5) without changing any semantics — the swap is a one-line change
+in ``_base_hash_expr``.
+
+Scale notes (100 TB posture):
+- exact_dedup and simhash are single hash-partitioned aggregations with
+  map-side partial combine; no skew beyond genuine heavy-hitter dupes.
+- minhash_pairs shuffles (doc, band-key) rows — H/r keys per doc — then
+  self-joins per bucket. Bucket sizes are bounded by real duplicate
+  clusters, not table size; pathological buckets (e.g. boilerplate) are
+  the classic salting candidates and would be capped with a per-bucket
+  limit before pairing.
+- embedding_pairs joins on (table, signature) buckets — same shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import ann
+
+SHINGLE_K = 5
+NUM_HASHES = 12
+BAND_R = 2  # rows per band → NUM_HASHES/BAND_R bands
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+MINHASH_SEED = 1234
+
+_rng = np.random.RandomState(MINHASH_SEED)
+MINHASH_A = [int(a) for a in _rng.randint(1, 1 << 20, NUM_HASHES)]
+MINHASH_B = [int(b) for b in _rng.randint(0, 1 << 20, NUM_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def _base_hash_expr(s: str) -> str:
+    """32-bit base hash of a string expression (Spark SQL fragment)."""
+    return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def with_shingles(
+    docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """Add ``shingles``: distinct k-word shingles of the space-tokenized,
+    lowercased text. Callers guarantee ≥k tokens (testdata min is 10)."""
+    return docs.withColumn("_toks", F.split(F.lower(F.col(text_col)), " ")).withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(_toks) - {k}),"
+            f" i -> concat_ws(' ', slice(_toks, i + 1, {k}))))"
+        ),
+    ).drop("_toks")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    deterministic keeper (min id) and the duplicate count."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, minhash array<bigint>[H]) per document."""
+    sh = with_shingles(docs, text_col)
+    based = sh.withColumn(
+        "_bases", F.expr(f"transform(shingles, s -> {_base_hash_expr('s')})")
+    )
+    mh = [
+        F.expr(
+            f"array_min(transform(_bases, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return based.select(F.col(id_col), *mh).select(
+        id_col, F.array(*[f"mh_{i}" for i in range(NUM_HASHES)]).alias("minhash")
+    )
+
+
+def _band_keys(mh_col: str = "minhash") -> F.Column:
+    """Array of (band, key) structs: key = the band's r minhashes joined."""
+    bands = NUM_HASHES // BAND_R
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(mh_col).getItem(b * BAND_R + r).cast("string")
+                        for r in range(BAND_R)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup candidate pairs from banded LSH, each verified with the
+    exact shingle Jaccard (the n-gram-Jaccard stage): (id_a, id_b,
+    jaccard). No all-pairs product ever forms — only same-band buckets
+    join."""
+    sigs = minhash_signatures(docs, id_col, text_col)
+    banded = sigs.select(
+        F.col(id_col), F.explode(_band_keys()).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = with_shingles(docs, text_col).select(
+        F.col(id_col), F.col("shingles")
+    )
+    joined = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return joined.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document: per-token-occurrence hash bits vote
+    ±1; bit j of the result is set iff the vote sum is positive.
+    Explode → groupBy is partial-aggregable (the 32 sums combine
+    map-side), so the shuffle carries one 32-int row per (doc,
+    partition), not one row per token."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).withColumn("h", F.expr(_base_hash_expr("tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def embedding_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.25,
+    planes: np.ndarray | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs over LSH-bucket candidates:
+    pairs co-located in any (table, signature) bucket, exact-scored,
+    kept at cosine ≥ threshold. The self-join shuffles on bucket keys —
+    never a cross product."""
+    if planes is None:
+        planes = ann.hyperplanes(dim)
+    tables_n = planes.shape[0]
+    sigs = ann.with_signatures(vectors, planes, vec_col)
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"sig_{t}").alias("sig"))
+            for t in range(tables_n)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col(vec_col), F.explode(entries).alias("b")
+    ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    from demo_pgvector_spark.functions.vector import cosine_similarity
+
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(float(threshold))
+    )

@@ -27,6 +27,7 @@ from demo_pgvector_spark.functions import embedding as emb_fns
 from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import ann as ann_ops
+from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
@@ -709,6 +710,153 @@ FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup family (LLM-pipeline pillar 1) — operators/dedup.py
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct text, deterministic keeper + count."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs)
+
+
+O_DEDUP_EXACT = """
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+
+# DuckDB fragments mirroring operators/dedup.py stage by stage.
+_O_SHINGLES = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(len(string_split(lower(text), ' ')) - {dedup_ops.SHINGLE_K - 1}),
+           i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + {dedup_ops.SHINGLE_K}], ' ')
+         )) AS shingles
+  FROM documents
+)"""
+_O_BASE = "CAST(('0x' || substr(md5({s}), 1, 8))::UBIGINT AS BIGINT)"
+_O_MINHASH = f"""
+bases AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_O_BASE.format(s='s')}) AS bs
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         [{", ".join(f"list_min(list_transform(bs, x -> ({a} * x + {b}) % {dedup_ops.MINHASH_P}))" for a, b in zip(dedup_ops.MINHASH_A, dedup_ops.MINHASH_B))}] AS minhash
+  FROM bases
+)"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=5 word shingles, H=12 universal hashes over
+    an md5-derived 32-bit base) — the whole signature computation
+    recomputed independently by the oracle."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup_ops.minhash_signatures(docs)
+
+
+O_DEDUP_MINHASH = f"""
+WITH {_O_SHINGLES},
+{_O_MINHASH}
+SELECT doc_id, minhash FROM mh
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (bands of r=2 — no all-pairs product)
+    verified with exact shingle Jaccard (the n-gram-Jaccard stage)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_pairs(docs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_O_BANDS_N = dedup_ops.NUM_HASHES // dedup_ops.BAND_R
+O_DEDUP_MINHASH_PAIRS = f"""
+WITH {_O_SHINGLES},
+{_O_MINHASH},
+bands AS (
+  SELECT doc_id, u.i AS band,
+         CAST(minhash[2 * u.i + 1] AS VARCHAR) || '_' ||
+         CAST(minhash[2 * u.i + 2] AS VARCHAR) AS key
+  FROM mh CROSS JOIN (SELECT unnest(range({_O_BANDS_N})) AS i) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON c.id_a = sa.doc_id
+JOIN sh sb ON c.id_b = sb.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (partial-aggregable bit votes)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs)
+
+
+_O_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(dedup_ops.SIMHASH_BITS)
+)
+_O_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(dedup_ops.SIMHASH_BITS)
+)
+O_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {_O_BASE.format(s='tok')} AS h FROM toks),
+v AS (
+  SELECT doc_id,
+         {_O_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_O_SIMHASH_BITS} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over LSH-bucket candidates
+    (reuses the ANN planes; bucket self-join, never a cross product)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = dedup_ops.embedding_pairs(emb, threshold=0.25)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+O_DEDUP_EMBEDDING = f"""
+WITH {_ORACLE_ANN_COMMON},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vsig a JOIN vsig b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT pr.id_a, pr.id_b,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS cosine
+  FROM pairs pr
+  JOIN embeddings ea ON pr.id_a = ea.vec_id
+  JOIN embeddings eb ON pr.id_b = eb.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.25
+"""
+
+
 def q_vec_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN kNN *join* (probes vec_id < 20, k=3, self-match included at
     rank 1): bucket equi-join candidate generation — the big side is
@@ -1141,6 +1289,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
     "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
     "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),

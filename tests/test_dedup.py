@@ -1,0 +1,88 @@
+"""Property tests for the dedup family (operators/dedup.py). Oracle
+parity is gated by the dedup_* CORRECTNESS rows; here: semantic
+properties on corpora with KNOWN duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees "
+    "near the old stone bridge across the quiet river"
+)
+# doc 1 = doc 0 verbatim; doc 2 = one word changed (near-dup);
+# doc 3 = half replaced (weak overlap); doc 4 = unrelated.
+CORPUS = [
+    (0, BASE),
+    (1, BASE),
+    (2, BASE.replace("lazy", "sleepy")),
+    (3, BASE[: len(BASE) // 2] + " completely different ending with many new words "
+        "about ships and oceans and storms far away from any bridge"),
+    (4, "entirely unrelated content discussing compilers registers and "
+        "instruction scheduling on modern superscalar processors with wide "
+        "pipelines and speculative execution units everywhere"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_verbatim_copy(corpus_df):
+    rows = {r["text_sha"]: r for r in dedup.exact_dedup(corpus_df).collect()}
+    assert len(rows) == 4  # 5 docs, one exact dupe
+    counts = sorted(r["dup_count"] for r in rows.values())
+    assert counts == [1, 1, 1, 2]
+    dup = next(r for r in rows.values() if r["dup_count"] == 2)
+    assert dup["keeper_id"] == 0
+
+
+def test_exact_dedup_partitions_the_corpus(corpus_df):
+    total = dedup.exact_dedup(corpus_df).agg(F.sum("dup_count")).first()[0]
+    assert total == corpus_df.count()
+
+
+def test_minhash_identical_and_neardup(corpus_df):
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(corpus_df).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    same_02 = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    same_04 = sum(a == b for a, b in zip(sigs[0], sigs[4]))
+    assert same_02 > same_04  # near-dup agrees on more hashes than unrelated
+    assert same_04 == 0
+
+
+def test_minhash_pairs_catch_neardups_not_unrelated(corpus_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.minhash_pairs(corpus_df).collect()}
+    assert pairs[(0, 1)] == 1.0  # verbatim pair surfaces with jaccard 1
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near-dup caught
+    assert (0, 4) not in pairs and (1, 4) not in pairs  # unrelated never pairs
+    assert all(0.0 <= j <= 1.0 for j in pairs.values())
+
+
+def test_simhash_hamming_tracks_similarity(corpus_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus_df).collect()}
+    assert sh[0] == sh[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[4])
+    assert ham(sh[0], sh[2]) <= 6  # one-word change moves few bits
+
+
+def test_embedding_pairs_threshold(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, 64)
+    near = base + rng.normal(0, 0.05, 64)
+    far = rng.normal(0, 1, 64)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in dedup.embedding_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs and (1, 2) not in pairs
