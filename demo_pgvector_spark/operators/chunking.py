@@ -1,0 +1,126 @@
+"""Document chunking + enrichment — the 1-row→N-rows ingest stage
+(reference ``SourceDocument``, src/lib/documents.py:51-90).
+
+The reference delegates splitting to docling's HybridChunker driven by a
+HuggingFace tokenizer — an external, model-dependent tool. Per SURVEY
+§2.1 (``chunk_docling``) the engine's chunker is a *deterministic
+token-bounded splitter*: whitespace tokens grouped into fixed-size
+chunks. That keeps the operator fully oracle-testable while preserving
+the pipeline shape (convert → split ≤max_tokens → enumerate → enrich).
+
+Spark shape: the chunk list is a pure Catalyst ``transform(sequence(...))``
+expression and ``posexplode`` yields (chunk_number, chunk_text) — the
+`enumerate()` of src/lib/documents.py:54 — so the whole stage is
+whole-stage-codegen'd, shuffle-free, and scales linearly with input
+splits. No mapInPandas needed: a word-boundary splitter is expressible
+in SQL; a real tokenizer (BPE) would slot in as an Arrow-batched
+pandas_udf producing the same (doc, chunk_number, text) contract.
+
+Enrichment (src/lib/documents.py:51-65) merges the document's metadata
+with the four constant fields {chunk_tokenizer_model, chunk_size,
+chunk_number, import_date}. ``import_date`` is an injected constant by
+default (the reference stamps ``datetime.now().isoformat()`` per run —
+nondeterministic; SURVEY §1.2 prescribes the injected-constant variant
+for reproducibility) — pass ``import_date=None`` to use
+``current_timestamp()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference defaults: MAX_CHUNK_TOKENS=512 (src/lib/documents.py:19; Quirk
+# Q1 notes the import CLI silently overrides it to 1536) and the HF
+# tokenizer model name (src/lib/documents.py:41-43). Testdata docs are
+# 10-100 words, so tests/registry use a smaller max_tokens to actually
+# exercise multi-chunk splits.
+MAX_CHUNK_TOKENS = 512
+DEFAULT_TOKENIZER_MODEL = "deepseek-ai/DeepSeek-R1-Distill-Qwen-1.5B"
+FIXED_IMPORT_DATE = "2026-01-01T00:00:00"
+
+
+def chunk_split(
+    docs: DataFrame,
+    max_tokens: int = MAX_CHUNK_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into ≤max_tokens-word chunks —
+    ``chunk_docling``'s deterministic stand-in. Returns all input columns
+    plus (chunk_number, chunk_text)."""
+    toked = docs.withColumn("_toks", F.split(F.col(text_col), " "))
+    chunked = toked.withColumn(
+        "_chunks",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(_toks) / {max_tokens}.0) as int) - 1),"
+            f" i -> concat_ws(' ', slice(_toks, i * {max_tokens} + 1, {max_tokens})))"
+        ),
+    )
+    cols = [c for c in docs.columns if c != text_col]
+    return chunked.select(
+        *cols, F.posexplode("_chunks").alias("chunk_number", "chunk_text")
+    )
+
+
+def chunk_enrich(
+    docs: DataFrame,
+    max_tokens: int = MAX_CHUNK_TOKENS,
+    tokenizer_model: str = DEFAULT_TOKENIZER_MODEL,
+    import_date: str | None = FIXED_IMPORT_DATE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Enriched chunk rows (src/lib/documents.py:51-65): the split output
+    plus the constant metadata fields, and a ``metadata`` map that merges
+    the document's metadata columns with the per-chunk constants — the
+    engine form of the reference's dict merge at :58-64."""
+    split = chunk_split(docs, max_tokens, id_col, text_col)
+    stamp = (
+        F.lit(import_date)
+        if import_date is not None
+        else F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        )
+    )
+    enriched = (
+        split.withColumn("chunk_tokenizer_model", F.lit(tokenizer_model))
+        .withColumn("chunk_size", F.lit(int(max_tokens)))
+        .withColumn("import_date", stamp)
+    )
+    meta_entries = []
+    for c in meta_cols:
+        meta_entries += [F.lit(c), F.col(c).cast("string")]
+    meta_entries += [
+        F.lit("chunk_tokenizer_model"), F.lit(tokenizer_model),
+        F.lit("chunk_size"), F.lit(str(int(max_tokens))),
+        F.lit("chunk_number"), F.col("chunk_number").cast("string"),
+        F.lit("import_date"), stamp,
+    ]
+    return enriched.withColumn("metadata", F.create_map(*meta_entries))
+
+
+def chunk_numbers_windowed(
+    docs: DataFrame,
+    max_tokens: int = MAX_CHUNK_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``win_chunk_number``: the same 0-based enumeration derived with
+    ``row_number() - 1`` over a per-document window ordered by token
+    offset — the window-function form of the reference's ``enumerate()``
+    (src/lib/documents.py:54). Partitioned by document, so the window
+    never concentrates more than one document's chunks on a partition."""
+    from pyspark.sql import Window
+
+    split = chunk_split(docs, max_tokens, id_col, text_col).withColumn(
+        "token_offset", F.col("chunk_number") * max_tokens
+    )
+    w = Window.partitionBy(id_col).orderBy("token_offset")
+    return split.select(
+        id_col,
+        "token_offset",
+        (F.row_number().over(w) - 1).alias("chunk_number_w"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_chunks"),
+    )

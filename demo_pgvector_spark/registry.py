@@ -27,6 +27,7 @@ from demo_pgvector_spark.functions import embedding as emb_fns
 from demo_pgvector_spark.functions import text as text_fns
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import ann as ann_ops
+from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
@@ -711,6 +712,98 @@ FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# §2.1 chunking + enrichment — operators/chunking.py (SURVEY M3)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32  # testdata docs are 10-100 words; 32 exercises 1-4 chunks
+
+
+def q_chunk_docling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-bounded splitter (the engine's chunk_docling,
+    reference src/lib/documents.py:67-78): 1 document row → N chunk rows
+    via posexplode; whole-stage codegen, no shuffle."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return chunk_ops.chunk_split(docs, max_tokens=_CHUNK_TOKENS)
+
+
+O_CHUNK_DOCLING = f"""
+WITH t AS (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang, source, n_chars,
+       unnest(list_transform(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT)),
+         i -> {{'chunk_number': CAST(i AS INT),
+               'chunk_text': array_to_string(w[i * {_CHUNK_TOKENS} + 1:i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}], ' ')}}),
+         recursive := true)
+FROM t
+"""
+
+
+def q_chunk_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk metadata enrichment (src/lib/documents.py:51-65): doc
+    metadata merged with the four constant fields; import_date is the
+    injected deterministic constant (SURVEY §1.2). metadata_json is the
+    merged map serialized with fixed key order."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    out = chunk_ops.chunk_enrich(docs, max_tokens=_CHUNK_TOKENS)
+    return out.select(
+        "doc_id",
+        "chunk_number",
+        "chunk_text",
+        "chunk_tokenizer_model",
+        "chunk_size",
+        "import_date",
+        F.to_json("metadata").alias("metadata_json"),
+    )
+
+
+O_CHUNK_ENRICH = f"""
+WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT)),
+           i -> {{'chunk_number': CAST(i AS INT),
+                 'chunk_text': array_to_string(w[i * {_CHUNK_TOKENS} + 1:i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}], ' ')}}),
+           recursive := true)
+  FROM t
+)
+SELECT doc_id, chunk_number, chunk_text,
+       '{chunk_ops.DEFAULT_TOKENIZER_MODEL}' AS chunk_tokenizer_model,
+       {_CHUNK_TOKENS} AS chunk_size,
+       '{chunk_ops.FIXED_IMPORT_DATE}' AS import_date,
+       '{{"lang":"' || lang || '","source":"' || source ||
+       '","chunk_tokenizer_model":"{chunk_ops.DEFAULT_TOKENIZER_MODEL}"' ||
+       ',"chunk_size":"{_CHUNK_TOKENS}","chunk_number":"' || chunk_number ||
+       '","import_date":"{chunk_ops.FIXED_IMPORT_DATE}"}}' AS metadata_json
+FROM c
+"""
+
+
+def q_win_chunk_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal chunk numbering as a per-document window (the
+    row_number()-1 form of the reference's enumerate(),
+    src/lib/documents.py:54) — partitioned by doc_id, never a global
+    window."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return chunk_ops.chunk_numbers_windowed(docs, max_tokens=_CHUNK_TOKENS)
+
+
+O_WIN_CHUNK_NUMBER = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS i
+  FROM t
+)
+SELECT doc_id, i * {_CHUNK_TOKENS} AS token_offset,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i * {_CHUNK_TOKENS}) - 1 AS INT) AS chunk_number_w,
+       COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup family (LLM-pipeline pillar 1) — operators/dedup.py
 # ---------------------------------------------------------------------------
 
@@ -1289,6 +1382,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
+    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
+    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),

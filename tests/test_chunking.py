@@ -1,0 +1,72 @@
+"""Property tests for the deterministic chunker (operators/chunking.py):
+splitting must be lossless, bounded, and contiguously numbered."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import chunking
+
+DOCS = [
+    (0, "one two three four five six seven", "en", "web"),
+    (1, "a b c d", "en", "pdf"),
+    (2, "solo", "de", "web"),
+    (3, " ".join(f"w{i}" for i in range(100)), "fr", "epub"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+def test_chunks_reassemble_to_original(docs_df):
+    out = (
+        chunking.chunk_split(docs_df, max_tokens=3)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("chunk_number", "chunk_text"))).getField("chunk_text")).alias("rejoined"))
+    )
+    got = {r["doc_id"]: r["rejoined"] for r in out.collect()}
+    for doc_id, text, *_ in DOCS:
+        assert got[doc_id] == text, doc_id
+
+
+def test_chunk_token_bound(docs_df):
+    rows = chunking.chunk_split(docs_df, max_tokens=3).collect()
+    for r in rows:
+        assert 1 <= len(r["chunk_text"].split(" ")) <= 3
+    # only the LAST chunk of a doc may be short
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_number"])
+        for c in chunks[:-1]:
+            assert len(c["chunk_text"].split(" ")) == 3
+
+
+def test_chunk_numbers_contiguous(docs_df):
+    rows = chunking.chunk_split(docs_df, max_tokens=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_number"])
+    for nums in by_doc.values():
+        assert sorted(nums) == list(range(len(nums)))
+
+
+def test_enrich_merges_constants_and_doc_metadata(docs_df):
+    rows = chunking.chunk_enrich(docs_df, max_tokens=3).filter(F.col("doc_id") == 0).collect()
+    for r in rows:
+        m = r["metadata"]
+        assert m["lang"] == "en" and m["source"] == "web"
+        assert m["chunk_size"] == "3"
+        assert m["chunk_number"] == str(r["chunk_number"])
+        assert m["chunk_tokenizer_model"] == chunking.DEFAULT_TOKENIZER_MODEL
+        assert m["import_date"] == chunking.FIXED_IMPORT_DATE
+
+
+def test_windowed_numbering_matches_posexplode(docs_df):
+    w = chunking.chunk_numbers_windowed(docs_df, max_tokens=3)
+    for r in w.collect():
+        assert r["chunk_number_w"] == r["token_offset"] // 3
