@@ -29,6 +29,7 @@ from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector
 from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
+from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
@@ -712,6 +713,234 @@ FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# §2.1 ingest routing + sidecar metadata — operators/ingest.py
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic file paths for the routing rows: the testdata
+# has no file column, so each document gets a path whose extension cycles
+# through the four MIME classes the reference encounters.
+_EXTS = ("txt", "epub", "md", "bin")
+
+
+def _spark_filepath() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.concat(
+        F.lit("/import/"),
+        F.col("source"),
+        F.lit("/doc_"),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(e) for e in _EXTS]), (F.col("doc_id") % 4 + 1).cast("int")
+        ),
+    )
+_O_FILEPATH = (
+    "'/import/' || source || '/doc_' || doc_id || '.' || "
+    f"(['{_EXTS[0]}', '{_EXTS[1]}', '{_EXTS[2]}', '{_EXTS[3]}'])[(doc_id % 4 + 1)]"
+)
+_O_MIME = (
+    "CASE (doc_id % 4) WHEN 0 THEN 'text/plain' WHEN 1 THEN 'application/epub+zip' "
+    "WHEN 2 THEN 'text/markdown' ELSE 'application/octet-stream' END"
+)
+
+
+def q_src_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-type identification (reference src/lib/sources.py:12-22 uses
+    libmagic per file; the engine's relational form is an extension CASE —
+    content sniffing is the binaryFile+pandas_udf variant)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    files = docs.select("doc_id", _spark_filepath().alias("filepath"))
+    return files.withColumn("mime", ingest_ops.mime_of(F.col("filepath")))
+
+
+O_SRC_IDENTIFY = f"""
+SELECT doc_id, {_O_FILEPATH} AS filepath, {_O_MIME} AS mime
+FROM documents
+"""
+
+
+def q_src_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion routing (src/lib/sources.py:184-240): ready / convert /
+    rejected — 'rejected' is the side output the reference silently drops
+    (SURVEY Q6)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    files = docs.select("doc_id", _spark_filepath().alias("filepath"))
+    return ingest_ops.route(files).select(
+        "doc_id", "mime", "needs_conversion", "is_convertible", "route"
+    )
+
+
+O_SRC_ROUTE = f"""
+WITH f AS (SELECT doc_id, {_O_MIME} AS mime FROM documents)
+SELECT doc_id, mime,
+       mime <> 'text/plain' AS needs_conversion,
+       mime = 'application/epub+zip' AS is_convertible,
+       CASE WHEN mime = 'text/plain' THEN 'ready'
+            WHEN mime = 'application/epub+zip' THEN 'convert'
+            ELSE 'rejected' END AS route
+FROM f
+"""
+
+
+def q_filt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set (plaintext or convertible — the implicit filter at
+    src/lib/sources.py:226-239, made explicit)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    files = docs.select("doc_id", _spark_filepath().alias("filepath"))
+    return ingest_ops.ingestion_ready(files).select("doc_id", "mime", "route")
+
+
+O_FILT_FILES = f"""
+WITH f AS (SELECT doc_id, {_O_MIME} AS mime FROM documents)
+SELECT doc_id, mime,
+       CASE WHEN mime = 'text/plain' THEN 'ready' ELSE 'convert' END AS route
+FROM f WHERE mime IN ('text/plain', 'application/epub+zip')
+"""
+
+
+# Sidecar metadata dimension: every even-numbered source has a sidecar
+# (author/genre); odd ones don't — exercising the missing→{} branch of
+# src/lib/documents.py:92-98 on half the rows.
+_SIDECARS = [
+    (f"src{n}", f"author_{n}", "fiction" if n % 4 == 0 else "nonfiction")
+    for n in range(0, 20, 2)
+]
+
+
+def q_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar metadata left join by derived key with empty-map coalesce
+    (src/lib/documents.py:92-98 + the join_meta_docs pairing). Sidecar
+    side broadcast — the document table never shuffles."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    sidecars = spark.createDataFrame(
+        [(s, {"author": a, "genre": g}) for s, a, g in _SIDECARS],
+        "source string, sidecar_meta map<string,string>",
+    )
+    out = ingest_ops.sidecar_join(docs, sidecars, key="source")
+    # Fixed-order JSON so both engines serialize identically; map-typed
+    # results stay in the operator API.
+    meta_json = F.when(
+        F.size("sidecar_meta") > 0,
+        F.to_json(
+            F.struct(
+                F.col("sidecar_meta").getItem("author").alias("author"),
+                F.col("sidecar_meta").getItem("genre").alias("genre"),
+            )
+        ),
+    ).otherwise(F.lit("{}"))
+    return out.select("doc_id", "source", meta_json.alias("sidecar_json"))
+
+
+_O_SIDECAR_VALUES = ", ".join(f"('{s}', '{a}', '{g}')" for s, a, g in _SIDECARS)
+O_META_SIDECAR = f"""
+WITH sc(source, author, genre) AS (VALUES {_O_SIDECAR_VALUES})
+SELECT d.doc_id, d.source,
+       CASE WHEN sc.source IS NULL THEN '{{}}'
+            ELSE '{{"author":"' || sc.author || '","genre":"' || sc.genre || '"}}'
+       END AS sidecar_json
+FROM documents d LEFT JOIN sc ON d.source = sc.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.8 display sink + scalar stragglers: sink_stdout, round4, date_now_iso
+# ---------------------------------------------------------------------------
+
+def q_sink_stdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result presentation (cli/search_doc_chunks.py:101-124): the
+    flagship top-k formatted as the CLI's display block — rank header,
+    id, 4-decimal score, 500-char truncated text."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    hits = sim_topk(
+        emb, docs, _query_vec(spark, sf_dir), top_k=10, threshold=0.2, normalized=False
+    )
+    w = Window.orderBy(F.col("similarity_score").desc(), F.col("vec_id").asc())
+    ranked = hits.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("vec_id"),
+        F.round("similarity_score", 4).alias("sim4"),
+        text_fns.truncate_display(F.col("text"), 500).alias("disp_text"),
+    )
+    return ranked.select(
+        "rank",
+        F.format_string(
+            "--- Chunk %d ---\nChunk ID: %d\nSimilarity Score: %.4f\nText: %s\n",
+            F.col("rank"),
+            F.col("vec_id"),
+            F.col("sim4"),
+            F.col("disp_text"),
+        ).alias("display"),
+    )
+
+
+O_SINK_STDOUT = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, {_ORACLE_SIM} AS sim FROM embeddings e, q
+),
+hits AS (
+  SELECT vec_id, sim FROM scored WHERE sim >= 0.2
+  ORDER BY sim DESC, vec_id ASC LIMIT 10
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,
+         h.vec_id, ROUND(h.sim, 4) AS sim4,
+         CASE WHEN length(d.text) > 500 THEN substring(d.text, 1, 500) || '...'
+              ELSE d.text END AS disp_text
+  FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+)
+SELECT rank,
+       printf('--- Chunk %d ---
+Chunk ID: %d
+Similarity Score: %.4f
+Text: %s
+', rank, vec_id, sim4, disp_text) AS display
+FROM ranked
+"""
+
+
+def q_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-decimal similarity display rounding (cli/search_doc_chunks.py:106)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qv = query_vector_literal(_query_vec(spark, sf_dir))
+    return emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), qv), 4).alias("sim4"),
+    )
+
+
+O_ROUND4 = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id, ROUND({_ORACLE_SIM}, 4) AS sim4 FROM embeddings e, q
+"""
+
+
+def q_date_now_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 timestamp formatting (the import stamp,
+    src/lib/documents.py:53 ``datetime.now().isoformat()``) applied over
+    the events timestamps — the injected-column variant of a
+    nondeterministic now() (SURVEY §1.2)."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("iso_ts"),
+    )
+
+
+O_DATE_NOW_ISO = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.1 chunking + enrichment — operators/chunking.py (SURVEY M3)
 # ---------------------------------------------------------------------------
 
@@ -1382,6 +1611,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "src_identify": (q_src_identify, O_SRC_IDENTIFY),
+    "src_route": (q_src_route, O_SRC_ROUTE),
+    "filt_files": (q_filt_files, O_FILT_FILES),
+    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
+    "round4": (q_round4, O_ROUND4),
+    "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
     "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
