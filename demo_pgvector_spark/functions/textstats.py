@@ -1,0 +1,111 @@
+"""Text-analysis scalar functions for the LLM-training-data pipeline
+surface (extension pillar: language ID, quality scoring, token counting,
+document fingerprinting — none exist in the reference, whose only text
+analytics is the per-text word frequency inside the embedder,
+src/lib/embedding.py:88-107).
+
+Everything is a pure Catalyst expression over the text column — codegen,
+shuffle-free, linear in input size; nothing leaves the JVM. At 100 TB
+these run as map-side projections fused into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker-word profiles for the n-gram/stopword language heuristic. Small
+# on purpose: the operator contract is a deterministic argmax over
+# profile-hit counts with alphabetical tie-break, not a production
+# classifier (which would be a fastText-style model in a pandas_udf).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "los", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+FINGERPRINT_MULT = 31
+FINGERPRINT_P = 4_294_967_311  # prime > 2^32; acc*31 stays well under 2^63
+
+
+def _tokens(c: Column) -> Column:
+    return F.split(F.lower(c), " ")
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language profile-hit counts."""
+    toks = _tokens(c)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """Predicted language: argmax profile-hit count, alphabetical
+    tie-break, 'unknown' when no profile word appears."""
+    scores = lang_scores(c)
+    m = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return F.when(m > 0, expr.otherwise(out)).otherwise(out)
+
+
+def token_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(whitespace tokens, BPE-ish regex tokens, ~4-chars-per-token
+    subword estimate). The regex token stream is words plus isolated
+    punctuation — the classic pre-tokenizer approximation."""
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe = F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+    est = F.ceil(F.length(c) / 4).cast("int")
+    return ws, bpe, est
+
+
+def quality_components(c: Column) -> dict[str, Column]:
+    """Raw quality signals: length, token count, mean token length,
+    stopword ratio, punctuation ratio."""
+    toks = _tokens(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
+        "stopword_ratio": stop_hits / n_tokens,
+        "punct_ratio": punct / n_chars,
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality score: rewards reasonable length and
+    stopword presence, penalizes punctuation soup — the standard
+    heuristic-filter shape (length/punct/stopword ratios)."""
+    q = quality_components(c)
+    length_term = F.least(q["n_tokens"] / 50.0, F.lit(1.0))
+    stop_term = F.least(q["stopword_ratio"] * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(q["punct_ratio"] * 4.0, F.lit(1.0))
+    return 0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term
+
+
+def fingerprint(c: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the word stream:
+    h_i = (31·h_{i-1} + hash32(w_i)) mod p. Same text → same value;
+    any insertion/deletion/reorder changes it (unlike the bag-of-words
+    MinHash family in operators/dedup.py)."""
+    return F.aggregate(
+        F.transform(
+            F.split(F.lower(c), " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FINGERPRINT_MULT + x) % FINGERPRINT_P,
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from demo_pgvector_spark import tables
 from demo_pgvector_spark.functions import embedding as emb_fns
 from demo_pgvector_spark.functions import text as text_fns
+from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import chunking as chunk_ops
@@ -941,6 +942,132 @@ SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline pillar 4) — functions/textstats.py
+# ---------------------------------------------------------------------------
+
+_O_TOKS = "string_split(lower(text), ' ')"
+
+
+def _o_lang_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_O_TOKS}, t -> t IN ({lst})))"
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language marker-hit counts and
+    the argmax prediction (alphabetical tie-break, 'unknown' on zero)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    scores = textstats.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"hits_{lang}") for lang in sorted(scores)],
+        textstats.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+_O_LANG_HITS = {
+    lang: _o_lang_hits(words) for lang, words in sorted(textstats.LANG_PROFILES.items())
+}
+_O_LANG_GREATEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _O_LANG_HITS) + ")"
+_O_LANG_CASE = " ".join(
+    f"WHEN hits_{lang} = m THEN '{lang}'" for lang in sorted(_O_LANG_HITS)
+)
+O_TEXT_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {", ".join(f"{expr} AS hits_{lang}" for lang, expr in _O_LANG_HITS.items())}
+  FROM documents
+),
+m AS (SELECT *, {_O_LANG_GREATEST} AS m FROM h)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _O_LANG_HITS)},
+       CASE WHEN m = 0 THEN 'unknown' {_O_LANG_CASE} ELSE 'unknown' END AS pred_lang
+FROM m
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter signals + composite [0,1] score
+    (length / stopword / punctuation terms)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    q = textstats.quality_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(textstats.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_O_STOP = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+O_TEXT_QUALITY = f"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_O_TOKS}) AS n_tokens,
+         len(list_filter({_O_TOKS}, t -> t IN ({_O_STOP}))) AS stop_hits,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0)
+           + 0.3 * (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 4.0, 1.0)), 6) AS quality
+FROM q
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    pre-tokenization (words + isolated punctuation), chars/4 estimate."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    ws, bpe, est = textstats.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        est.alias("subword_estimate"),
+    )
+
+
+O_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS subword_estimate
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the word stream —
+    the document-fingerprint complement to the bag-of-words MinHash."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+O_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_O_TOKS},
+             w -> CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT AS BIGINT))),
+         (acc, x) -> (acc * {textstats.FINGERPRINT_MULT} + x) % {textstats.FINGERPRINT_P}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.1 chunking + enrichment — operators/chunking.py (SURVEY M3)
 # ---------------------------------------------------------------------------
 
@@ -1618,6 +1745,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
+    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),
+    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
