@@ -34,6 +34,7 @@ from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
+from demo_pgvector_spark.streaming import windows as stream_ops
 from demo_pgvector_spark.session import tune_session
 
 # The flagship query's parameter vector: the stored embedding of vec_id=0
@@ -942,6 +943,79 @@ SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
 
 
 # ---------------------------------------------------------------------------
+# §2.9 streaming surface (batch-equivalent gate) — streaming/windows.py
+# ---------------------------------------------------------------------------
+# The same functions run as real Structured Streaming in
+# tests/test_streaming.py (readStream → AvailableNow → memory sink, equal
+# output asserted); the rows here run them in batch mode so DuckDB can
+# oracle the window semantics.
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window counts + value sums per event_type."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.windowed_counts(ev, window="10 minutes")
+
+
+O_STREAM_WINDOW_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute window, 5-minute slide) — each event
+    lands in two windows."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.windowed_counts(ev, window="10 minutes", slide="5 minutes")
+
+
+O_STREAM_SLIDING_COUNTS = """
+WITH expanded AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '5 minutes', e.ts) - u.k * INTERVAL '5 minutes' AS w_start
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap
+    (F.session_window; stateful merge in streaming, gaps-and-islands in
+    batch — the oracle is the lag+cumsum islands form)."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.session_windows(ev, gap="5 minutes")
+
+
+O_STREAM_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '5 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (LLM-pipeline pillar 4) — functions/textstats.py
 # ---------------------------------------------------------------------------
 
@@ -1745,6 +1819,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
+    "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW_COUNTS),
+    "stream_sliding_counts": (q_stream_sliding_counts, O_STREAM_SLIDING_COUNTS),
+    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),

@@ -1,0 +1,118 @@
+"""Structured Streaming surface (SURVEY §2.9 / M6 — extension; the
+reference is strictly batch).
+
+Every transformation here is *stream-batch symmetric*: it accepts either
+a batch DataFrame or a streaming DataFrame and produces the same logical
+result. That is the correctness strategy — the CORRECTNESS rows run the
+batch form against a DuckDB oracle (time_bucket / gaps-and-islands SQL),
+and tests/test_streaming.py drives the SAME functions through a real
+``readStream`` → ``Trigger.AvailableNow`` → memory-sink execution and
+asserts the outputs are identical. What the oracle can't see (watermark
+semantics, incremental state) is exactly what the streaming pytest
+exercises.
+
+Scale notes: windowed counts are partial-aggregable (map-side combine
+per window key); watermarks bound the state store; session windows merge
+per (user, gap) — state is per-user, not global. On a real cluster the
+same code runs against a Kafka/file source with checkpointing; the file
+source here is the testdata parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet. The file carries
+    TIMESTAMP(NANOS) → with ``nanosAsLong`` set (session construction)
+    it surfaces as a long that we truncate to micros, exactly like the
+    batch loader (tables.load)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource monitors a DIRECTORY; the testdata table is a
+    # single file, so stage a symlink dir (a real deployment points this
+    # at the landing directory new files arrive in).
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "demo_pgvector_spark_stream",
+        hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window counts and
+    value sums per event_type. Late rows beyond the watermark are
+    dropped in streaming mode; in batch mode the watermark is a no-op —
+    same result when no data is late, which the symmetric test pins."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-user session windows: events within ``gap`` of each other
+    merge into one session (F.session_window — stateful merge in
+    streaming, gaps-and-islands in batch)."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Execute a streaming DataFrame to completion against the current
+    file set (Trigger.AvailableNow) into an in-memory table ``name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
