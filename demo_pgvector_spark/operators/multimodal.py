@@ -1,0 +1,230 @@
+"""Multimodal columns: opaque binary media with typed metadata, decoded
+and feature-extracted via Arrow-batched ``mapInPandas`` (LLM-pipeline
+pillar 3 — extension; the reference is text-only).
+
+Real image/audio codecs (PIL, torchaudio, ffmpeg) are NOT in this
+container, so the external-codec path is an explicit stub
+(``decode_external`` raises NotImplementedError). What IS real — and
+tested — is everything Spark-side: the binary column plumbing, the
+typed-metadata schema, the mapInPandas batch iteration (multiple Arrow
+batches per partition), the 1-row→N-rows frame explosion, and a real
+binary *decoder* for a deterministic container format (``SPKM``):
+
+    IMG  header b'IMG|<w>|<h>|'  + w*h payload bytes (pixel intensities)
+    AUD  header b'AUD|<rate>|<n>|' + n payload bytes (sample amplitudes)
+    VID  header b'VID|<nframes>|' + nframes × 16-byte frames
+
+Payload bytes are md5-chain-derived (seed || block index), so every
+byte is reproducible by any engine from the row key alone — which is
+what lets the DuckDB oracle verify the decoded statistics value-by-value
+without being able to run the Python decoder: the CORRECTNESS rows prove
+the Arrow decode path computes exactly what the spec says.
+
+Scale notes: decode/feature-extract are per-row map work — no shuffle;
+Arrow transfers payloads zero-copy per batch. Real deployments partition
+by media id ranges so a single huge video cannot skew a partition, and
+cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` so batch_bytes ≈
+rows × media_size stays in executor memory (the batch-shape test pins
+multi-batch iteration).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MD5_BLOCK = 16  # bytes per md5 block
+
+
+def _payload_expr(seed_prefix: str, n_bytes_expr: str) -> str:
+    """SQL fragment: md5-chain payload of ≥ n bytes (whole blocks)."""
+    return (
+        f"unhex(concat_ws('', transform("
+        f"sequence(0, cast(ceil(({n_bytes_expr}) / {MD5_BLOCK}.0) as int) - 1),"
+        f" b -> md5(concat('{seed_prefix}:', cast(doc_id as string), ':', cast(b as string))))))"
+    )
+
+
+def fake_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, content binary, width, height) — deterministic SPKM
+    image blobs; dimensions derived from the row key."""
+    w = "(4 + doc_id % 8)"
+    h = "(3 + doc_id % 5)"
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.expr(
+            f"concat(encode(concat('IMG|', cast({w} as string), '|',"
+            f" cast({h} as string), '|'), 'UTF-8'),"
+            f" {_payload_expr('img', f'{w} * {h}')})"
+        ).alias("content"),
+        F.expr(f"{w}").alias("width"),
+        F.expr(f"{h}").alias("height"),
+    )
+
+
+def fake_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, content binary, sample_rate, n_samples)."""
+    n = "(32 + (doc_id % 4) * 16)"
+    return docs.select(
+        "doc_id",
+        F.lit("audio").alias("kind"),
+        F.expr(
+            f"concat(encode(concat('AUD|16000|', cast({n} as string), '|'), 'UTF-8'),"
+            f" {_payload_expr('aud', n)})"
+        ).alias("content"),
+        F.lit(16000).alias("sample_rate"),
+        F.expr(f"{n}").alias("n_samples"),
+    )
+
+
+def fake_videos(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, content binary, n_frames) — each frame one md5 block."""
+    nf = "(2 + doc_id % 4)"
+    return docs.select(
+        "doc_id",
+        F.lit("video").alias("kind"),
+        F.expr(
+            f"concat(encode(concat('VID|', cast({nf} as string), '|'), 'UTF-8'),"
+            f" {_payload_expr('vid', f'{nf} * {MD5_BLOCK}')})"
+        ).alias("content"),
+        F.expr(f"{nf}").alias("n_frames"),
+    )
+
+
+def _split_header(blob: bytes, nfields: int) -> tuple[list[bytes], bytes]:
+    parts = blob.split(b"|", nfields + 1)
+    return parts[:-1], parts[-1]
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode SPKM image blobs: parse header, read w×h payload, emit
+    pixel statistics. Real binary parsing over Arrow batches."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (tag, w_b, h_b), payload = _split_header(bytes(blob), 2)
+                assert tag == b"IMG", tag
+                w, h = int(w_b), int(h_b)
+                px = np.frombuffer(payload[: w * h], dtype=np.uint8)
+                out.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(px.size),
+                        float(px.mean()),
+                        int(px.max()),
+                        int(px.min()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "mean_intensity", "max_intensity", "min_intensity",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_pixels int,"
+        " mean_intensity double, max_intensity int, min_intensity int",
+    )
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Downsample by stride: keep every ``factor``-th pixel per axis and
+    emit the resized dimensions + resized mean — the resize stage over
+    the decoded pixel grid."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (_, w_b, h_b), payload = _split_header(bytes(blob), 2)
+                w, h = int(w_b), int(h_b)
+                px = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+                small = px[::factor, ::factor]
+                out.append(
+                    (
+                        int(doc_id),
+                        small.shape[1],
+                        small.shape[0],
+                        float(small.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "r_width", "r_height", "r_mean"]
+            )
+
+    return media.mapInPandas(
+        resize, "doc_id long, r_width int, r_height int, r_mean double"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Amplitude statistics over the decoded sample stream."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (tag, rate_b, n_b), payload = _split_header(bytes(blob), 2)
+                assert tag == b"AUD", tag
+                n = int(n_b)
+                s = np.frombuffer(payload[:n], dtype=np.uint8).astype(np.float64)
+                out.append(
+                    (
+                        int(doc_id),
+                        int(rate_b),
+                        n,
+                        float(s.mean()),
+                        float(np.sqrt((s**2).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_rate", "n_samples", "mean_amp", "rms"]
+            )
+
+    return media.mapInPandas(
+        feats,
+        "doc_id long, sample_rate int, n_samples int, mean_amp double, rms double",
+    )
+
+
+def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
+    """1 video row → N frame rows (every ``every``-th frame), each frame
+    re-emitted as its hex digest — the frame-sampling table function."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (tag, nf_b), payload = _split_header(bytes(blob), 1)
+                assert tag == b"VID", tag
+                for f in range(0, int(nf_b), every):
+                    frame = payload[f * MD5_BLOCK : (f + 1) * MD5_BLOCK]
+                    out.append((int(doc_id), f, frame.hex()))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_no", "frame_hex"])
+
+    return media.mapInPandas(frames, "doc_id long, frame_no int, frame_hex string")
+
+
+def decode_external(media: DataFrame, codec: str) -> DataFrame:
+    """Stub for real codecs (JPEG/PNG/WAV/MP4): the decode libraries are
+    not available in this environment. The SPKM paths above carry the
+    identical Spark plumbing (schema, mapInPandas signature, batch
+    iteration); swapping this stub for PIL/torchaudio changes only the
+    per-row byte parsing."""
+    raise NotImplementedError(
+        f"external codec {codec!r} requires an image/audio library not "
+        "present in this environment; use the SPKM decoders or install "
+        "PIL/torchaudio and implement the parse step here"
+    )

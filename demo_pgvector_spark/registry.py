@@ -31,6 +31,7 @@ from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
+from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
@@ -943,6 +944,97 @@ SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (LLM-pipeline pillar 3) — operators/multimodal.py
+# ---------------------------------------------------------------------------
+# The binary blobs are built JVM-side from an md5-chain spec and decoded
+# by real Arrow-batched mapInPandas parsers; the oracles recompute the
+# expected statistics from the spec alone — proving the Python decode
+# path reads the bytes it claims to.
+
+# DuckDB fragment: hex string of the md5-chain payload for a seed prefix.
+def _o_mm_hexchain(prefix: str, n_bytes: str) -> str:
+    return (
+        f"array_to_string(list_transform(range(CAST(ceil(({n_bytes}) / 16.0) AS BIGINT)),"
+        f" b -> md5('{prefix}:' || doc_id || ':' || b)), '')"
+    )
+
+
+def q_mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column → mapInPandas decode → pixel statistics."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    media = mm_ops.fake_images(docs).select("doc_id", "content")
+    out = mm_ops.decode_images(media)
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 4))
+
+
+O_MM_DECODE_IMAGE = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(range(width * height),
+           i -> CAST(('0x' || substr({_o_mm_hexchain('img', 'width * height')},
+                                     CAST(2 * i + 1 AS INT), 2))::UBIGINT AS INT)) AS p
+  FROM dims
+)
+SELECT doc_id, width, height, CAST(len(p) AS INT) AS n_pixels,
+       ROUND(list_avg(p), 4) AS mean_intensity,
+       list_max(p) AS max_intensity, list_min(p) AS min_intensity
+FROM px
+"""
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary audio column → amplitude statistics (mean, RMS)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    media = mm_ops.fake_audio(docs).select("doc_id", "content")
+    out = mm_ops.audio_features(media)
+    return out.withColumn("mean_amp", F.round("mean_amp", 4)).withColumn(
+        "rms", F.round("rms", 4)
+    )
+
+
+O_MM_AUDIO_FEATURES = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(32 + (doc_id % 4) * 16 AS INT) AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+           i -> CAST(('0x' || substr({_o_mm_hexchain('aud', 'n')},
+                                     CAST(2 * i + 1 AS INT), 2))::UBIGINT AS INT)) AS s
+  FROM dims
+)
+SELECT doc_id, 16000 AS sample_rate, n AS n_samples,
+       ROUND(list_avg(s), 4) AS mean_amp,
+       ROUND(sqrt(list_avg(list_transform(s, x -> CAST(x AS DOUBLE) * x))), 4) AS rms
+FROM smp
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 media row → N frame rows via mapInPandas."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    media = mm_ops.fake_videos(docs).select("doc_id", "content")
+    return mm_ops.sample_frames(media)
+
+
+O_MM_FRAME_SAMPLE = """
+WITH v AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents)
+SELECT doc_id, CAST(u.f AS INT) AS frame_no,
+       md5('vid:' || doc_id || ':' || u.f) AS frame_hex
+FROM v CROSS JOIN (SELECT unnest(range(6)) AS f) u
+WHERE u.f < v.nf
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.9 streaming surface (batch-equivalent gate) — streaming/windows.py
 # ---------------------------------------------------------------------------
 # The same functions run as real Structured Streaming in
@@ -1819,6 +1911,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
+    "mm_decode_image": (q_mm_decode_image, O_MM_DECODE_IMAGE),
+    "mm_audio_features": (q_mm_audio_features, O_MM_AUDIO_FEATURES),
+    "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW_COUNTS),
     "stream_sliding_counts": (q_stream_sliding_counts, O_STREAM_SLIDING_COUNTS),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
