@@ -29,12 +29,22 @@ from demo_pgvector_spark import registry  # noqa: E402
 from demo_pgvector_spark.session import get_session  # noqa: E402
 
 BENCH_KEYS = (
+    # reference read path
     "vec_sim_topk",
     "vec_knn_join",
+    "rag_prompt_context",
+    # relational analytics over the 600k-row lineitem
     "tpch_q1",
     "join_lineitem_orders",
+    # LLM-pipeline extension surface
+    "vec_ann_topk",
+    "emb_hash_embed",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_fingerprint",
+    "stream_window_counts",
+    "mm_decode_image",
     "agg_word_counts",
-    "rag_prompt_context",
 )
 
 

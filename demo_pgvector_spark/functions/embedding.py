@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -79,12 +80,70 @@ def hash_embed_py(text: str, dim: int = DEFAULT_DIM, model_response: str = "") -
     return [float(x) for x in base]
 
 
+@lru_cache(maxsize=1 << 16)
+def _word_draws(word: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached per-word unit draws: (the word-vector gaussian, the
+    follow-on gaussian the diversity noise consumes when this word is the
+    last seeded one). Bitwise-equivalence to the direct form: numpy's
+    legacy RandomState computes normal(0, s, n) as s·standard_normal(n)
+    (and float multiply is commutative), and the post-draw RNG state
+    depends only on (seed, n), not on the scale — so caching the unit
+    draws and rescaling reproduces hash_embed_py exactly (pinned by
+    test_udf_matches_python and the emb_hash_embed parity row)."""
+    word_seed = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+    rng = np.random.RandomState(word_seed % (2**32))
+    u = rng.normal(0, 1, dim)
+    noise_u = rng.normal(0, 1, dim)
+    u.setflags(write=False)
+    noise_u.setflags(write=False)
+    return u, noise_u
+
+
+def _hash_embed_fast(text: str, dim: int, model_response: str = "") -> list[float]:
+    """hash_embed_py with the per-word RNG work cached across rows —
+    the hot-path form the pandas_udf runs. The word vocabulary of a
+    corpus is tiny relative to its row count, so each word's two
+    gaussian draws are computed once per executor instead of once per
+    (row, word)."""
+    combined = f"{text} {model_response}"
+    words = _WORD_RE.findall(combined.lower().strip())
+
+    base_seed = int(hashlib.sha256(combined.encode()).hexdigest()[:8], 16)
+    base = np.random.RandomState(base_seed % (2**32)).normal(0, 1, dim)
+
+    total = len(words)
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+
+    noise_u = None
+    for word in sorted(counts):
+        u, noise_u = _word_draws(word, dim)
+        base += (u * (counts[word] / total)) * 0.1
+
+    length_factor = min(len(combined) / 100.0, 1.0)
+    complexity = len(counts) / max(total, 1)
+    base *= 1.0 + length_factor * 0.1
+    if noise_u is None:
+        # no words: the reference draws noise from the base-seeded RNG's
+        # state after the base draw
+        rng = np.random.RandomState(base_seed % (2**32))
+        rng.normal(0, 1, dim)
+        noise_u = rng.normal(0, 1, dim)
+    base += noise_u * (complexity * 0.05)
+
+    norm = np.linalg.norm(base)
+    if norm > 0:
+        base = base / norm
+    return [float(x) for x in base]
+
+
 def make_hash_embed_udf(dim: int = DEFAULT_DIM):
     """Vectorized pandas_udf: text column → array<double> embedding."""
 
     @pandas_udf("array<double>")
     def hash_embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: hash_embed_py(t if t is not None else "", dim))
+        return texts.map(lambda t: _hash_embed_fast(t if t is not None else "", dim))
 
     return hash_embed
 

@@ -38,23 +38,37 @@ def test_stream_matches_batch_session_windows(spark):
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving far behind the watermark must be dropped by the
     streaming aggregation (and kept by batch) — the semantics only the
-    streaming engine has."""
+    streaming engine has.
+
+    Spark ≥3.4 uses TWO watermarks per batch: late-row filtering uses
+    the PREVIOUS batch's watermark, eviction the current one — so the
+    drop needs the late row to arrive two micro-batches after the rows
+    that advanced the watermark (three files, one per trigger)."""
+    import os
+    import time
+
     on_time = [(i, f"2024-01-01 10:{m:02d}:00", "click", 1.0) for i, m in enumerate(range(0, 50, 5))]
-    late = [(99, "2024-01-01 10:00:01", "click", 1.0)]  # 45+ min behind max ts
+    more = [(50, "2024-01-01 10:46:00", "click", 1.0)]
+    late = [(99, "2024-01-01 10:00:01", "click", 1.0)]  # 45+ min behind
 
     def write(rows, path):
         spark.createDataFrame(
             rows, "event_id long, ts_s string, event_type string, value double"
-        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.mode(
-            "overwrite"
-        ).parquet(path)
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
 
-    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
-    write(on_time, d1)
-    write(late, d2)
+    dirs = [str(tmp_path / d) for d in ("b1", "b2", "b3")]
+    for rows, d in zip((on_time, more, late), dirs):
+        write(rows, d)
+    # FileStreamSource orders files by modification time; pin distinct
+    # mtimes so the micro-batch order is b1, b2, b3.
+    now = time.time()
+    for i, d in enumerate(dirs):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 100 + i * 10,) * 2)
 
-    schema = spark.read.parquet(d1).schema
-    # two micro-batches: on-time files first, then the late file
+    schema = spark.read.parquet(dirs[0]).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -69,9 +83,13 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    total = spark.table("late_test").agg(F.sum("n")).first()[0]
-    # batch would count 11 (10 on-time + 1 late); the stream processes
-    # b1 first (earlier mtime, maxFilesPerTrigger=1), advancing the
-    # watermark to max(ts)-10min = 10:35, so the 10:00:01 row in b2 is
-    # late beyond the watermark and dropped: exactly 10 survive.
-    assert total == 10
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the late row
+    # and the late row never reached the 10:00 window's state: every
+    # update for that window says n=2 (batch would have counted 3)
+    w0 = spark.table("late_test").filter(
+        F.col("window_start") == "2024-01-01 10:00:00"
+    )
+    assert {r["n"] for r in w0.collect()} == {2}
