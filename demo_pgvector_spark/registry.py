@@ -29,6 +29,7 @@ from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector_literal
 from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import chunking as chunk_ops
+from demo_pgvector_spark.operators import convert as convert_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
@@ -940,6 +941,35 @@ def q_date_now_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DATE_NOW_ISO = """
 SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 conversion — operators/convert.py
+# ---------------------------------------------------------------------------
+
+def q_src_convert_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container→Markdown conversion (the pandoc stage,
+    src/lib/sources.py:64-172): deterministic SPKB containers built from
+    each document, parsed and rendered by mapInPandas; the oracle
+    predicts the markdown from the source text."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return convert_ops.convert_epub(convert_ops.fake_epubs(docs))
+
+
+O_SRC_CONVERT_EPUB = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         array_to_string(w[1:CAST(ceil(len(w) / 2.0) AS BIGINT)], ' ') AS ch1,
+         array_to_string(w[CAST(ceil(len(w) / 2.0) AS BIGINT) + 1:len(w)], ' ') AS ch2
+  FROM t
+)
+SELECT doc_id,
+       '# Chapter 1' || chr(10) || chr(10) || ch1 || chr(10) || chr(10) ||
+       '# Chapter 2' || chr(10) || chr(10) || ch2 AS markdown
+FROM c
 """
 
 
@@ -1911,6 +1941,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
+    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
     "mm_decode_image": (q_mm_decode_image, O_MM_DECODE_IMAGE),
     "mm_audio_features": (q_mm_audio_features, O_MM_AUDIO_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
