@@ -1,0 +1,85 @@
+"""Relational extension operators beyond the reference's single inner
+join (SURVEY §2.3 marks hash/range/as-of joins, set ops, grouping
+analytics as extension surface; the reference's only join is
+src/lib/database.py:304-305).
+
+The distinctive piece is the distributed **as-of join** — Spark has no
+built-in ASOF JOIN (DuckDB does, which is what the oracle uses). The
+classic scale-correct construction: tag probe and quote rows, union
+them, and carry the latest quote payload forward with a
+``last(ignorenulls)`` window ordered by (time, tag) within each key —
+one shuffle on the key, no range explosion, no per-key cross product.
+State per partition is one carried payload — the same shape a
+streaming as-of would keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    probe_ts: str,
+    quote_ts: str,
+    payload_cols: tuple[str, ...],
+    probe_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each probe row: the payload of the latest quote with
+    ``quote_ts <= probe_ts`` in the same key (backward as-of, left
+    semantics — probes with no earlier quote keep NULL payload).
+
+    Quotes are first deduplicated to one per (key, ts) — max payload
+    struct, deterministic — because as-of is ill-defined under ties.
+    """
+    pay_struct = F.struct(*[F.col(c) for c in payload_cols])
+    q1 = (
+        quotes.groupBy(F.col(key), F.col(quote_ts).alias("_t"))
+        .agg(F.max(pay_struct).alias("_pay"))
+        .select(key, "_t", "_pay")
+        .withColumn("_is_probe", F.lit(0))
+    )
+    p1 = probes.select(
+        F.col(key),
+        F.col(probe_ts).alias("_t"),
+        *[F.col(c) for c in probe_cols],
+    ).withColumn("_is_probe", F.lit(1)).withColumn("_pay", F.lit(None).cast(q1.schema["_pay"].dataType))
+
+    u = q1.select(key, "_t", "_is_probe", "_pay", *[F.lit(None).alias(c) for c in probe_cols]).unionByName(
+        p1.select(key, "_t", "_is_probe", "_pay", *probe_cols)
+    )
+    # quotes at the same timestamp sort before probes (0 < 1) → the
+    # boundary is inclusive: a quote AT the probe time is visible to it
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_probe") == 1).select(
+        key,
+        F.col("_t"),
+        *probe_cols,
+        *[F.col("_asof").getField(c).alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    days: int = 120,
+) -> DataFrame:
+    """Equi + range predicate join: lineitems shipped within ``days`` of
+    their order's date. The equi key keeps it a hash join (the range
+    predicate is a post-join filter pushed into the join condition) —
+    never a cross product."""
+    cond = (
+        (lineitem["l_orderkey"] == orders["o_orderkey"])
+        & (lineitem["l_shipdate"] >= orders["o_orderdate"])
+        & (lineitem["l_shipdate"] <= F.date_add(orders["o_orderdate"], days))
+    )
+    return lineitem.join(orders, cond, "inner")

@@ -34,6 +34,7 @@ from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
+from demo_pgvector_spark.operators import relational as rel_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.streaming import windows as stream_ops
@@ -941,6 +942,205 @@ def q_date_now_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DATE_NOW_ISO = """
 SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational extension set (SURVEY §2.3/§2.4 extension rows) —
+# operators/relational.py + grouping analytics over the TPC-H testdata
+# ---------------------------------------------------------------------------
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (Spark has no built-in; DuckDB's native
+    ASOF JOIN is the oracle): each synthetic probe (event mapped into the
+    order-date domain) gets its customer's latest order at-or-before the
+    probe time. One shuffle on the key, union+carry-forward window — no
+    range explosion."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    orders = tables.load(spark, sf_dir, "orders")
+    probes = ev.select(
+        "event_id",
+        F.col("user_id").alias("o_custkey"),
+        F.date_add(F.to_date(F.lit("1995-01-01")), (F.col("event_id") % 2400).cast("int"))
+        .cast("timestamp")
+        .alias("asof_ts"),
+    )
+    out = rel_ops.asof_join(
+        probes,
+        orders,
+        key="o_custkey",
+        probe_ts="asof_ts",
+        quote_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+        probe_cols=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        "o_custkey",
+        F.date_format("_t", _TS_FMT).alias("asof_ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+O_JOIN_ASOF = """
+WITH probes AS (
+  SELECT event_id, user_id AS o_custkey,
+         TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (event_id % 2400) DAY AS t
+  FROM events
+),
+q AS (
+  SELECT o_custkey, o_orderdate AS t, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT p.event_id, p.o_custkey, strftime(p.t, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       q.o_orderkey, ROUND(q.o_totalprice, 2) AS o_totalprice
+FROM probes p ASOF LEFT JOIN q ON p.o_custkey = q.o_custkey AND p.t >= q.t
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitems shipped within 120 days of their
+    order's date, aggregated per return flag. The equi key keeps the
+    physical plan a hash join; the range predicate rides along."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    j = rel_ops.range_join(li, orders, days=120)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+O_JOIN_RANGE = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL '120 days'
+GROUP BY l_returnflag
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one pass (partial-aggregable; Spark expands grouping sets before
+    the single shuffle)."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+O_AGG_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status) on orders."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+O_AGG_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine exposes
+    both DataFrame and SQL APIs; Catalyst plans them identically)."""
+    tune_session(spark)
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(1) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+O_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1995 and 2000."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return a.intersect(b)
+
+
+O_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (anti-join's set-op twin): customers who ordered in 1995
+    but never in 2000."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return a.distinct().exceptAll(b.distinct())
+
+
+O_SET_EXCEPT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+def q_win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders by price per customer — partitioned
+    by customer (never a global window), deterministic tie-break."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+O_WIN_RANK_TOPN = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+FROM orders QUALIFY rank <= 3
 """
 
 
@@ -1941,6 +2141,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
+    "join_asof": (q_join_asof, O_JOIN_ASOF),
+    "join_range": (q_join_range, O_JOIN_RANGE),
+    "agg_cube": (q_agg_cube, O_AGG_CUBE),
+    "agg_rollup": (q_agg_rollup, O_AGG_ROLLUP),
+    "agg_grouping_sets": (q_agg_grouping_sets, O_AGG_GROUPING_SETS),
+    "set_intersect": (q_set_intersect, O_SET_INTERSECT),
+    "set_except": (q_set_except, O_SET_EXCEPT),
+    "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
     "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
     "mm_decode_image": (q_mm_decode_image, O_MM_DECODE_IMAGE),
     "mm_audio_features": (q_mm_audio_features, O_MM_AUDIO_FEATURES),
