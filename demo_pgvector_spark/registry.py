@@ -657,6 +657,70 @@ FROM documents
 """
 
 
+def q_emb_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding *pipeline* wrapper (src/lib/embedding.py:27-67):
+    build the analysis prompt per text, obtain the model response (the
+    external LLM stage — stubbed to '' per SURVEY Q3, making the wrapper
+    deterministic), hash-embed text+response. With the stub the vector
+    equals emb_hash_embed's; the row additionally gates the prompt
+    template byte-for-byte."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    # byte-exact reference template (src/lib/embedding.py:32-35)
+    prompt = F.concat(
+        F.lit("Analyze and understand this text: "),
+        F.col("text"),
+        F.lit("\n\nThe key concepts in this text are:"),
+    )
+    emb = emb_fns.hash_embed(F.col("text"))
+    return docs.select(
+        "doc_id",
+        prompt.alias("analysis_prompt"),
+        F.transform(F.slice(emb, 1, 4), lambda x: F.round(x, 6)).alias("emb_prefix"),
+    )
+
+
+O_EMB_GENERATE = """
+SELECT d.doc_id,
+       'Analyze and understand this text: ' || d.text || chr(10) || chr(10) ||
+       'The key concepts in this text are:' AS analysis_prompt,
+       list_transform(g.embedding[1:4], x -> round(x, 6)) AS emb_prefix
+FROM documents d
+JOIN read_parquet('/root/repo/golden/emb_hash_embed.parquet') g
+  ON sha256(d.text) = g.text_sha
+"""
+
+
+def q_math_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + normalization check (src/lib/embedding.py:115-118):
+    every stored vector's norm, and the norm of its re-normalized self
+    (≡ 1 within rounding)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    from demo_pgvector_spark.functions.vector import l2_norm, l2_normalize
+
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+        F.round(l2_norm(l2_normalize(F.col("embedding"))), 6).alias("unit_norm"),
+    )
+
+
+O_MATH_NORM = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS norm,
+       ROUND(sqrt(list_dot_product(
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))),
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))))), 6) AS unit_norm
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.7 extension: ANN (LSH-bucketed sublinear search) — operators/ann.py
 # ---------------------------------------------------------------------------
@@ -2131,6 +2195,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
+    "emb_generate": (q_emb_generate, O_EMB_GENERATE),
+    "math_norm": (q_math_norm, O_MATH_NORM),
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
