@@ -1,0 +1,142 @@
+"""Physical-plan regression tests: the scale invariants the engine's
+operators were designed around, pinned so a refactor cannot silently
+reintroduce a shuffle/skew anti-pattern. These complement the value
+parity gates — a query can be correct at sf0.01 and catastrophic at
+100 TB; these assertions are the difference."""
+
+from __future__ import annotations
+
+import pytest
+
+from demo_pgvector_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, key):
+    return (
+        registry.REGISTRY[key][0](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _shuffles(plan: str) -> int:
+    """Count data shuffles: hash/range repartition exchanges. Broadcast
+    exchanges move only the small side and don't count against a plan."""
+    import re
+
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_flagship_topk_never_shuffles(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    partial top-k), and the post-limit payload join must broadcast the
+    k-row side — no sort-merge join, no exchange feeding the top-k."""
+    plan = _plan(spark, "vec_sim_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_join_has_no_window(spark):
+    """The kNN join's top-k is the two-stage partial aggregation — a
+    per-probe row_number window (single partition per probe over the
+    whole scored table) must never come back."""
+    plan = _plan(spark, "vec_knn_join")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two stages
+
+
+def test_single_exchange_aggregations(spark):
+    """Plain groupBy aggregations must shuffle exactly once (map-side
+    partial combine before the exchange)."""
+    for key in ("dedup_simhash", "stream_window_counts", "agg_word_counts"):
+        plan = _plan(spark, key)
+        assert _shuffles(plan) == 1, (key, _shuffles(plan))
+        assert "partial" in plan.lower(), key
+    # tpch_q1 adds one legitimate range exchange for its output ORDER BY
+    plan = _plan(spark, "tpch_q1")
+    assert _shuffles(plan) == 2, _shuffles(plan)
+
+
+def test_pure_map_operators_have_zero_exchanges(spark):
+    """Scan-fused projections must not shuffle at all."""
+    for key in (
+        "emb_hash_embed",
+        "proj_similarity",
+        "text_fingerprint",
+        "text_quality",
+        "src_identify",
+        "chunk_docling",
+        "mm_decode_image",
+    ):
+        plan = _plan(spark, key)
+        assert _shuffles(plan) == 0, key
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    """A filter on a scanned column must appear in the parquet scan's
+    PushedFilters, not only as a post-scan Filter."""
+    plan = _plan(spark, "filt_model_eq")
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan.split("PushedFilters:")[1][:5]
+
+
+def test_sidecar_join_broadcasts_dimension(spark):
+    plan = _plan(spark, "meta_sidecar")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection over documents must not read the text-heavy
+    columns it doesn't use."""
+    from demo_pgvector_spark import tables
+    from pyspark.sql import functions as F
+
+    df = tables.load(spark, SF, "documents").select("doc_id", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in rs, rs
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Bucketed tables co-locate join keys at write time: a join between
+    two tables bucketed on the key must plan with ZERO shuffles — the
+    100 TB recipe for repeated big-big joins. Broadcast is disabled so
+    the planner must prove it can use bucket-to-bucket sort-merge (at
+    real scale neither side would fit a broadcast anyway)."""
+    from demo_pgvector_spark import tables
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("b_docs", "b_emb"):
+            # the in-memory catalog forgets tables across sessions but the
+            # warehouse directory persists — clear both
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        docs = tables.load(spark, SF, "documents")
+        emb = tables.load(spark, SF, "embeddings")
+        docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy(
+            "doc_id"
+        ).saveAsTable("b_docs")
+        emb.select("vec_id", "label").write.mode("overwrite").bucketBy(
+            8, "vec_id"
+        ).sortBy("vec_id").saveAsTable("b_emb")
+        a, b = spark.table("b_docs"), spark.table("b_emb")
+        j = a.join(b, a.doc_id == b.vec_id)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert _shuffles(plan) == 0, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("b_docs", "b_emb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
