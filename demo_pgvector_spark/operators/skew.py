@@ -1,0 +1,71 @@
+"""Skew-mitigation operators (brief: "skewed keys → salting or AQE
+skew-join").
+
+Where skew actually bites, and what this engine does about each:
+
+- **Algebraic aggregates** (count/sum/min/max) on a heavy-hitter key:
+  NOT a problem — Spark's map-side partial aggregation means the reduce
+  side receives one partial row per (input partition, key), regardless
+  of how hot the key is. No salting needed; don't add it.
+- **Holistic aggregates** (collect_list for top-k): a heavy key's full
+  row set lands on one reducer. ``similarity.topk_per_group`` solves it
+  with spark_partition_id() as an implicit salt + k-bounded merge.
+- **Sort-merge/shuffle-hash joins** on a skewed key: AQE's skew-join
+  splits oversized partitions automatically (enabled in session.py).
+  ``salted_join`` below is the explicit form for when AQE can't help —
+  e.g. the skew is in the *output* (one key joins to millions of rows)
+  or AQE is unavailable: the big side gets a deterministic per-row salt,
+  the small side is exploded across all salt values, and the join key
+  becomes (key, salt) — a hot key's rows spread over ``salt_buckets``
+  reducers. Exact same result set as the unsalted join.
+
+- **Exact distinct counts** on a skewed key: ``salted_count_distinct``
+  spreads by the value itself (dedup on (key, value) first — the value
+  is the perfect salt because duplicates of one value collapse
+  map-side), then counts per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side deterministically (hash of
+    the whole row — reproducible, no rand()), replicate the small side
+    once per salt value, join on (key, salt). Output equals the plain
+    join; the shuffle spreads each hot key over ``salt_buckets``
+    partitions at the cost of a ``salt_buckets``× blowup of the SMALL
+    side only."""
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, key: str, value: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact distinct count per key without concentrating a hot key on
+    one reducer: dedupe (key, value) first — the value spreads the key,
+    and duplicate values collapse in the map-side partial — then count.
+    Two exchanges, both well-distributed."""
+    return (
+        df.select(key, value)
+        .groupBy(key, value)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(key)
+        .agg(F.count("_one").alias(out_col))
+    )

@@ -1371,6 +1371,23 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup (dropDuplicatesWithinWatermark — bounded
+    state) in its batch-equivalent form: distinct (user_id, event_type)
+    pairs. The streaming execution with cross-micro-batch duplicates is
+    exercised in tests/test_streaming.py."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.stream_dedup(ev, key_cols=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+
+
+O_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 5-minute inactivity gap
     (F.session_window; stateful merge in streaming, gaps-and-islands in
@@ -2222,6 +2239,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW_COUNTS),
     "stream_sliding_counts": (q_stream_sliding_counts, O_STREAM_SLIDING_COUNTS),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
+    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, O_TEXT_TOKEN_COUNT),

@@ -105,6 +105,23 @@ def session_windows(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Exactly-once dedup over a stream: ``dropDuplicatesWithinWatermark``
+    keeps state only for the watermark horizon (bounded memory — the
+    batch ``dropDuplicates`` equivalent needs the full key set forever).
+    In batch mode falls back to plain dropDuplicates — same logical
+    result when duplicates arrive within the horizon."""
+    if events.isStreaming:
+        if watermark is not None:
+            events = events.withWatermark("ts", watermark)
+        return events.dropDuplicatesWithinWatermark(list(key_cols))
+    return events.dropDuplicates(list(key_cols))
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Execute a streaming DataFrame to completion against the current
     file set (Trigger.AvailableNow) into an in-memory table ``name``."""

@@ -35,6 +35,51 @@ def test_stream_matches_batch_session_windows(spark):
     assert _collect_sorted(spark.table("sess_test")) == _collect_sorted(batch)
 
 
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress a duplicate key that
+    arrives in a LATER micro-batch (state carried across batches) while
+    admitting genuinely new keys."""
+    import os
+    import time
+
+    b1 = [(1, "2024-01-01 10:00:00", "click", 1.0), (2, "2024-01-01 10:01:00", "view", 1.0)]
+    b2 = [(1, "2024-01-01 10:02:00", "click", 1.0),  # dup of event_id 1
+          (3, "2024-01-01 10:03:00", "click", 1.0)]
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    dirs = [str(tmp_path / d) for d in ("b1", "b2")]
+    for rows, d in zip((b1, b2), dirs):
+        write(rows, d)
+    now = time.time()
+    for i, d in enumerate(dirs):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 100 + i * 10,) * 2)
+
+    schema = spark.read.parquet(dirs[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "b*"))
+    )
+    deduped = sw.stream_dedup(stream, key_cols=("event_id",), watermark="1 hour")
+    q = (
+        deduped.select("event_id").writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("dedup_test").collect())
+    assert got == [1, 2, 3]  # the batch-2 duplicate of id 1 suppressed
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving far behind the watermark must be dropped by the
     streaming aggregation (and kept by batch) — the semantics only the
