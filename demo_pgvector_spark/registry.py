@@ -32,6 +32,7 @@ from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import convert as convert_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
+from demo_pgvector_spark.operators import ivf as ivf_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
@@ -1640,6 +1641,54 @@ FROM c
 # Dedup family (LLM-pipeline pillar 1) — operators/dedup.py
 # ---------------------------------------------------------------------------
 
+def q_vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: fixed seed centroids (vec_id < 16 — deterministic and
+    oracle-replicable; production would train via operators/ivf.py
+    kmeans_lloyd), nprobe=4 cluster probe, exact re-rank of cluster
+    members only. Cross-engine argmin margins ≥1e-5 on this data."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = ivf_ops.ivf_topk(
+        emb.select("vec_id", "embedding"),
+        centroids,
+        _query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+    return out.select(
+        "vec_id", F.round("similarity_score", 6).alias("similarity_score"), "rank"
+    )
+
+
+O_VEC_IVF_TOPK = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_ORACLE_QVEC}),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+topc AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN topc t ON a.cluster = t.cid),
+scored AS (
+  SELECT cd.vec_id, {_ORACLE_SIM} AS sim
+  FROM cand cd JOIN embeddings e ON cd.vec_id = e.vec_id, q
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one row per distinct text, deterministic keeper + count."""
     tune_session(spark)
@@ -2217,6 +2266,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hash_sha256": (q_hash_sha256, O_HASH_SHA256),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
     "src_identify": (q_src_identify, O_SRC_IDENTIFY),
     "src_route": (q_src_route, O_SRC_ROUTE),
     "filt_files": (q_filt_files, O_FILT_FILES),

@@ -1,0 +1,71 @@
+"""IVF + Lloyd's k-means tests (operators/ivf.py). The vec_ivf_topk
+parity row gates the search path; here: clustering quality, determinism,
+and the iterative algorithm's convergence on data with known structure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import ivf
+from tests.test_ann import _clustered
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    return spark.createDataFrame(
+        _clustered(), "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_kmeans_recovers_separated_clusters(spark, clustered_df):
+    """On 8 well-separated clusters, 3 Lloyd iterations from first-8
+    init must produce assignments that agree with ground truth (every
+    learned cluster maps to exactly one true cluster)."""
+    assigned, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    rows = assigned.select("vec_id", "cluster").collect()
+    truth = {r["vec_id"]: r["vec_id"] // 60 for r in rows}
+    by_learned = {}
+    for r in rows:
+        by_learned.setdefault(r["cluster"], set()).add(truth[r["vec_id"]])
+    # purity: each learned cluster contains points of exactly one truth cluster
+    assert all(len(s) == 1 for s in by_learned.values()), by_learned
+    assert len(by_learned) == 8
+
+
+def test_kmeans_deterministic(spark, clustered_df):
+    _, c1 = ivf.kmeans_lloyd(clustered_df, k=4, iters=2)
+    _, c2 = ivf.kmeans_lloyd(clustered_df, k=4, iters=2)
+    assert c1 == c2
+
+
+def test_kmeans_iterations_reduce_inertia(spark, clustered_df):
+    rows = _clustered()
+    V = np.array([r[1] for r in rows])
+
+    def inertia(cents):
+        C = np.array(cents)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return float((1 - (Vn @ Cn.T).max(axis=1)).sum())
+
+    _, c1 = ivf.kmeans_lloyd(clustered_df, k=8, iters=1)
+    _, c3 = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    assert inertia(c3) <= inertia(c1) + 1e-9
+
+
+def test_ivf_search_on_clustered_data(spark, clustered_df):
+    """With trained centroids and nprobe=2 on separated clusters, IVF
+    must return exactly the brute-force top-10 (all true neighbors live
+    in the probe's own cluster)."""
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    rows = _clustered()
+    q = rows[0][1]
+    got = [r["vec_id"] for r in ivf.ivf_topk(clustered_df, cdf, q, k=10, nprobe=2).collect()]
+    from tests.test_ann import _exact_topk
+
+    assert got == _exact_topk(rows, np.array(q), 10)
