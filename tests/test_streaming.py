@@ -80,6 +80,57 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert got == [1, 2, 3]  # the batch-2 duplicate of id 1 suppressed
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-user state across
+    micro-batches: the second batch's emission reflects the first
+    batch's accumulated count and sum."""
+    import os
+    import time
+
+    from demo_pgvector_spark.streaming.stateful import running_user_totals
+
+    b1 = [(1, "2024-01-01 10:00:00", "click", 1.0), (1, "2024-01-01 10:01:00", "click", 2.0),
+          (2, "2024-01-01 10:02:00", "view", 5.0)]
+    b2 = [(1, "2024-01-01 10:10:00", "click", 4.0)]
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    dirs = [str(tmp_path / d) for d in ("b1", "b2")]
+    for rows, d in zip((b1, b2), dirs):
+        write(rows, d)
+    now = time.time()
+    for i, d in enumerate(dirs):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 100 + i * 10,) * 2)
+
+    schema = spark.read.parquet(dirs[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "b*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [tuple(r) for r in spark.table("state_test").collect()]
+    # batch 1 emissions: user 1 → (2, 3.0), user 2 → (1, 5.0)
+    # batch 2 emission:  user 1 → (3, 7.0)  ← state carried forward
+    assert (1, 2, 3.0) in rows
+    assert (2, 1, 5.0) in rows
+    assert (1, 3, 7.0) in rows
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving far behind the watermark must be dropped by the
     streaming aggregation (and kept by batch) — the semantics only the
