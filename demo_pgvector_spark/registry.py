@@ -916,6 +916,86 @@ FROM documents d LEFT JOIN sc ON d.source = sc.source
 """
 
 
+def q_join_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc↔sidecar *pairing* itself (src/lib/documents.py:94-96):
+    sidecar path = source path + '.meta.yml', left-joined on the derived
+    filename key (distinct from meta_sidecar, which joins on the source
+    dimension)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    files = docs.select("doc_id", _spark_filepath().alias("filepath"))
+    # sidecars exist for every 3rd doc
+    sidecars = files.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.col("filepath"), F.lit(".meta.yml")).alias("meta_path"),
+        F.lit(True).alias("has_sidecar"),
+    )
+    paired = files.withColumn(
+        "meta_path", F.concat(F.col("filepath"), F.lit(".meta.yml"))
+    ).join(F.broadcast(sidecars), "meta_path", "left")
+    return paired.select(
+        "doc_id",
+        "meta_path",
+        F.coalesce("has_sidecar", F.lit(False)).alias("has_sidecar"),
+    )
+
+
+O_JOIN_META_DOCS = f"""
+WITH f AS (SELECT doc_id, {_O_FILEPATH} AS filepath FROM documents),
+sc AS (
+  SELECT filepath || '.meta.yml' AS meta_path, TRUE AS has_sidecar
+  FROM f WHERE doc_id % 3 = 0
+)
+SELECT f.doc_id, f.filepath || '.meta.yml' AS meta_path,
+       COALESCE(sc.has_sidecar, FALSE) AS has_sidecar
+FROM f LEFT JOIN sc ON f.filepath || '.meta.yml' = sc.meta_path
+"""
+
+
+def q_str_lower_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower+trim normalization (src/lib/database.py:99,117) over a
+    whitespace-padded derivation so the trim is actually exercised."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit("  "), F.upper(F.col("source")), F.lit(" \t"))
+    return docs.select(
+        "doc_id", text_fns.lower_strip(padded).alias("normalized")
+    )
+
+
+O_STR_LOWER_STRIP = """
+SELECT doc_id, lower(trim('  ' || upper(source) || ' ' || chr(9))) AS normalized
+FROM documents
+"""
+
+
+def q_str_slice_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str(pub)[:4] year slice (src/lib/database.py:134) over the order
+    dates, including the non-numeric→NULL branch via a corrupted variant."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    pub = F.when(
+        F.col("o_orderkey") % 10 == 0, F.lit("unknown-date")
+    ).otherwise(F.col("o_orderdate").cast("string"))
+    return orders.select(
+        "o_orderkey",
+        F.substring(pub, 1, 4).alias("year_str"),
+        F.substring(pub, 1, 4).try_cast("int").alias("year"),
+    )
+
+
+O_STR_SLICE_YEAR = """
+WITH p AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'unknown-date'
+              ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS pub
+  FROM orders
+)
+SELECT o_orderkey, substring(pub, 1, 4) AS year_str,
+       TRY_CAST(substring(pub, 1, 4) AS INTEGER) AS year
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§2.8 display sink + scalar stragglers: sink_stdout, round4, date_now_iso
 # ---------------------------------------------------------------------------
@@ -2271,6 +2351,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "src_route": (q_src_route, O_SRC_ROUTE),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    "join_meta_docs": (q_join_meta_docs, O_JOIN_META_DOCS),
+    "str_lower_strip": (q_str_lower_strip, O_STR_LOWER_STRIP),
+    "str_slice_year": (q_str_slice_year, O_STR_SLICE_YEAR),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "round4": (q_round4, O_ROUND4),
     "date_now_iso": (q_date_now_iso, O_DATE_NOW_ISO),
