@@ -38,6 +38,8 @@ BENCH_KEYS = (
     "join_lineitem_orders",
     # LLM-pipeline extension surface
     "vec_ann_topk",
+    "vec_ivf_topk",
+    "join_asof",
     "emb_hash_embed",
     "dedup_exact",
     "dedup_minhash_pairs",

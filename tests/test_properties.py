@@ -1,0 +1,91 @@
+"""Hypothesis property tests over the deterministic scalar kernels.
+
+Pure-Python kernels (hash_embed_py) are fuzzed directly; column
+functions are checked by batching all generated examples into ONE Spark
+job against an independently computed Python reference — property
+coverage without per-example Spark round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demo_pgvector_spark.functions.embedding import hash_embed_py
+
+TEXTS = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=200,
+)
+
+
+@given(TEXTS)
+@settings(max_examples=60, deadline=None)
+def test_hash_embed_unit_norm_and_deterministic(text):
+    v1 = hash_embed_py(text, dim=16)
+    v2 = hash_embed_py(text, dim=16)
+    assert v1 == v2
+    n = math.sqrt(sum(x * x for x in v1))
+    assert math.isclose(n, 1.0, rel_tol=1e-9) or n == 0.0
+
+
+@given(TEXTS, TEXTS)
+@settings(max_examples=40, deadline=None)
+def test_hash_embed_discriminates(a, b):
+    """Different texts must produce different vectors (distinct sha256
+    base seeds → distinct gaussian draws; a collision would need the
+    32-bit seed prefix AND every downstream draw to coincide)."""
+    if a != b:
+        assert hash_embed_py(a, dim=16) != hash_embed_py(b, dim=16)
+
+
+def test_fingerprint_and_quality_match_python_reference(spark):
+    """Batch 80 generated texts through the Spark expressions and compare
+    with a direct Python evaluation of the same definitions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark.functions import textstats
+
+    rng = np.random.RandomState(11)
+    vocab = ["the", "cat", "word", "deep", "la", "und", "数", "x1", "..", "a-b"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 30)).tolist())
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {
+        r["i"]: (r["fp"], r["n"])
+        for r in df.select(
+            "i",
+            textstats.fingerprint(F.col("text")).alias("fp"),
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n"),
+        ).collect()
+    }
+    P, M = textstats.FINGERPRINT_P, textstats.FINGERPRINT_MULT
+    for i, t in enumerate(texts):
+        h = 0
+        for w in t.lower().split(" "):
+            base = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            h = (h * M + base) % P
+        assert got[i][0] == h, t
+        assert got[i][1] == len(t.split(" "))
+
+
+def test_minhash_containment_property(spark):
+    """Adding words to a document can only LOWER each minhash value or
+    keep it equal (min over a superset)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from demo_pgvector_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    extended = base + " " + " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(0, base), (1, extended)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(df).collect()}
+    assert all(e <= b for b, e in zip(sigs[0], sigs[1]))
