@@ -658,6 +658,51 @@ FROM documents
 """
 
 
+def q_vec_l2_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector ``<->`` (euclidean distance) — the remaining member of
+    the operator family beside ``<=>`` (vec_cosine_dist) and ``<#>``
+    (vec_inner_product); unused by the reference's queries but part of
+    the type's contract (SURVEY §2.7 note at functions/vector.py)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    from demo_pgvector_spark.functions.vector import euclidean_distance
+
+    qv = query_vector_literal(_query_vec(spark, sf_dir))
+    return emb.select(
+        "vec_id",
+        F.round(euclidean_distance(F.col("embedding"), qv), 6).alias("l2_dist"),
+    )
+
+
+O_VEC_L2_DIST = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id,
+       ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS l2_dist
+FROM embeddings e, q
+"""
+
+
+def q_vec_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector ``<#>`` (negative inner product)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    from demo_pgvector_spark.functions.vector import inner_product_distance
+
+    qv = query_vector_literal(_query_vec(spark, sf_dir))
+    return emb.select(
+        "vec_id",
+        F.round(inner_product_distance(F.col("embedding"), qv), 6).alias("neg_ip"),
+    )
+
+
+O_VEC_INNER_PRODUCT = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id,
+       ROUND(-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS neg_ip
+FROM embeddings e, q
+"""
+
+
 def q_emb_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding *pipeline* wrapper (src/lib/embedding.py:27-67):
     build the analysis prompt per text, obtain the model response (the
@@ -2326,6 +2371,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
+    "vec_l2_dist": (q_vec_l2_dist, O_VEC_L2_DIST),
+    "vec_inner_product": (q_vec_inner_product, O_VEC_INNER_PRODUCT),
     "proj_similarity": (q_proj_similarity, O_PROJ_SIMILARITY),
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "filt_threshold": (q_filt_threshold, O_FILT_THRESHOLD),
