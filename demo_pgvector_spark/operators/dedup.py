@@ -125,16 +125,37 @@ def _band_keys(mh_col: str = "minhash") -> F.Column:
 
 
 def minhash_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from banded LSH, each verified with the
     exact shingle Jaccard (the n-gram-Jaccard stage): (id_a, id_b,
     jaccard). No all-pairs product ever forms — only same-band buckets
-    join."""
+    join.
+
+    ``max_bucket_size`` is the boilerplate guard for production corpora:
+    a bucket holding B docs yields B·(B-1)/2 pairs, so one pathological
+    bucket (a shared license header, an empty-page template) can
+    dominate the whole job quadratically. Buckets above the cap are
+    DROPPED — their members are near-identical to thousands of others
+    and belong to a cluster-representative pass, not pair enumeration.
+    Default None keeps exact pair semantics (the CORRECTNESS row's
+    contract)."""
     sigs = minhash_signatures(docs, id_col, text_col)
     banded = sigs.select(
         F.col(id_col), F.explode(_band_keys()).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        counts = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        banded = banded.join(
+            counts.filter(F.col("_bsize") <= max_bucket_size), ["band", "key"]
+        ).drop("_bsize")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1814,6 +1814,22 @@ FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (iterative — genuinely non-SQL-expressible, so
+    this is a rows-only key): cluster sizes after 2 iterations over the
+    embeddings, deterministic via farthest-point init."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_ops.kmeans_lloyd(
+        emb.select("vec_id", "embedding"), k=4, iters=2
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one row per distinct text, deterministic keeper + count."""
     tune_session(spark)
@@ -2394,6 +2410,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
     "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
+    "cluster_kmeans": (q_cluster_kmeans, None),
     "src_identify": (q_src_identify, O_SRC_IDENTIFY),
     "src_route": (q_src_route, O_SRC_ROUTE),
     "filt_files": (q_filt_files, O_FILT_FILES),

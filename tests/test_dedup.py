@@ -64,6 +64,21 @@ def test_minhash_pairs_catch_neardups_not_unrelated(corpus_df):
     assert all(0.0 <= j <= 1.0 for j in pairs.values())
 
 
+def test_minhash_bucket_cap_drops_pathological_buckets(spark):
+    """With 12 identical docs (one giant bucket), a cap below the bucket
+    size must eliminate their pairs while distinct docs still pair."""
+    rows = [(i, BASE) for i in range(12)] + [
+        (100, BASE.replace("lazy", "sleepy")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_pairs(df).count()
+    capped = dedup.minhash_pairs(df, max_bucket_size=5)
+    assert uncapped >= 66  # 12*11/2 identical pairs at least
+    # the 12-doc bucket exceeds the cap → its pairs vanish
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 12 and b < 12 for a, b in pairs)
+
+
 def test_simhash_hamming_tracks_similarity(corpus_df):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus_df).collect()}
     assert sh[0] == sh[1]
