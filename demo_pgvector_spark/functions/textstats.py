@@ -76,12 +76,15 @@ def quality_components(c: Column) -> dict[str, Column]:
     n_chars = F.length(c)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    # greatest(...,1) guards the empty-text row: ANSI mode makes /0 throw
+    n_tok_safe = F.greatest(n_tokens, F.lit(1))
+    n_chr_safe = F.greatest(n_chars, F.lit(1))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
-        "stopword_ratio": stop_hits / n_tokens,
-        "punct_ratio": punct / n_chars,
+        "mean_token_len": (n_chars - (n_tokens - 1)) / n_tok_safe,
+        "stopword_ratio": stop_hits / n_tok_safe,
+        "punct_ratio": punct / n_chr_safe,
     }
 
 

@@ -63,12 +63,15 @@ def with_shingles(
     docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K
 ) -> DataFrame:
     """Add ``shingles``: distinct k-word shingles of the space-tokenized,
-    lowercased text. Callers guarantee ≥k tokens (testdata min is 10)."""
+    lowercased text. A document shorter than k tokens contributes its
+    whole text as a single shingle (``sequence(0, size-k)`` would
+    otherwise generate a DESCENDING range and crash slice)."""
     return docs.withColumn("_toks", F.split(F.lower(F.col(text_col)), " ")).withColumn(
         "shingles",
         F.expr(
-            f"array_distinct(transform(sequence(0, size(_toks) - {k}),"
-            f" i -> concat_ws(' ', slice(_toks, i + 1, {k}))))"
+            f"CASE WHEN size(_toks) < {k} THEN array(concat_ws(' ', _toks)) "
+            f"ELSE array_distinct(transform(sequence(0, size(_toks) - {k}),"
+            f" i -> concat_ws(' ', slice(_toks, i + 1, {k})))) END"
         ),
     ).drop("_toks")
 

@@ -1847,10 +1847,12 @@ FROM documents GROUP BY sha256(text)
 _O_SHINGLES = f"""
 sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(len(string_split(lower(text), ' ')) - {dedup_ops.SHINGLE_K - 1}),
-           i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + {dedup_ops.SHINGLE_K}], ' ')
-         )) AS shingles
+         CASE WHEN len(string_split(lower(text), ' ')) < {dedup_ops.SHINGLE_K}
+              THEN [lower(text)]
+              ELSE list_distinct(list_transform(
+                range(len(string_split(lower(text), ' ')) - {dedup_ops.SHINGLE_K - 1}),
+                i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + {dedup_ops.SHINGLE_K}], ' ')
+              )) END AS shingles
   FROM documents
 )"""
 _O_BASE = "CAST(('0x' || substr(md5({s}), 1, 8))::UBIGINT AS BIGINT)"
