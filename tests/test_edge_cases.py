@@ -68,6 +68,41 @@ def test_textstats_handle_edges(edge_df):
         assert r["fp"] is not None
 
 
+def test_vector_ops_null_semantics(spark):
+    """NULL / empty / zero / dim-mismatched vectors must yield NULL
+    similarity (never a crash or a fake 0.0) and pass through
+    normalization unchanged where the norm is 0."""
+    from pyspark.sql import types as T
+
+    from demo_pgvector_spark.functions.vector import cosine_similarity, dot, l2_normalize
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, []), (3, [0.0, 0.0])],
+        T.StructType(
+            [
+                T.StructField("i", T.LongType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    got = {r["i"]: r["c"] for r in df.select("i", cosine_similarity(F.col("v"), q).alias("c")).collect()}
+    assert got[0] == pytest.approx(1.0 / 5**0.5)
+    assert got[1] is None and got[2] is None and got[3] is None
+    mism = df.filter(F.col("i") == 0).select(dot(F.col("v"), F.array(F.lit(1.0))).alias("d")).first()
+    assert mism["d"] is None  # dim mismatch → NULL, not a partial sum
+    assert df.filter(F.col("i") == 3).select(l2_normalize(F.col("v")).alias("n")).first()["n"] == [0.0, 0.0]
+
+
+def test_upsert_empty_batch_is_identity(spark):
+    from demo_pgvector_spark import tables as tb
+    from demo_pgvector_spark.operators import write as w
+
+    existing = spark.createDataFrame([(1, "m1", 64)], tb.MODELS_SCHEMA)
+    empty = spark.createDataFrame([], "name string, embedding_dim int")
+    assert [tuple(r) for r in w.upsert_models(existing, empty).collect()] == [(1, "m1", 64)]
+
+
 def test_embedding_handles_edges(edge_df):
     from demo_pgvector_spark.functions.embedding import hash_embed
 
