@@ -28,6 +28,17 @@ def test_stream_matches_batch_windowed_counts(spark):
     assert got == want
 
 
+def test_stream_matches_batch_sliding_windows(spark):
+    batch = sw.windowed_counts(
+        tables.load(spark, SF_DIR, "events"), window="10 minutes", slide="5 minutes"
+    )
+    stream = sw.windowed_counts(
+        sw.read_events_stream(spark, SF_DIR), window="10 minutes", slide="5 minutes"
+    )
+    sw.run_to_memory(stream, "slide_test")
+    assert _collect_sorted(spark.table("slide_test")) == _collect_sorted(batch)
+
+
 def test_stream_matches_batch_session_windows(spark):
     batch = sw.session_windows(tables.load(spark, SF_DIR, "events"))
     stream = sw.session_windows(sw.read_events_stream(spark, SF_DIR))
