@@ -96,6 +96,37 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Persist a table in any supported format. Parquet/ORC are the
+    columnar defaults (predicate pushdown + column pruning); JSON/CSV are
+    interchange formats — schema-on-read, no pushdown, kept for ingest
+    edges only (the reference ingests loose files; a lake engine meets
+    data in whatever shape it arrives)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Read a table written by ``write_table``. For JSON/CSV an explicit
+    schema keeps types exact (inference would widen ints and lose
+    timestamp precision — never infer in a pipeline)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for spark.sql queries."""
     for name in TESTDATA_TABLES:
