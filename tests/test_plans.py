@@ -92,10 +92,13 @@ def test_sidecar_join_broadcasts_dimension(spark):
 
 def test_column_pruning(spark):
     """A 2-column projection over documents must not read the text-heavy
-    columns it doesn't use."""
+    columns it doesn't use. Cached plans from other test modules would
+    satisfy the lookup with an InMemoryRelation (no file-scan pruning to
+    observe), so the cache is cleared first — cached fixtures elsewhere
+    recompute lazily."""
     from demo_pgvector_spark import tables
-    from pyspark.sql import functions as F
 
+    spark.catalog.clearCache()
     df = tables.load(spark, SF, "documents").select("doc_id", "lang")
     plan = df._jdf.queryExecution().executedPlan().toString()
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
