@@ -35,6 +35,8 @@ BENCH_KEYS = (
     "rag_prompt_context",
     # relational analytics over the 600k-row lineitem
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "join_lineitem_orders",
     # LLM-pipeline extension surface
     "vec_ann_topk",

@@ -509,6 +509,86 @@ FROM events
 # sf0.1; these are the bench workhorses, VERDICT r1 "Next round" #6).
 # ---------------------------------------------------------------------------
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: three-table join (customer
+    filter → orders → lineitem) + revenue aggregation + top-10. The
+    segment filter prunes the customer side before either join; revenue
+    sums run in DECIMAL for order-independent parity."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"]).join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+O_TPCH_Q3 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style revenue-change forecast: a highly selective
+    conjunctive filter + single aggregate — the pushdown showcase (the
+    date/discount/quantity predicates all reach the parquet scan as
+    PushedFilters; at 100 TB row-group statistics skip most of the
+    table)."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out
+
+
+O_TPCH_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem: partial-aggregable
     groupBy on two low-cardinality keys — map-side combine reduces each
@@ -2455,6 +2535,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
     "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
+    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
     "rag_prompt_context": (q_rag_prompt_context, _oracle_rag_prompt(0.01)),
