@@ -33,6 +33,10 @@ BENCH_KEYS = (
     "vec_sim_topk",
     "vec_knn_join",
     "rag_prompt_context",
+    "rag_prompt_nocontext",
+    # reference write path (upserts + two-table chunk append)
+    "upsert_source",
+    "ins_chunk_txn",
     # relational analytics over the 600k-row lineitem
     "tpch_q1",
     "tpch_q3",
@@ -41,12 +45,18 @@ BENCH_KEYS = (
     # LLM-pipeline extension surface
     "vec_ann_topk",
     "vec_ivf_topk",
+    "cluster_kmeans",
     "join_asof",
     "emb_hash_embed",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_embedding",
     "text_fingerprint",
+    "text_quality",
+    "chunk_enrich",
+    "chunk_bpe",
     "stream_window_counts",
+    "stream_session_windows",
     "mm_decode_image",
     "agg_word_counts",
 )

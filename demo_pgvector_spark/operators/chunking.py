@@ -101,6 +101,77 @@ def chunk_enrich(
     return enriched.withColumn("metadata", F.create_map(*meta_entries))
 
 
+BPE_SUBWORD_LEN = 4
+
+
+def chunk_bpe(
+    docs: DataFrame,
+    max_bpe_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subword_len: int = BPE_SUBWORD_LEN,
+) -> DataFrame:
+    """Tokenizer-faithful chunking — the ``chunk_bpe`` narrowing of the
+    docling/HybridChunker gap (reference src/lib/documents.py:67-90
+    drives chunk boundaries with a HuggingFace BPE tokenizer; the
+    whitespace splitter above counts words instead). This operator
+    budgets chunks by SUBWORD token count with a deterministic BPE-style
+    cost model, so long words consume more budget exactly as they do
+    under a real tokenizer:
+
+    - pre-tokenize with the BPE pre-tokenization regex ``\\w+|[^\\w\\s]``
+      (words + isolated punctuation — the same split real BPE vocabs
+      apply before merges);
+    - per-piece cost = ceil(len(piece)/subword_len), the fixed-length
+      stand-in for learned merges (a real HF tokenizer slots in as an
+      Arrow pandas_udf producing the same (piece, cost) contract);
+    - pack pieces into chunks by cumulative budget: piece i joins chunk
+      floor(cumulative_cost_before_i / max_bpe_tokens) — boundaries fall
+      at fixed token offsets, so every chunk except the last holds
+      ≥max_bpe_tokens−max_piece_cost+1 tokens and ≤max_bpe_tokens+
+      max_piece_cost−1. (True greedy reset-packing differs only when a
+      piece straddles a boundary; the fixed-offset rule is chosen
+      because both engines can express it exactly — divergence from
+      docling documented per SURVEY §2.1.)
+
+    Plan shape: one hash exchange on ``id_col`` for the per-document
+    cumulative-sum window; the chunk regroup's (id, chunk) partitioning
+    is a superset of the same key so AQE plans it off the existing
+    exchange with a partial aggregate. ``chunk_text`` is the
+    space-joined piece stream (tokenized text — original whitespace is
+    not reconstructed, as in any detokenization-free BPE pipeline).
+    """
+    from pyspark.sql import Window
+
+    pieces = F.expr(f"regexp_extract_all({text_col}, '\\\\w+|[^\\\\w\\\\s]', 0)")
+    e = docs.select(F.col(id_col), F.posexplode(pieces).alias("pos", "piece"))
+    e = e.withColumn(
+        "cost", F.ceil(F.length("piece") / F.lit(float(subword_len)))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = e.withColumn("cum", F.sum("cost").over(w)).withColumn(
+        "chunk_number",
+        F.floor(
+            (F.col("cum") - F.col("cost")) / F.lit(float(max_bpe_tokens))
+        ).cast("int"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "piece")))
+    return (
+        e.groupBy(id_col, "chunk_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum("cost").alias("n_bpe_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s.getField("piece")), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def chunk_numbers_windowed(
     docs: DataFrame,
     max_tokens: int = MAX_CHUNK_TOKENS,
@@ -119,8 +190,7 @@ def chunk_numbers_windowed(
     )
     w = Window.partitionBy(id_col).orderBy("token_offset")
     return split.select(
-        id_col,
-        "token_offset",
+        "*",
         (F.row_number().over(w) - 1).alias("chunk_number_w"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_chunks"),
     )

@@ -43,7 +43,21 @@ def salted_join(
     once per salt value, join on (key, salt). Output equals the plain
     join; the shuffle spreads each hot key over ``salt_buckets``
     partitions at the cost of a ``salt_buckets``× blowup of the SMALL
-    side only."""
+    side only.
+
+    Only big-side-preserving join types are supported: for right/full
+    outer joins an unmatched SMALL-side row would surface once per salt
+    value (it was exploded across all of them), duplicating output rows
+    — those joins need a post-aggregation this operator deliberately
+    doesn't hide."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only big-side-preserving joins "
+            f"{{'inner','left','left_semi','left_anti'}}, got {how!r}: "
+            "unmatched small-side rows would be replicated salt_buckets times"
+        )
     b = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),

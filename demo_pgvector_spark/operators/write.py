@@ -156,6 +156,15 @@ def append_chunks(
     string), chunk_text, plus the ``order_by`` columns that make id
     allocation deterministic. Atomicity is the Parquet job-level
     all-or-nothing commit instead of a DB transaction.
+
+    ``order_by`` MUST be a TOTAL order over the batch (no ties). The two
+    returned tables are independently-executed projections of the same
+    window: under a tied order, re-execution may rank tied rows
+    differently per action, pairing one chunk's embedding with another
+    chunk's text and making ids nondeterministic across reruns. Callers
+    with multiple documents per source must include the document key —
+    see pipeline.import_documents, which orders by
+    (source_id, doc_id, chunk_number).
     """
     max_id = existing_chunks.agg(
         F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("_max_id")

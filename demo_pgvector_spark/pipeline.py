@@ -125,10 +125,17 @@ def import_documents(
         emb_fns.hash_embed(F.col("chunk_text")).alias("embedding"),
         F.to_json("metadata").alias("metadata"),
         "chunk_text",
+        "doc_id",
         "chunk_number",
     )
+    # (source_id, doc_id, chunk_number) is a TOTAL order over the batch:
+    # two documents upserted into the same source tie on
+    # (source_id, chunk_number) alone, and a tied order would let the two
+    # separately-executed projections of the allocation window (chunks /
+    # chunk_data) disagree on which row got which id — silently pairing
+    # one chunk's embedding with another's text.
     new_chunks, new_chunk_data = write.append_chunks(
-        state["chunks"], batch, order_by=("source_id", "chunk_number")
+        state["chunks"], batch, order_by=("source_id", "doc_id", "chunk_number")
     )
     # metadata contract: chunk_data.metadata is map<string,string>
     new_chunk_data = new_chunk_data.withColumn(

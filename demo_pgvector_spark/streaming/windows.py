@@ -122,13 +122,24 @@ def stream_dedup(
     return events.dropDuplicates(list(key_cols))
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str | None = None
+) -> None:
     """Execute a streaming DataFrame to completion against the current
-    file set (Trigger.AvailableNow) into an in-memory table ``name``."""
+    file set (Trigger.AvailableNow) into an in-memory table ``name``.
+
+    ``output_mode``: Spark rejects 'complete' for non-aggregating streams
+    (e.g. ``stream_dedup``'s dropDuplicatesWithinWatermark output), so
+    when it is not given it is inferred from the analyzed plan — an
+    Aggregate node → 'complete', otherwise 'append'. Pass 'update' (or
+    anything else) explicitly to override."""
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

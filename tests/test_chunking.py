@@ -70,3 +70,43 @@ def test_windowed_numbering_matches_posexplode(docs_df):
     w = chunking.chunk_numbers_windowed(docs_df, max_tokens=3)
     for r in w.collect():
         assert r["chunk_number_w"] == r["token_offset"] // 3
+
+
+def test_chunk_bpe_budget_and_reconstruction(spark, docs_df):
+    """Every chunk's subword-token load stays within budget+max_piece_cost,
+    chunk numbers are contiguous from 0, and the space-joined chunk texts
+    reconstruct the full piece stream in order."""
+    import re
+
+    budget = 12
+    out = chunking.chunk_bpe(docs_df, max_bpe_tokens=budget)
+    rows = out.orderBy("doc_id", "chunk_number").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        pieces = re.findall(r"\w+|[^\w\s]", texts[doc_id])
+        max_cost = max(-(-len(p) // 4) for p in pieces)
+        assert [c["chunk_number"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["n_bpe_tokens"] <= budget + max_cost - 1
+        assert " ".join(c["chunk_text"] for c in chunks) == " ".join(pieces)
+        # total cost conserved across chunks
+        assert sum(c["n_bpe_tokens"] for c in chunks) == sum(
+            -(-len(p) // 4) for p in pieces
+        )
+
+
+def test_chunk_bpe_long_words_cost_more(spark):
+    """A doc of long words must split into more chunks than one of short
+    words with the same word count — the point of subword budgeting."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["internationalization"] * 12)),
+         (1, " ".join(["cat"] * 12))],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_bpe(docs, max_bpe_tokens=12)
+    n = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").count()
+         .withColumnRenamed("count", "n").collect()}
+    assert n[0] > n[1]

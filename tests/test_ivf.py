@@ -69,3 +69,17 @@ def test_ivf_search_on_clustered_data(spark, clustered_df):
     from tests.test_ann import _exact_topk
 
     assert got == _exact_topk(rows, np.array(q), 10)
+
+
+def test_sample_init_deterministic_and_spread(spark, clustered_df):
+    """One-pass sampled init: deterministic across calls, returns k
+    distinct seeds, and greedy max-min refinement spreads them — on 8
+    well-separated clusters the 8 seeds land in 8 different truth
+    clusters (plain hash-order first-k would almost surely collide)."""
+    s1 = ivf.sample_init(clustered_df, k=8)
+    s2 = ivf.sample_init(clustered_df, k=8)
+    assert s1 == s2
+    assert len(s1) == 8
+    rows = {tuple(r["embedding"]): r["vec_id"] for r in clustered_df.collect()}
+    truth = {rows[tuple(s)] // 60 for s in s1}
+    assert len(truth) == 8

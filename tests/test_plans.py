@@ -68,7 +68,7 @@ def test_pure_map_operators_have_zero_exchanges(spark):
         "proj_similarity",
         "text_fingerprint",
         "text_quality",
-        "src_identify",
+        "src_route",
         "chunk_docling",
         "mm_decode_image",
     ):

@@ -63,3 +63,12 @@ def test_salted_count_distinct_exact(spark, skewed_df):
         .collect()
     }
     assert got == want
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark, skewed_df):
+    """right/full outer would replicate unmatched small-side rows once per
+    salt value — the operator must refuse rather than return duplicates."""
+    dim = spark.createDataFrame([(0, "zero")], "key int, name string")
+    for how in ("right", "full", "full_outer", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            skew.salted_join(skewed_df, dim, "key", how=how)

@@ -200,3 +200,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         F.col("window_start") == "2024-01-01 10:00:00"
     )
     assert {r["n"] for r in w0.collect()} == {2}
+
+
+def test_run_to_memory_infers_append_for_non_aggregating_stream(spark):
+    """stream_dedup's output has no Aggregate node; Spark rejects
+    outputMode('complete') for it — run_to_memory must infer 'append'."""
+    stream = sw.stream_dedup(
+        sw.read_events_stream(spark, SF_DIR), key_cols=("event_id",)
+    ).select("event_id")
+    sw.run_to_memory(stream, "dedup_infer_test")
+    n_stream = spark.table("dedup_infer_test").count()
+    n_batch = tables.load(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
+    assert n_stream == n_batch
