@@ -1,0 +1,1157 @@
+"""DuckDB oracle SQL for every registry key (registry hygiene split,
+round 3: VERDICT r2 asked for the SQL constants to move out of the
+2,500-line registry.py so the operator code stays reviewable).
+
+Each ``O_<KEY>`` constant is the ANSI-SQL equivalent of the same-named
+Spark query in registry.py, run by the driver through DuckDB over the
+same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). The SQL re-implements each
+operator INDEPENDENTLY (including multi-stage pipelines like MinHash
+banding, LSH signatures, and the unrolled Lloyd iterations) — shared
+constants come only from fixtures.py and the operator modules'
+parameter values, never from the Spark execution path.
+
+Parity rules are documented in registry.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from demo_pgvector_spark.fixtures import (
+    _BPE_CHUNK_TOKENS,
+    _CHUNK_TOKENS,
+    _EXTS,
+    _SIDECARS,
+    _SOURCE_COLS,
+    RAG_PROMPT,
+)
+from demo_pgvector_spark.functions import textstats
+from demo_pgvector_spark.operators import chunking as chunk_ops
+from demo_pgvector_spark.operators import dedup as dedup_ops
+
+
+_ORACLE_QVEC = (
+    "SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0"
+)
+
+
+_ORACLE_SIM = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)"
+
+
+O_VEC_SIM_TOPK = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, {_ORACLE_SIM} AS sim
+  FROM embeddings e, q
+),
+hits AS (
+  SELECT vec_id, sim FROM scored WHERE sim >= 0.2
+  ORDER BY sim DESC, vec_id ASC LIMIT 10
+)
+SELECT h.vec_id AS chunk_id, ROUND(h.sim, 6) AS similarity_score,
+       d.text AS chunk_text, d.lang, d.source
+FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+"""
+
+
+O_VEC_COSINE_DIST = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id, ROUND(1.0 - {_ORACLE_SIM}, 6) AS cosine_distance,
+       ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS l2_dist,
+       ROUND(-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS neg_ip,
+       ROUND({_ORACLE_SIM}, 4) AS sim4
+FROM embeddings e, q
+"""
+
+
+O_PROJ_SIMILARITY = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id AS id, ROUND({_ORACLE_SIM}, 6) AS similarity_score,
+       d.text AS chunk_text, d.source AS metadata_source
+FROM embeddings e, q
+JOIN documents d ON e.vec_id = d.doc_id
+"""
+
+
+O_VEC_KNN_JOIN = """
+WITH probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN probes p
+  WHERE p.probe_id <> e.vec_id
+)
+SELECT probe_id, vec_id AS neighbor_id, ROUND(sim, 6) AS similarity_score, rank
+FROM scored WHERE rank <= 3
+"""
+
+
+O_FILT_THRESHOLD = f"""
+WITH q AS ({_ORACLE_QVEC})
+SELECT e.vec_id, ROUND({_ORACLE_SIM}, 6) AS similarity_score
+FROM embeddings e, q
+WHERE {_ORACLE_SIM} >= 0.15
+"""
+
+
+O_FILT_MODEL_EQ = "SELECT doc_id FROM documents WHERE source = 'src3'"
+
+
+O_FILT_NULLSAFE = """
+SELECT c_custkey FROM (
+  SELECT c_custkey,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         NULLIF(c_nationkey, 7) AS nat
+  FROM customer
+) WHERE seg IS NOT DISTINCT FROM NULL AND nat IS NOT DISTINCT FROM NULL
+"""
+
+
+O_JOIN_CHUNK_DATA = """
+SELECT e.vec_id, d.text AS chunk_text, d.lang, d.source, e.label
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+"""
+
+
+O_CLASSIFY_SOURCE_TYPE = """
+WITH staged AS (
+  SELECT doc_id,
+    CASE lang WHEN 'en' THEN 'Novel' WHEN 'fr' THEN ' SCI-FI '
+              WHEN 'de' THEN 'essay' WHEN 'zh' THEN 'poem' END AS text_type,
+    CASE WHEN source IN ('src1','src2','src3') THEN 'Horror'
+         WHEN source = 'src4' THEN 'biography' END AS genre
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN lower(trim(coalesce(text_type,''))) IN
+         ('short story','novel','novella','poem','fiction','science fiction',
+          'sci-fi','sf','fantasy','fable','drama','play') THEN 1
+       WHEN lower(trim(coalesce(genre,''))) IN
+         ('science fiction','fantasy','horror','mystery','thriller') THEN 1
+       ELSE 2 END AS source_type
+FROM staged
+"""
+
+
+O_EXTRACT_YEAR = """
+SELECT o_orderkey,
+       substring(publication_date, 1, 4) AS year_str,
+       TRY_CAST(substring(publication_date, 1, 4) AS INTEGER) AS year
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+              ELSE CAST(o_orderdate AS VARCHAR) END AS publication_date
+  FROM orders
+)
+"""
+
+
+O_STR_SCALARS = """
+SELECT doc_id,
+       CASE WHEN length(text) > 500 THEN substring(text, 1, 500) || '...'
+            ELSE text END AS display_text,
+       length(text) AS n_len,
+       lower(trim('  ' || upper(source) || ' ' || chr(9))) AS normalized
+FROM documents
+"""
+
+
+O_STR_TOKENIZE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t[1] AS first_token FROM toks
+"""
+
+
+O_AGG_WORD_COUNTS = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+O_JSON_METADATA = """
+SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts
+FROM events
+"""
+
+
+O_TPCH_Q3 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+O_TPCH_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(price * (1 - disc)) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM(qty) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
+  ROUND(CAST(SUM(price) / COUNT(*) AS DOUBLE), 6) AS avg_price,
+  ROUND(CAST(SUM(disc) / COUNT(*) AS DOUBLE), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_discount AS DECIMAL(18,2)) AS disc,
+         CAST(l_tax AS DECIMAL(18,2)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+O_JOIN_LINEITEM_ORDERS = """
+SELECT o_orderpriority,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+O_EMB_HASH_EMBED = f"""
+SELECT d.doc_id,
+       {", ".join(f"round(g.embedding[{i + 1}], 6) AS emb_{i}" for i in range(8))}
+FROM documents d
+JOIN read_parquet('/root/repo/golden/emb_hash_embed.parquet') g
+  ON sha256(d.text) = g.text_sha
+"""
+
+
+O_HASH_SHA256 = """
+SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+       CAST(('0x' || substring(sha256(text), 1, 8))::UBIGINT AS BIGINT) AS base_seed
+FROM documents
+"""
+
+
+O_EMB_GENERATE = f"""
+SELECT d.doc_id,
+       'Analyze and understand this text: ' || d.text || chr(10) || chr(10) ||
+       'The key concepts in this text are:' AS analysis_prompt,
+       {", ".join(f"round(g.embedding[{i + 1}], 6) AS emb_{i}" for i in range(4))}
+FROM documents d
+JOIN read_parquet('/root/repo/golden/emb_hash_embed.parquet') g
+  ON sha256(d.text) = g.text_sha
+"""
+
+
+O_MATH_NORM = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS norm,
+       ROUND(sqrt(list_dot_product(
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))),
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))))), 6) AS unit_norm
+FROM embeddings
+"""
+
+
+_ORACLE_ANN_COMMON = """
+p AS (SELECT t, j, plane FROM read_parquet('/root/repo/golden/ann_planes.parquet')),
+vsig AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.t
+)"""
+
+
+O_VEC_ANN_TOPK = f"""
+WITH {_ORACLE_ANN_COMMON},
+q AS ({_ORACLE_QVEC}),
+qsig AS (
+  SELECT p.t,
+         SUM(CASE WHEN list_dot_product(q.qv, p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM q CROSS JOIN p GROUP BY p.t
+),
+buckets AS (
+  SELECT t, sig FROM qsig
+  UNION ALL
+  SELECT qsig.t, xor(qsig.sig, CAST(1 << p.j AS BIGINT))
+  FROM qsig JOIN p ON p.t = qsig.t
+),
+cand AS (SELECT DISTINCT v.vec_id FROM vsig v JOIN buckets b ON v.t = b.t AND v.sig = b.sig),
+scored AS (
+  SELECT c.vec_id, {_ORACLE_SIM} AS sim
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+_O_FILEPATH = (
+    "'/import/' || source || '/doc_' || doc_id || '.' || "
+    f"(['{_EXTS[0]}', '{_EXTS[1]}', '{_EXTS[2]}', '{_EXTS[3]}'])[(doc_id % 4 + 1)]"
+)
+
+
+_O_MIME = (
+    "CASE (doc_id % 4) WHEN 0 THEN 'text/plain' WHEN 1 THEN 'application/epub+zip' "
+    "WHEN 2 THEN 'text/markdown' ELSE 'application/octet-stream' END"
+)
+
+
+O_SRC_ROUTE = f"""
+WITH f AS (SELECT doc_id, {_O_FILEPATH} AS filepath, {_O_MIME} AS mime FROM documents)
+SELECT doc_id, filepath, mime,
+       mime <> 'text/plain' AS needs_conversion,
+       mime = 'application/epub+zip' AS is_convertible,
+       CASE WHEN mime = 'text/plain' THEN 'ready'
+            WHEN mime = 'application/epub+zip' THEN 'convert'
+            ELSE 'rejected' END AS route
+FROM f
+"""
+
+
+O_FILT_FILES = f"""
+WITH f AS (SELECT doc_id, {_O_MIME} AS mime FROM documents)
+SELECT doc_id, mime,
+       CASE WHEN mime = 'text/plain' THEN 'ready' ELSE 'convert' END AS route
+FROM f WHERE mime IN ('text/plain', 'application/epub+zip')
+"""
+
+
+_O_SIDECAR_VALUES = ", ".join(f"('{s}', '{a}', '{g}')" for s, a, g in _SIDECARS)
+
+
+O_META_SIDECAR = f"""
+WITH sc(source, author, genre) AS (VALUES {_O_SIDECAR_VALUES}),
+j AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN sc.source IS NULL THEN '{{}}'
+              ELSE '{{"author":"' || sc.author || '","genre":"' || sc.genre || '"}}'
+         END AS sidecar_json
+  FROM documents d LEFT JOIN sc ON d.source = sc.source
+),
+f AS (SELECT doc_id, {_O_FILEPATH} AS filepath FROM documents),
+psc AS (
+  SELECT filepath || '.meta.yml' AS meta_path, TRUE AS has_sidecar
+  FROM f WHERE doc_id % 3 = 0
+)
+SELECT j.doc_id, j.source, j.sidecar_json,
+       f.filepath || '.meta.yml' AS meta_path,
+       COALESCE(psc.has_sidecar, FALSE) AS has_sidecar
+FROM j
+JOIN f ON j.doc_id = f.doc_id
+LEFT JOIN psc ON f.filepath || '.meta.yml' = psc.meta_path
+"""
+
+
+O_SINK_STDOUT = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, {_ORACLE_SIM} AS sim FROM embeddings e, q
+),
+hits AS (
+  SELECT vec_id, sim FROM scored WHERE sim >= 0.2
+  ORDER BY sim DESC, vec_id ASC LIMIT 10
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,
+         h.vec_id, ROUND(h.sim, 4) AS sim4,
+         CASE WHEN length(d.text) > 500 THEN substring(d.text, 1, 500) || '...'
+              ELSE d.text END AS disp_text
+  FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+)
+SELECT rank,
+       printf('--- Chunk %d ---
+Chunk ID: %d
+Similarity Score: %.4f
+Text: %s
+', rank, vec_id, sim4, disp_text) AS display
+FROM ranked
+"""
+
+
+O_JOIN_ASOF = """
+WITH probes AS (
+  SELECT event_id, user_id AS o_custkey,
+         TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (event_id % 2400) DAY AS t
+  FROM events
+),
+q AS (
+  SELECT o_custkey, o_orderdate AS t, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT p.event_id, p.o_custkey, strftime(p.t, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       q.o_orderkey, ROUND(q.o_totalprice, 2) AS o_totalprice
+FROM probes p ASOF LEFT JOIN q ON p.o_custkey = q.o_custkey AND p.t >= q.t
+"""
+
+
+O_JOIN_RANGE = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL '120 days'
+GROUP BY l_returnflag
+"""
+
+
+O_AGG_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+O_AGG_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+O_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+O_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+O_SET_EXCEPT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+O_WIN_RANK_TOPN = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+FROM orders QUALIFY rank <= 3
+"""
+
+
+O_SRC_CONVERT_EPUB = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         array_to_string(w[1:CAST(ceil(len(w) / 2.0) AS BIGINT)], ' ') AS ch1,
+         array_to_string(w[CAST(ceil(len(w) / 2.0) AS BIGINT) + 1:len(w)], ' ') AS ch2
+  FROM t
+)
+SELECT doc_id,
+       '# Chapter 1' || chr(10) || chr(10) || ch1 || chr(10) || chr(10) ||
+       '# Chapter 2' || chr(10) || chr(10) || ch2 AS markdown
+FROM c
+"""
+
+
+def _o_mm_hexchain(prefix: str, n_bytes: str) -> str:
+    return (
+        f"array_to_string(list_transform(range(CAST(ceil(({n_bytes}) / 16.0) AS BIGINT)),"
+        f" b -> md5('{prefix}:' || doc_id || ':' || b)), '')"
+    )
+
+
+O_MM_DECODE_IMAGE = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(range(width * height),
+           i -> CAST(('0x' || substr({_o_mm_hexchain('img', 'width * height')},
+                                     CAST(2 * i + 1 AS INT), 2))::UBIGINT AS INT)) AS p
+  FROM dims
+)
+SELECT doc_id, width, height, CAST(len(p) AS INT) AS n_pixels,
+       ROUND(list_avg(p), 4) AS mean_intensity,
+       list_max(p) AS max_intensity, list_min(p) AS min_intensity
+FROM px
+"""
+
+
+O_MM_AUDIO_FEATURES = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(32 + (doc_id % 4) * 16 AS INT) AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+           i -> CAST(('0x' || substr({_o_mm_hexchain('aud', 'n')},
+                                     CAST(2 * i + 1 AS INT), 2))::UBIGINT AS INT)) AS s
+  FROM dims
+)
+SELECT doc_id, 16000 AS sample_rate, n AS n_samples,
+       ROUND(list_avg(s), 4) AS mean_amp,
+       ROUND(sqrt(list_avg(list_transform(s, x -> CAST(x AS DOUBLE) * x))), 4) AS rms
+FROM smp
+"""
+
+
+O_MM_FRAME_SAMPLE = """
+WITH v AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents)
+SELECT doc_id, CAST(u.f AS INT) AS frame_no,
+       md5('vid:' || doc_id || ':' || u.f) AS frame_hex
+FROM v CROSS JOIN (SELECT unnest(range(6)) AS f) u
+WHERE u.f < v.nf
+"""
+
+
+O_STREAM_WINDOW_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+O_STREAM_SLIDING_COUNTS = """
+WITH expanded AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '5 minutes', e.ts) - u.k * INTERVAL '5 minutes' AS w_start
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+O_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+O_STREAM_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '5 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+_O_TOKS = "string_split(lower(text), ' ')"
+
+
+def _o_lang_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_O_TOKS}, t -> t IN ({lst})))"
+
+
+_O_LANG_HITS = {
+    lang: _o_lang_hits(words) for lang, words in sorted(textstats.LANG_PROFILES.items())
+}
+
+
+_O_LANG_GREATEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _O_LANG_HITS) + ")"
+
+
+_O_LANG_CASE = " ".join(
+    f"WHEN hits_{lang} = m THEN '{lang}'" for lang in sorted(_O_LANG_HITS)
+)
+
+
+O_TEXT_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {", ".join(f"{expr} AS hits_{lang}" for lang, expr in _O_LANG_HITS.items())}
+  FROM documents
+),
+m AS (SELECT *, {_O_LANG_GREATEST} AS m FROM h)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _O_LANG_HITS)},
+       CASE WHEN m = 0 THEN 'unknown' {_O_LANG_CASE} ELSE 'unknown' END AS pred_lang
+FROM m
+"""
+
+
+_O_STOP = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+O_TEXT_QUALITY = f"""
+WITH q AS (
+  SELECT doc_id,
+         text,
+         length(text) AS n_chars,
+         len({_O_TOKS}) AS n_tokens,
+         len(list_filter({_O_TOKS}, t -> t IN ({_O_STOP}))) AS stop_hits,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0)
+           + 0.3 * (1.0 - least(CAST(punct AS DOUBLE) / n_chars * 4.0, 1.0)), 6) AS quality,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS subword_estimate
+FROM q
+"""
+
+
+O_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_O_TOKS},
+             w -> CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT AS BIGINT))),
+         (acc, x) -> (acc * {textstats.FINGERPRINT_MULT} + x) % {textstats.FINGERPRINT_P}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+O_CHUNK_DOCLING = f"""
+WITH t AS (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang, source, n_chars,
+       unnest(list_transform(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT)),
+         i -> {{'chunk_number': CAST(i AS INT),
+               'chunk_text': array_to_string(w[i * {_CHUNK_TOKENS} + 1:i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}], ' ')}}),
+         recursive := true)
+FROM t
+"""
+
+
+O_CHUNK_ENRICH = f"""
+WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT)),
+           i -> {{'chunk_number': CAST(i AS INT),
+                 'chunk_text': array_to_string(w[i * {_CHUNK_TOKENS} + 1:i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}], ' ')}}),
+           recursive := true)
+  FROM t
+)
+SELECT doc_id, chunk_number, chunk_text,
+       '{chunk_ops.DEFAULT_TOKENIZER_MODEL}' AS chunk_tokenizer_model,
+       {_CHUNK_TOKENS} AS chunk_size,
+       '{chunk_ops.FIXED_IMPORT_DATE}' AS import_date,
+       '{{"lang":"' || lang || '","source":"' || source ||
+       '","chunk_tokenizer_model":"{chunk_ops.DEFAULT_TOKENIZER_MODEL}"' ||
+       ',"chunk_size":"{_CHUNK_TOKENS}","chunk_number":"' || chunk_number ||
+       '","import_date":"{chunk_ops.FIXED_IMPORT_DATE}"}}' AS metadata_json
+FROM c
+"""
+
+
+O_WIN_CHUNK_NUMBER = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS INT) AS i
+  FROM t
+)
+SELECT doc_id, i AS chunk_number, i * {_CHUNK_TOKENS} AS token_offset,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i * {_CHUNK_TOKENS}) - 1 AS INT) AS chunk_number_w,
+       COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+FROM c
+"""
+
+
+O_CHUNK_BPE = rf"""
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS ps FROM documents
+),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ps)),
+           i -> {{'pos': CAST(i AS INT), 'piece': ps[i + 1],
+                 'cost': CAST(ceil(length(ps[i + 1]) / 4.0) AS BIGINT)}}),
+           recursive := true)
+  FROM p
+),
+c AS (
+  SELECT doc_id, pos, piece, cost,
+         SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+)
+SELECT doc_id,
+       CAST(FLOOR((cum - cost) / {_BPE_CHUNK_TOKENS}.0) AS INT) AS chunk_number,
+       COUNT(*) AS n_pieces,
+       CAST(SUM(cost) AS BIGINT) AS n_bpe_tokens,
+       string_agg(piece, ' ' ORDER BY pos) AS chunk_text
+FROM c
+GROUP BY doc_id, CAST(FLOOR((cum - cost) / {_BPE_CHUNK_TOKENS}.0) AS INT)
+"""
+
+
+O_VEC_IVF_TOPK = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_ORACLE_QVEC}),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+topc AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN topc t ON a.cluster = t.cid),
+scored AS (
+  SELECT cd.vec_id, {_ORACLE_SIM} AS sim
+  FROM cand cd JOIN embeddings e ON cd.vec_id = e.vec_id, q
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+_KM_DIM = 64
+
+
+_KM_CAND = 32  # k=4 × oversample=8
+
+
+def _o_km_assign(centroid_cte: str) -> str:
+    """DuckDB fragment: assign every vector to its argmax-cosine centroid
+    from ``centroid_cte`` (cid, v), ties to the lowest cid — mirrors
+    assign_clusters' max_by(cid, struct(_sim, -cid))."""
+    return f"""
+  SELECT e.vec_id,
+         first(c.cid ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v) DESC,
+                              c.cid ASC) AS cluster
+  FROM embeddings e CROSS JOIN {centroid_cte} c GROUP BY e.vec_id"""
+
+
+def _o_km_means(assign_cte: str, prev_cte: str) -> str:
+    """DuckDB fragment: per-cluster element-wise mean rounded to 6dp,
+    empty clusters keeping the previous centroid."""
+    return f"""
+  SELECT p.cid, COALESCE(m.v, p.v) AS v FROM {prev_cte} p LEFT JOIN (
+    SELECT cluster AS cid, list(m ORDER BY pos) AS v FROM (
+      SELECT a.cluster, u.i AS pos,
+             ROUND(AVG(CAST(e.embedding[u.i + 1] AS DOUBLE)), 6) AS m
+      FROM {assign_cte} a JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS i) u
+      GROUP BY a.cluster, u.i
+    ) GROUP BY cluster
+  ) m ON p.cid = m.cid"""
+
+
+O_CLUSTER_KMEANS = f"""
+WITH cand AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS pos
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {_KM_CAND}
+),
+s0 AS (SELECT v FROM cand WHERE pos = 1),
+m1 AS (SELECT c.pos, c.v, list_cosine_similarity(c.v, s0.v) AS ms FROM cand c, s0),
+s1 AS (SELECT v FROM m1 ORDER BY ms ASC, pos ASC LIMIT 1),
+m2 AS (SELECT m1.pos, m1.v, greatest(m1.ms, list_cosine_similarity(m1.v, s1.v)) AS ms
+       FROM m1, s1),
+s2 AS (SELECT v FROM m2 ORDER BY ms ASC, pos ASC LIMIT 1),
+m3 AS (SELECT m2.pos, m2.v, greatest(m2.ms, list_cosine_similarity(m2.v, s2.v)) AS ms
+       FROM m2, s2),
+s3 AS (SELECT v FROM m3 ORDER BY ms ASC, pos ASC LIMIT 1),
+c0 AS (
+  SELECT 0 AS cid, v FROM s0 UNION ALL SELECT 1, v FROM s1
+  UNION ALL SELECT 2, v FROM s2 UNION ALL SELECT 3, v FROM s3
+),
+a1 AS ({_o_km_assign('c0')}),
+c1 AS ({_o_km_means('a1', 'c0')}),
+a2 AS ({_o_km_assign('c1')}),
+c2 AS ({_o_km_means('a2', 'c1')}),
+a3 AS ({_o_km_assign('c2')})
+SELECT vec_id, cluster FROM a3
+"""
+
+
+O_DEDUP_EXACT = """
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+
+
+_O_SHINGLES = f"""
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) < {dedup_ops.SHINGLE_K}
+              THEN [lower(text)]
+              ELSE list_distinct(list_transform(
+                range(len(string_split(lower(text), ' ')) - {dedup_ops.SHINGLE_K - 1}),
+                i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + {dedup_ops.SHINGLE_K}], ' ')
+              )) END AS shingles
+  FROM documents
+)"""
+
+
+_O_BASE = "CAST(('0x' || substr(md5({s}), 1, 8))::UBIGINT AS BIGINT)"
+
+
+_O_MINHASH = f"""
+bases AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_O_BASE.format(s='s')}) AS bs
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         [{", ".join(f"list_min(list_transform(bs, x -> ({a} * x + {b}) % {dedup_ops.MINHASH_P}))" for a, b in zip(dedup_ops.MINHASH_A, dedup_ops.MINHASH_B))}] AS minhash
+  FROM bases
+)"""
+
+
+_O_BANDS_N = dedup_ops.NUM_HASHES // dedup_ops.BAND_R
+
+
+O_DEDUP_MINHASH_PAIRS = f"""
+WITH {_O_SHINGLES},
+{_O_MINHASH},
+bands AS (
+  SELECT doc_id, u.i AS band,
+         CAST(minhash[2 * u.i + 1] AS VARCHAR) || '_' ||
+         CAST(minhash[2 * u.i + 2] AS VARCHAR) AS key
+  FROM mh CROSS JOIN (SELECT unnest(range({_O_BANDS_N})) AS i) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON c.id_a = sa.doc_id
+JOIN sh sb ON c.id_b = sb.doc_id
+"""
+
+
+_O_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(dedup_ops.SIMHASH_BITS)
+)
+
+
+_O_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(dedup_ops.SIMHASH_BITS)
+)
+
+
+O_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {_O_BASE.format(s='tok')} AS h FROM toks),
+v AS (
+  SELECT doc_id,
+         {_O_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_O_SIMHASH_BITS} AS BIGINT) AS simhash FROM v
+"""
+
+
+O_DEDUP_EMBEDDING = f"""
+WITH {_ORACLE_ANN_COMMON},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vsig a JOIN vsig b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT pr.id_a, pr.id_b,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS cosine
+  FROM pairs pr
+  JOIN embeddings ea ON pr.id_a = ea.vec_id
+  JOIN embeddings eb ON pr.id_b = eb.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.25
+"""
+
+
+O_VEC_ANN_JOIN = f"""
+WITH {_ORACLE_ANN_COMMON},
+probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < 20
+),
+psig AS (
+  SELECT pr.probe_id, p.t,
+         SUM(CASE WHEN list_dot_product(pr.pv, p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM probes pr CROSS JOIN p GROUP BY pr.probe_id, p.t
+),
+pbuckets AS (
+  SELECT probe_id, t, sig FROM psig
+  UNION ALL
+  SELECT psig.probe_id, psig.t, xor(psig.sig, CAST(1 << p.j AS BIGINT))
+  FROM psig JOIN p ON p.t = psig.t
+),
+cand AS (
+  SELECT DISTINCT b.probe_id, v.vec_id
+  FROM vsig v JOIN pbuckets b ON v.t = b.t AND v.sig = b.sig
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pr.pv) AS sim
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN probes pr ON c.probe_id = pr.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id AS neighbor_id, ROUND(sim, 6) AS similarity_score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+O_UPSERT_MODEL = """
+WITH existing AS (
+  SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+         CAST(64 AS INTEGER) AS embedding_dim
+  FROM nation WHERE n_nationkey < 15
+),
+incoming_raw AS (
+  SELECT n_name AS name, CAST(128 AS INTEGER) AS embedding_dim
+  FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT r_name, CAST(128 AS INTEGER) FROM region
+),
+batch AS (
+  SELECT name, embedding_dim FROM (
+    SELECT name, embedding_dim,
+           ROW_NUMBER() OVER (PARTITION BY name ORDER BY name ASC NULLS FIRST) AS rn
+    FROM incoming_raw
+  ) WHERE rn = 1
+),
+novel AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.name IS NOT DISTINCT FROM b.name)
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT id, name, embedding_dim FROM existing
+UNION ALL
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY name ASC NULLS FIRST) AS BIGINT),
+       name, embedding_dim
+FROM novel, mx
+"""
+
+
+_ORACLE_STAGED_SOURCES = """
+  SELECT c_custkey AS k,
+         NULLIF('a' || (c_custkey % 5), 'a3') AS author,
+         't' || (c_custkey % 7) AS title,
+         CAST(NULLIF(1900 + (c_custkey % 3), 1901) AS INTEGER) AS year,
+         CAST(c_custkey % 2 AS BIGINT) AS model_id,
+         'u' || (c_custkey % 4) AS url,
+         NULLIF('g' || (c_custkey % 5), 'g2') AS genre,
+         CAST(NULL AS VARCHAR) AS subgenre,
+         CAST(1 + (c_custkey % 2) AS INTEGER) AS source_type
+  FROM customer
+"""
+
+
+O_UPSERT_SOURCE = f"""
+WITH staged AS ({_ORACLE_STAGED_SOURCES}),
+existing AS (
+  SELECT CAST(k AS BIGINT) AS id, {', '.join(_SOURCE_COLS)} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY model_id, author, title, year
+                                 ORDER BY k ASC) AS rn
+    FROM staged WHERE k < 100
+  ) WHERE rn = 1
+),
+batch AS (
+  SELECT {', '.join(_SOURCE_COLS)} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY model_id, author, title, year
+                                 ORDER BY k ASC NULLS FIRST) AS rn
+    FROM staged WHERE k BETWEEN 50 AND 450
+  ) WHERE rn = 1
+),
+novel AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM existing e
+    WHERE e.model_id IS NOT DISTINCT FROM b.model_id
+      AND e.author IS NOT DISTINCT FROM b.author
+      AND e.title IS NOT DISTINCT FROM b.title
+      AND e.year IS NOT DISTINCT FROM b.year)
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT id, {', '.join(_SOURCE_COLS)} FROM existing
+UNION ALL
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY model_id ASC NULLS FIRST,
+                                   author ASC NULLS FIRST,
+                                   title ASC NULLS FIRST,
+                                   year ASC NULLS FIRST) AS BIGINT),
+       {', '.join(_SOURCE_COLS)}
+FROM novel, mx
+"""
+
+
+O_INS_CHUNK_TXN = """
+WITH existing AS (
+  SELECT CAST(vec_id + 1 AS BIGINT) AS id FROM embeddings WHERE vec_id < 100
+),
+batch AS (
+  SELECT CAST(e.vec_id % 10 AS BIGINT) AS source_id,
+         CAST(1 AS BIGINT) AS model_id,
+         e.vec_id AS chunk_number,
+         to_json(struct_pack(chunk_number := e.vec_id)) AS metadata,
+         d.text AS chunk_text
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id BETWEEN 100 AND 199
+),
+mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM existing)
+SELECT CAST(m + ROW_NUMBER() OVER (ORDER BY source_id ASC NULLS FIRST,
+                                   chunk_number ASC NULLS FIRST) AS BIGINT) AS id,
+       source_id, model_id, metadata, chunk_text
+FROM batch, mx
+"""
+
+
+_ORACLE_RAG_HITS = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, {_ORACLE_SIM} AS sim FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+hits AS (
+  SELECT vec_id, sim FROM scored WHERE sim >= {{threshold}}
+  ORDER BY sim DESC, vec_id ASC LIMIT 5
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h.sim DESC, h.vec_id ASC) AS rank,
+         'doc-' || d.doc_id AS title,
+         'author-' || (d.doc_id % 7) AS author,
+         '19' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0') AS publication_date,
+         d.text AS chunk_text
+  FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+)
+"""
+
+
+_ORACLE_EXCERPT = (
+    "chr(10) || 'Excerpt from \"' || title || '\", by ' || author || "
+    "', published in ' || publication_date || ':' || chr(10) || '>>>' || chr(10) || "
+    "chunk_text || chr(10) || '<<<' || chr(10) || chr(10) || chr(10)"
+)
+
+
+O_AGG_CONTEXT_CONCAT = (
+    _ORACLE_RAG_HITS.format(threshold=0.01)
+    + f"""
+SELECT coalesce(string_agg({_ORACLE_EXCERPT}, '' ORDER BY rank), '') AS agg_chunk_text
+FROM ranked
+"""
+)
+
+
+def _oracle_rag_prompt(threshold: float) -> str:
+    pre = (
+        'chr(10) || \'You are a helpful assistant with a library that you refer to as "the Archives"\''
+        " || chr(10) || 'designed to be helpful for the sorts'"
+        " || chr(10) || 'of questions whose investigations you are likely to be asked to contribute to.'"
+        " || chr(10)"
+    )
+    p = RAG_PROMPT
+    no_ctx = (
+        f"{pre} || chr(10) || 'However, when you consulted the library for information related to the prompt'"
+        f" || chr(10) || '\"{p}\", you found no relevant information.' || chr(10) || chr(10)"
+        " || 'Please respond to the following prompt with a disclaimer that notes the lack of'"
+        " || chr(10) || 'information and, if you can appropriately determine the category, genre,'"
+        " || chr(10) || 'author, etc. for information that might prove helpful, suggest how the library'"
+        " || chr(10) || 'might be expanded to include more information.' || chr(10) || chr(10)"
+        f" || 'The prompt to which you must respond is:' || chr(10) || '    \"{p}\"' || chr(10)"
+    )
+    with_ctx = (
+        f"{pre} || chr(10) || 'When you consulted the library for information related to the prompt'"
+        f" || chr(10) || '\"{p}\", you found the following relevant information:' || chr(10)"
+        " || '''''''' || chr(10) || ctx || chr(10) || '''''''' || chr(10) || chr(10)"
+        " || 'Please respond to the following prompt and, if the information from the library'"
+        " || chr(10) || 'is relevant, use the information to respond to the prompt. Include references'"
+        " || chr(10) || 'to the source data by including the few lines of text from'"
+        " || chr(10) || 'the source data that contain the information you are referring to along with the'"
+        " || chr(10) || 'author, title of the work and the publication date.' || chr(10) || chr(10)"
+        f" || 'The prompt to which you must respond is:' || chr(10) || '    \"{p}\"' || chr(10)"
+    )
+    return (
+        _ORACLE_RAG_HITS.format(threshold=threshold)
+        + f""",
+agg AS (
+  SELECT coalesce(string_agg({_ORACLE_EXCERPT}, '' ORDER BY rank), '') AS ctx
+  FROM ranked
+)
+SELECT CASE WHEN ctx = '' THEN {no_ctx} ELSE {with_ctx} END AS prompt FROM agg
+"""
+    )
