@@ -76,8 +76,13 @@ def convert_epub(media: DataFrame) -> DataFrame:
 
 def convert_external(media: DataFrame, tool: str) -> DataFrame:
     """Stub for real converters (pandoc, docling): not present in this
-    environment. Swapping it in changes only the per-row byte→text step;
-    the Spark plumbing is identical to ``convert_epub``."""
+    environment — re-checked round 3: no ``pandoc`` binary, no
+    ``pypandoc`` module, and package installation is out of scope, so
+    the real-tool path is a documented impossibility here. Swapping it
+    in changes only the per-row byte→text step (a ``subprocess.run``
+    per Arrow batch row inside the same ``mapInPandas``); the Spark
+    plumbing — schema, batching, partitioning — is identical to
+    ``convert_epub``, which parses real bytes end-to-end."""
     raise NotImplementedError(
         f"external converter {tool!r} is not available here; use the SPKB "
         "converter or install pandoc and implement the subprocess call"

@@ -2,7 +2,7 @@
 pipeline surface (extension; the reference's only dedup is the upsert
 UNIQUE constraint, config/init.sql:23, covered by operators/write.py).
 
-Five operators, all pure Catalyst expressions (no Python in any row path):
+Six operators, all pure Catalyst expressions (no Python in any row path):
 
 - exact_dedup        — content-hash groupBy; keeper = min id per hash.
 - minhash_signatures — k-word shingles → H minhashes via universal
@@ -13,6 +13,9 @@ Five operators, all pure Catalyst expressions (no Python in any row path):
                        partial-aggregable (map-side combine).
 - embedding_pairs    — near-dup by embedding cosine over LSH-bucket
                        candidate pairs (reuses operators/ann.py planes).
+- dedup_assign       — pairs → per-doc keeper assignment: connected
+                       components by min-label propagation with early
+                       stop (the stage that actually drops duplicates).
 
 Hash choice: the 32-bit base is the first 8 hex chars of md5, and the H
 minhash functions are affine maps (a·x + b) mod P over it. md5 exists
@@ -257,3 +260,65 @@ def embedding_pairs(
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= F.lit(float(threshold))
     )
+
+
+def dedup_assign(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-document keeper assignments — the
+    stage a training-data pipeline actually runs after pair generation
+    (drop every doc whose keeper_id differs from its own id).
+
+    Connected components over the pair graph by iterative min-label
+    propagation: every doc starts labeled with its own id; each round,
+    every doc adopts the minimum label in its neighborhood (its own ∪
+    graph neighbors); fixed point = each component labeled by its min
+    id. Convergence needs at most ``diameter`` rounds — near-dup
+    clusters are shallow (duplicates of one source are mutually paired
+    by LSH, so diameters are small); the loop stops early when a round
+    changes nothing (a count aggregate per round, driver receives one
+    long).
+
+    Each round is one shuffle keyed on ``id_col`` (edge join + min-agg);
+    the edge list is materialized once symmetric. At 100 TB the standard
+    big-graph alternative (alternating large/small-star, GraphFrames CC)
+    slots into the same contract; min-label propagation is exact and has
+    no Python in any row path.
+
+    Returns (id, keeper_id, is_keeper). Docs with no near-dup partner
+    keep themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+    labels = docs.select(F.col(id_col).alias("id")).withColumn(
+        "keeper_id", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"], "inner")
+            .groupBy("src")
+            .agg(F.min("keeper_id").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("keeper_id"),
+                    F.coalesce(F.col("_nbr_min"), F.col("keeper_id")),
+                ).alias("keeper_id"),
+                F.col("keeper_id").alias("_prev"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = updated.filter(F.col("keeper_id") != F.col("_prev")).count()
+        labels = updated.drop("_prev")
+        if changed == 0:
+            break
+    return labels.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))

@@ -574,6 +574,17 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+# Two tie/boundary semantics pinned here (both probed empirically and
+# both invisible at small SF where (user_id, ts) never collides):
+# - Spark's session_window MERGES an event at exactly prev_ts+gap
+#   (diff <= gap merges; touching ranges coalesce), so the islands
+#   predicate is strictly >.
+# - Duplicate (user_id, ts) rows must all land in ONE session (their
+#   per-event ranges are identical), so the cumulative-flag window uses
+#   a RANGE frame: a ROWS frame orders ts-peers arbitrarily and can put
+#   some duplicates before the peer that carries the new-session flag,
+#   silently attaching them to the PREVIOUS session (found via a 1-row
+#   mismatch on 10x-replicated events).
 O_STREAM_SESSION_WINDOWS = """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -585,7 +596,7 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                                   RANGE UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
 SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -44,14 +44,25 @@ def tune_session(spark: SparkSession) -> SparkSession:
     results deterministic (UTC timestamps) and fast (AQE) without needing
     to own the builder.
     """
-    for k, v in (
+    confs = [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         # nanos-timestamp parquet (events.ts) reads as LongType session-wide;
         # see tables.load for the explicit truncation to micros.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ):
+    ]
+    # Scan-split override for scale experiments: a single-file local table
+    # in the tens of MB sits below the default 128 MB split size, so one
+    # task scans it regardless of cores — a layout no real multi-file lake
+    # has. SCALE.md sets this to a few MB when benchmarking replicated
+    # data; production keeps the default (files there are ~1 GB and split
+    # 8 ways each). Row groups must be comparably small or splits can't
+    # bisect the file (parquet assigns a row group to one split).
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        confs.append(("spark.sql.files.maxPartitionBytes", mpb))
+    for k, v in confs:
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -101,3 +101,32 @@ def test_embedding_pairs_threshold(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in dedup.embedding_pairs(df, threshold=0.9).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_dedup_assign_connected_components(spark):
+    """Chains must collapse to one component labeled by the min id even
+    though the ends never share a pair (1-2, 2-3, 3-4 → all keeper 1),
+    and isolated docs keep themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"])
+           for r in dedup.dedup_assign(docs, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 6: (6, True), 7: (6, False),
+    }
+
+
+def test_dedup_assign_on_real_minhash_pairs(spark, corpus_df):
+    """End-to-end: minhash pairs → keeper assignment. Every non-keeper
+    must be reachable from its keeper in the pair graph, and keepers are
+    component minima (keeper_id <= id always)."""
+    pairs = dedup.minhash_pairs(corpus_df).filter("jaccard >= 0.5")
+    out = dedup.dedup_assign(corpus_df, pairs).collect()
+    assert all(r["keeper_id"] <= r["id"] for r in out)
+    paired = {r["id_a"] for r in pairs.collect()} | {r["id_b"] for r in pairs.collect()}
+    for r in out:
+        if r["id"] not in paired:
+            assert r["is_keeper"] and r["keeper_id"] == r["id"]

@@ -143,3 +143,23 @@ def test_bucketed_join_needs_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("b_docs", "b_emb"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_chunk_bpe_single_exchange(spark):
+    """chunk_bpe shuffles exactly once: the per-document cumsum window's
+    hash exchange on doc_id. The chunk regroup's (doc_id, chunk_number)
+    clustering is satisfied by the same partitioning, so the aggregate
+    planner reuses it (partial+final ObjectHashAggregate, no second
+    exchange)."""
+    plan = _plan(spark, "chunk_bpe")
+    assert _shuffles(plan) == 1, plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_kmeans_assignment_single_aggregation(spark):
+    """The kmeans output (final assignment) must be a broadcast of the
+    k-row centroid table + one aggregation over the big side — never a
+    shuffle of the vectors against the centroids."""
+    plan = _plan(spark, "cluster_kmeans")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
