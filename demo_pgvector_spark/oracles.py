@@ -1166,3 +1166,45 @@ agg AS (
 SELECT CASE WHEN ctx = '' THEN {no_ctx} ELSE {with_ctx} END AS prompt FROM agg
 """
     )
+
+
+O_WIN_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total,
+       strftime(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS prev_date,
+       strftime(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS next_date,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS ma3
+FROM orders
+"""
+
+
+O_AGG_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'F') AS DOUBLE), 2) AS f_rev,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'O') AS DOUBLE), 2) AS o_rev,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'P') AS DOUBLE), 2) AS p_rev
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+O_AGG_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

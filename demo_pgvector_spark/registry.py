@@ -42,6 +42,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_AGG_CONTEXT_CONCAT,
     O_AGG_CUBE,
     O_AGG_GROUPING_SETS,
+    O_AGG_PERCENTILES,
+    O_AGG_PIVOT,
     O_AGG_ROLLUP,
     O_AGG_WORD_COUNTS,
     O_CHUNK_BPE,
@@ -100,6 +102,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_SIM_TOPK,
     O_WIN_CHUNK_NUMBER,
     O_WIN_RANK_TOPN,
+    O_WIN_RUNNING_TOTAL,
     _oracle_rag_prompt,
 )
 from demo_pgvector_spark.functions import embedding as emb_fns
@@ -918,6 +921,85 @@ def q_win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family beyond ranking (round-3 extension): per-
+    customer running revenue, lag/lead order dates, and a 3-order
+    centered moving average — one window spec reused by four frames, one
+    exchange on the partition key. Deterministic peer order via the
+    (o_orderdate, o_orderkey) total order; DECIMAL running sums so
+    partial-order-of-addition can't break the value hash."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double"), 2).alias("running_total"),
+        F.date_format(F.lag("o_orderdate", 1).over(w), "yyyy-MM-dd").alias("prev_date"),
+        F.date_format(F.lead("o_orderdate", 1).over(w), "yyyy-MM-dd").alias("next_date"),
+        # ma3 rounds at 6dp, NOT 2dp: a 2-row frame averages two exact
+        # cents to an exact HALF-cent (e.g. 134279.985), and the engines
+        # disagree on that boundary (Spark rounds the decimal string
+        # repr of the double, DuckDB the binary value). At 6dp no
+        # 1-3-row average of cent values can land on a rounding
+        # boundary (halves/thirds terminate or repeat far from any
+        # 5e-7 grid point), so the hash is stable.
+        F.round(
+            F.sum(price).over(w.rowsBetween(-1, 1)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-1, 1)),
+            6,
+        ).alias("ma3"),
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + revenue sums per priority, one column set
+    per order status (groupBy().pivot() expands to a single-pass
+    grouped aggregation — one shuffle, map-side partial per (priority,
+    status) cell; the explicit value list keeps the schema static, which
+    a 100 TB plan needs anyway to avoid a discovery pass)."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(price).cast("double"), 2).alias("rev"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.col(f"{s}_{m}").alias(f"{s.lower()}_{m}")
+          for s in ("F", "O", "P") for m in ("n", "rev")],
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of extended price
+    per return flag — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition. Exact percentiles sort
+    within each group; the documented scale path is
+    ``percentile_approx`` (t-digest sketch, partial-aggregable), which
+    trades the per-group sort for a mergeable sketch — approximate
+    results have no cross-engine oracle, so the exact form is the
+    correctness row."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 conversion — operators/convert.py
 # ---------------------------------------------------------------------------
@@ -1157,7 +1239,11 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration so the distributed summation matches DuckDB's serial
     fold. The oracle unrolls the entire algorithm — hash-ordered
     candidate sample → 3 greedy max-min seed CTEs → two assign+mean
-    rounds — and the row hash-checks every vector's final assignment."""
+    rounds — and the row hash-checks every vector's final assignment.
+    Cross-engine argmax safety: the minimum top-2 centroid-similarity
+    margin over all sf0.01 vectors is 3.7e-6 (p1 = 2.9e-3), nine orders
+    above the ~1e-15 float noise between engines — same methodology as
+    the IVF row's >=1e-5 measurement."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     assigned, _ = ivf_ops.kmeans_lloyd(
@@ -1477,6 +1563,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_intersect": (q_set_intersect, O_SET_INTERSECT),
     "set_except": (q_set_except, O_SET_EXCEPT),
     "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
+    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
