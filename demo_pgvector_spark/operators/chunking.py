@@ -27,6 +27,7 @@ for reproducibility) — pass ``import_date=None`` to use
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,6 +171,34 @@ def chunk_bpe(
             ).alias("chunk_text"),
         )
     )
+
+
+def bpe_costs_udf(subword_len: int = BPE_SUBWORD_LEN):
+    """The pluggable-tokenizer slot of ``chunk_bpe``: an Arrow-batched
+    pandas_udf mapping text → arrays of (piece, cost), with the same
+    deterministic cost model as the Catalyst path. A REAL tokenizer
+    (HuggingFace BPE) drops in by replacing the two lines marked below
+    with ``tokenizer.tokenize(...)`` — schema, batching, and the
+    downstream packing contract stay identical. Pinned equal to the
+    Catalyst expression in tests/test_chunking.py so the two paths
+    cannot drift."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = _re.compile(r"\w+|[^\w\s]", _re.UNICODE)
+
+    @pandas_udf("struct<pieces: array<string>, costs: array<long>>")
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        pieces_col, costs_col = [], []
+        for t in texts:
+            pieces = pat.findall(t or "")          # ← real tokenizer here
+            costs = [-(-len(p) // subword_len) for p in pieces]  # ← and here
+            pieces_col.append(pieces)
+            costs_col.append(costs)
+        return pd.DataFrame({"pieces": pieces_col, "costs": costs_col})
+
+    return _tok
 
 
 def chunk_numbers_windowed(

@@ -110,3 +110,27 @@ def test_chunk_bpe_long_words_cost_more(spark):
     n = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").count()
          .withColumnRenamed("count", "n").collect()}
     assert n[0] > n[1]
+
+
+def test_bpe_udf_matches_catalyst_cost_model(spark, docs_df):
+    """The pandas_udf tokenizer slot must produce exactly the pieces and
+    costs the Catalyst chunk_bpe expression computes — the contract that
+    lets a real HF tokenizer drop in without touching the packing."""
+    udf_rows = docs_df.select(
+        "doc_id", chunking.bpe_costs_udf()(F.col("text")).alias("tc")
+    ).select("doc_id", "tc.pieces", "tc.costs").collect()
+    cat_rows = (
+        docs_df.select(
+            "doc_id",
+            F.expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)").alias("pieces"),
+        )
+        .select(
+            "doc_id",
+            "pieces",
+            F.expr("transform(pieces, p -> cast(ceil(length(p) / 4.0) as bigint))").alias("costs"),
+        )
+        .collect()
+    )
+    udf = {r["doc_id"]: (r["pieces"], r["costs"]) for r in udf_rows}
+    cat = {r["doc_id"]: (r["pieces"], r["costs"]) for r in cat_rows}
+    assert udf == cat
