@@ -186,7 +186,14 @@ def bpe_costs_udf(subword_len: int = BPE_SUBWORD_LEN):
 
     from pyspark.sql.functions import pandas_udf
 
-    pat = _re.compile(r"\w+|[^\w\s]", _re.UNICODE)
+    # re.ASCII, deliberately: Spark's Java regex and DuckDB's RE2 both
+    # treat \w as [0-9A-Za-z_] by default, so the engine's pre-tokenizer
+    # splits CJK/accented text per character; Python's re is
+    # Unicode-aware and would merge those runs, silently diverging from
+    # the Catalyst path (caught by the fuzzed property test). A real
+    # HF tokenizer replacing these lines brings its own Unicode rules —
+    # and then defines the contract on both sides.
+    pat = _re.compile(r"\w+|[^\w\s]", _re.ASCII)
 
     @pandas_udf("struct<pieces: array<string>, costs: array<long>>")
     def _tok(texts: pd.Series) -> pd.DataFrame:

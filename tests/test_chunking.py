@@ -115,7 +115,15 @@ def test_chunk_bpe_long_words_cost_more(spark):
 def test_bpe_udf_matches_catalyst_cost_model(spark, docs_df):
     """The pandas_udf tokenizer slot must produce exactly the pieces and
     costs the Catalyst chunk_bpe expression computes — the contract that
-    lets a real HF tokenizer drop in without touching the packing."""
+    lets a real HF tokenizer drop in without touching the packing.
+    Includes a non-ASCII doc: Java/RE2 \\w is ASCII, so the UDF must use
+    re.ASCII or CJK text silently diverges."""
+    docs_df = docs_df.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(9001, "mixed 内国 text αβ done"), (9002, "naïve café ok")],
+            "doc_id long, text string",
+        )
+    )
     udf_rows = docs_df.select(
         "doc_id", chunking.bpe_costs_udf()(F.col("text")).alias("tc")
     ).select("doc_id", "tc.pieces", "tc.costs").collect()

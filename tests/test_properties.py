@@ -89,3 +89,95 @@ def test_minhash_containment_property(spark):
     df = spark.createDataFrame([(0, base), (1, extended)], "doc_id long, text string")
     sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(df).collect()}
     assert all(e <= b for b, e in zip(sigs[0], sigs[1]))
+
+
+# -- chunk_bpe packing properties (batched into one Spark job) -------------
+
+
+def _bpe_reference(text, budget, sub=4):
+    """Independent plain-Python reference of the chunk_bpe packing.
+
+    re.ASCII matches the engine semantics: Java regex (Spark) and RE2
+    (DuckDB) both default \\w to [0-9A-Za-z_], so CJK text splits per
+    character — Python's Unicode \\w would merge it and diverge."""
+    import re
+
+    pieces = re.findall(r"\w+|[^\w\s]", text, re.ASCII)
+    out = {}
+    cum = 0
+    for p in pieces:
+        cost = -(-len(p) // sub)
+        chunk = (cum) // budget
+        cum += cost
+        out.setdefault(chunk, []).append((p, cost))
+    return out
+
+
+def test_chunk_bpe_matches_python_reference_on_fuzzed_texts(spark):
+    # deterministic fuzzed corpus, batched into ONE Spark job (the
+    # module's convention for column-function property coverage)
+    import random
+
+    rng = random.Random(20260813)
+    alphabet = "abcdefg hij  kl,m.n-o_p  qq  αβγ  内国  🙂  '\"!?;:0123456789   "
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300)))
+        for _ in range(120)
+    ]
+    from demo_pgvector_spark.operators import chunking
+
+    budget = 7
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {}
+    for r in chunking.chunk_bpe(docs, max_bpe_tokens=budget).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_number"]] = (
+            r["n_pieces"], r["n_bpe_tokens"], r["chunk_text"]
+        )
+    for i, t in enumerate(corpus):
+        ref = _bpe_reference(t, budget)
+        want = {
+            c: (len(ps), sum(x[1] for x in ps), " ".join(x[0] for x in ps))
+            for c, ps in ref.items()
+        }
+        assert got.get(i, {}) == want, (i, t[:50])
+
+
+# -- dedup_assign vs union-find reference ----------------------------------
+
+
+def test_dedup_assign_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from demo_pgvector_spark.operators import dedup
+
+    rng = random.Random(99)
+    n = 60
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(70)}
+    )
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # normalize: keeper = min member of the component
+    comps = {}
+    for i, r in want.items():
+        comps.setdefault(find(r), []).append(i)
+    want = {i: min(members) for r, members in comps.items() for i in members}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["keeper_id"] for r in dedup.dedup_assign(docs, pairs).collect()}
+    assert got == want
