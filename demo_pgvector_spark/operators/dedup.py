@@ -220,11 +220,21 @@ def embedding_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs over LSH-bucket candidates:
     pairs co-located in any (table, signature) bucket, exact-scored,
     kept at cosine ≥ threshold. The self-join shuffles on bucket keys —
-    never a cross product."""
+    never a cross product.
+
+    ``max_bucket_size`` is the same boilerplate guard as
+    ``minhash_pairs``: a signature bucket holding B near-identical
+    vectors yields B·(B-1)/2 pairs (the 10× scale experiment shows the
+    output-quadratic blowup on replicated embeddings), so production
+    corpora cap the bucket and route oversized ones to
+    ``dedup_assign``-style cluster representation instead of pair
+    enumeration. Default None keeps exact pair semantics (the
+    CORRECTNESS row's contract)."""
     if planes is None:
         planes = ann.hyperplanes(dim)
     tables_n = planes.shape[0]
@@ -238,6 +248,11 @@ def embedding_pairs(
     buckets = sigs.select(
         F.col(id_col), F.col(vec_col), F.explode(entries).alias("b")
     ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    if max_bucket_size is not None:
+        counts = buckets.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("_bsize"))
+        buckets = buckets.join(
+            counts.filter(F.col("_bsize") <= max_bucket_size), ["t", "sig"]
+        ).drop("_bsize")
     a, b = buckets.alias("a"), buckets.alias("b")
     from demo_pgvector_spark.functions.vector import cosine_similarity
 

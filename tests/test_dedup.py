@@ -130,3 +130,19 @@ def test_dedup_assign_on_real_minhash_pairs(spark, corpus_df):
     for r in out:
         if r["id"] not in paired:
             assert r["is_keeper"] and r["keeper_id"] == r["id"]
+
+
+def test_embedding_pairs_bucket_cap(spark):
+    """With a cap of 1 every bucket is dropped (each bucket holds >=2 of
+    the duplicated vectors), so no pairs emerge; uncapped, the
+    duplicated vectors pair up."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 64)
+    rows = [(i, [float(x) for x in base[i % 8]]) for i in range(16)]  # each vec twice
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = dedup.embedding_pairs(df, threshold=0.99)
+    assert full.count() >= 8  # the 8 exact-duplicate pairs at least
+    capped = dedup.embedding_pairs(df, threshold=0.99, max_bucket_size=1)
+    assert capped.count() == 0
