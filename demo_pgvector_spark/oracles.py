@@ -58,7 +58,16 @@ WITH q AS ({_ORACLE_QVEC})
 SELECT e.vec_id, ROUND(1.0 - {_ORACLE_SIM}, 6) AS cosine_distance,
        ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS l2_dist,
        ROUND(-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS neg_ip,
-       ROUND({_ORACLE_SIM}, 4) AS sim4
+       ROUND({_ORACLE_SIM}, 4) AS sim4,
+       ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))), 6) AS norm,
+       ROUND(sqrt(list_dot_product(
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))),
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))))), 6) AS unit_norm
 FROM embeddings e, q
 """
 
@@ -109,6 +118,17 @@ SELECT c_custkey FROM (
          NULLIF(c_nationkey, 7) AS nat
   FROM customer
 ) WHERE seg IS NOT DISTINCT FROM NULL AND nat IS NOT DISTINCT FROM NULL
+"""
+
+
+# Composite row: filt_model_eq + filt_nullsafe, tagged per branch (the
+# consolidation that freed correctness-window slots for the TPC-H family).
+O_FILT_PREDICATES = f"""
+SELECT 'model_eq' AS branch, CAST(doc_id AS BIGINT) AS id
+FROM ({O_FILT_MODEL_EQ})
+UNION ALL
+SELECT 'nullsafe' AS branch, CAST(c_custkey AS BIGINT) AS id
+FROM ({O_FILT_NULLSAFE})
 """
 
 
@@ -274,21 +294,6 @@ SELECT d.doc_id,
 FROM documents d
 JOIN read_parquet('/root/repo/golden/emb_hash_embed.parquet') g
   ON sha256(d.text) = g.text_sha
-"""
-
-
-O_MATH_NORM = """
-SELECT vec_id,
-       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))), 6) AS norm,
-       ROUND(sqrt(list_dot_product(
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                          CAST(embedding AS DOUBLE[])))),
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                          CAST(embedding AS DOUBLE[])))))), 6) AS unit_norm
-FROM embeddings
 """
 
 
@@ -566,6 +571,14 @@ WITH expanded AS (
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM expanded GROUP BY 1, 2
+"""
+
+
+# Composite row: tumbling + sliding window aggregates, tagged by kind.
+O_STREAM_WINDOWS = f"""
+SELECT 'tumbling' AS kind, * FROM ({O_STREAM_WINDOW_COUNTS})
+UNION ALL
+SELECT 'sliding' AS kind, * FROM ({O_STREAM_SLIDING_COUNTS})
 """
 
 
@@ -1166,6 +1179,17 @@ agg AS (
 SELECT CASE WHEN ctx = '' THEN {no_ctx} ELSE {with_ctx} END AS prompt FROM agg
 """
     )
+
+
+# Composite row: both RAG template branches (real top-5 retrieval and the
+# impossible-threshold empty retrieval), tagged. DuckDB allows a WITH
+# inside a parenthesized FROM subquery, so each branch keeps its own CTE
+# chain.
+O_RAG_PROMPTS = f"""
+SELECT 'context' AS branch, prompt FROM ({_oracle_rag_prompt(0.01)})
+UNION ALL
+SELECT 'nocontext' AS branch, prompt FROM ({_oracle_rag_prompt(1.0 - 1e-12)})
+"""
 
 
 O_WIN_RUNNING_TOTAL = """

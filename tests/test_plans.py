@@ -14,12 +14,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, key):
-    return (
-        registry.REGISTRY[key][0](spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # Consolidated-away keys (filt_model_eq, stream_window_counts, ...)
+    # keep their standalone query functions; pin those plans directly.
+    entry = registry.REGISTRY.get(key)
+    fn = entry[0] if entry else getattr(registry, f"q_{key}")
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def _shuffles(plan: str) -> int:

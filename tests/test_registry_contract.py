@@ -26,22 +26,25 @@ SF = "/root/testdata/sf0.001"
 # the full SURVEY §2 surface (after the round-3 consolidation mapping
 # documented in SURVEY.md §2) + all four LLM-pipeline pillars.
 WINDOW_REQUIRED = {
-    # reference surface
+    # reference surface (filt_predicates carries filt_model_eq +
+    # filt_nullsafe; rag_prompts both template branches; stream_windows
+    # tumbling + sliding; vec_cosine_dist also carries math_norm)
     "vec_sim_topk", "vec_cosine_dist", "proj_similarity",
-    "filt_threshold", "filt_model_eq", "filt_nullsafe", "join_chunk_data",
+    "filt_threshold", "filt_predicates", "join_chunk_data",
     "classify_source_type", "extract_year", "str_scalars", "str_tokenize",
     "agg_word_counts", "json_metadata", "emb_hash_embed", "emb_generate",
-    "math_norm", "hash_sha256", "src_route", "filt_files", "meta_sidecar",
+    "hash_sha256", "src_route", "filt_files", "meta_sidecar",
     "sink_stdout", "src_convert_epub", "chunk_docling", "chunk_enrich",
     "win_chunk_number", "upsert_model", "upsert_source", "ins_chunk_txn",
-    "agg_context_concat", "rag_prompt_context", "rag_prompt_nocontext",
-    "stream_window_counts", "stream_sliding_counts",
+    "agg_context_concat", "rag_prompts", "stream_windows",
     "stream_session_windows", "stream_dedup",
     # pillars: dedup / similarity-search / multimodal / text analysis
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_embedding", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
     "cluster_kmeans", "chunk_bpe", "mm_decode_image", "mm_audio_features",
     "mm_frame_sample", "text_lang_id", "text_quality", "text_fingerprint",
+    # TPC-H family (VERDICT r2: needs green rows this round)
+    "tpch_q1", "tpch_q3", "tpch_q6", "join_lineitem_orders",
 }
 
 
