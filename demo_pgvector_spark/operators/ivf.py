@@ -157,6 +157,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    cache: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means on DataFrames: one-pass sampled farthest-point
     init (``sample_init``), then ``iters`` rounds of assign (broadcast
@@ -174,33 +175,51 @@ def kmeans_lloyd(
     across engines in the last bits and make assignment comparisons
     engine-dependent.
 
+    ``cache``: persist the (id, vector) projection for the duration of
+    the iterations (MEMORY_AND_DISK). Lloyd re-reads the full table
+    init + ``iters`` times; without caching that is that many parquet
+    scans — the dominant cost at 100 TB, where the two-column projection
+    is a small fraction of table width and usually fits the aggregate
+    cluster cache. The final returned assignment reads from the
+    original (uncached) frame so the cache can be released here.
+
     Returns (final assignment DataFrame, centroid matrix).
     """
     spark = vectors.sparkSession
-    cents = sample_init(vectors, k, id_col, vec_col)
+    base = vectors.select(id_col, vec_col)
+    if cache:
+        base = base.persist()
+    try:
+        cents = sample_init(base, k, id_col, vec_col)
 
-    mean_col = F.avg("x")
-    if round_to is not None:
-        mean_col = F.round(mean_col, round_to)
+        mean_col = F.avg("x")
+        if round_to is not None:
+            mean_col = F.round(mean_col, round_to)
 
-    for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-        )
-        assigned = assign_clusters(vectors, cdf, id_col, vec_col)
-        means = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(mean_col.alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).getField("m").alias("centroid")
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
             )
-        )
-        new = {r["cluster"]: [float(x) for x in r["centroid"]] for r in means.collect()}
-        cents = [new.get(i, cents[i]) for i in range(k)]
+            assigned = assign_clusters(base, cdf, id_col, vec_col)
+            means = (
+                assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(mean_col.alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).getField("m").alias("centroid")
+                )
+            )
+            new = {
+                r["cluster"]: [float(x) for x in r["centroid"]]
+                for r in means.collect()
+            }
+            cents = [new.get(i, cents[i]) for i in range(k)]
+    finally:
+        if cache:
+            base.unpersist()
 
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
