@@ -1,0 +1,125 @@
+"""Streaming ingest: the reference's import write path driven by
+Structured Streaming micro-batches.
+
+The reference imports documents one at a time through psycopg2 upserts
+(src/lib/database.py:58-215); its batch re-expression lives in
+operators/write.py. At lake scale the same workload arrives as a stream
+of files, so this module wires those idempotent batch upserts into a
+``foreachBatch`` sink: each micro-batch runs the SAME set-oriented
+anti-join/union upsert the batch path uses — the engine's stream-batch
+symmetry extended to the WRITE path.
+
+Exactly-once story: ``foreachBatch`` delivers a micro-batch at-least-once
+(a failed epoch is retried). The upsert is idempotent — re-applying a
+batch whose keys are already present inserts nothing — so at-least-once
+delivery composes to an exactly-once TABLE STATE, the standard pairing
+for non-transactional sinks.
+
+Table storage is a versioned parquet directory with a ``_CURRENT``
+pointer file (write new version → atomic pointer swap via os.replace).
+That is the dependency-free stand-in for a real table format: parquet
+files are immutable either way, and a production Delta/Iceberg MERGE
+also writes new files and swaps a pointer (its transaction log) — here
+the pointer is just visible. Readers resolve ``_CURRENT`` at plan time
+and only ever see a fully committed version; the upsert's read of the
+previous version and write of the next never touch the same files.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_pgvector_spark.operators import write as write_ops
+
+_POINTER = "_CURRENT"
+
+
+def current_version(root: str) -> str | None:
+    """Name of the committed version directory, or None before the first
+    commit."""
+    try:
+        with open(os.path.join(root, _POINTER), encoding="utf-8") as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def read_table(spark: SparkSession, root: str, schema_ddl: str) -> DataFrame:
+    """The committed table state (empty frame with the declared schema
+    before the first commit)."""
+    v = current_version(root)
+    if v is None:
+        return spark.createDataFrame([], schema_ddl)
+    return spark.read.parquet(os.path.join(root, v))
+
+
+def commit_table(df: DataFrame, root: str) -> str:
+    """Write ``df`` as the next version and atomically swap the pointer.
+
+    The parquet job is all-or-nothing (Spark's file-commit protocol); the
+    pointer swap is a single os.replace, so a crash between the two
+    leaves the table at the previous version — readers never observe a
+    partial commit."""
+    v = current_version(root)
+    nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
+    os.makedirs(root, exist_ok=True)
+    df.write.mode("errorifexists").parquet(os.path.join(root, nxt))
+    tmp = os.path.join(root, f".{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(nxt)
+    os.replace(tmp, os.path.join(root, _POINTER))
+    return nxt
+
+
+def upsert_sink(
+    root: str,
+    keys: Sequence[str],
+    schema_ddl: str,
+    id_col: str = "id",
+    batch_order: Sequence[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function maintaining a keyed dimension table.
+
+    Per epoch: read the committed state, run the null-safe dedup upsert
+    (operators/write.py — novel keys get ``max(id)+row_number`` ids),
+    commit the union as a new version. A retried epoch re-reads the
+    already-updated state, finds no novel keys, and commits an identical
+    version — idempotent by construction.
+    """
+
+    def apply(batch: DataFrame, _epoch_id: int) -> None:
+        spark = batch.sparkSession
+        existing = read_table(spark, root, schema_ddl)
+        merged = write_ops.upsert(
+            existing, batch, keys=list(keys), id_col=id_col, batch_order=batch_order
+        )
+        commit_table(merged, root)
+
+    return apply
+
+
+def run_upsert_stream(
+    stream_df: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    schema_ddl: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    batch_order: Sequence[str] | None = None,
+) -> None:
+    """Drain ``stream_df`` through the upsert sink with an availableNow
+    trigger (process everything staged, then stop — the batch-friendly
+    trigger; a production deployment drops the trigger and runs
+    continuously against the landing directory)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            upsert_sink(root, keys, schema_ddl, id_col, batch_order)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,135 @@
+"""Streaming write path: foreachBatch + idempotent upsert = exactly-once
+table state (streaming/ingest.py).
+
+Three properties, each a real readStream execution over staged files:
+
+1. stream-batch symmetry — streaming the rows file-by-file produces the
+   same KEY SET as one batch upsert, with dense unique ids;
+2. retry idempotence — re-applying an already-processed micro-batch (the
+   at-least-once failure mode foreachBatch exposes) leaves the committed
+   key/id state unchanged;
+3. version isolation — every commit is a new directory behind the
+   ``_CURRENT`` pointer; a reader holding the old version still works.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import write as write_ops
+from demo_pgvector_spark.streaming import ingest
+
+SCHEMA = "id long, name string"
+
+
+@pytest.fixture()
+def staged(tmp_path):
+    """Three arrival files with overlapping model names (m0..m5)."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    batches = [["m0", "m1", "m2"], ["m1", "m3"], ["m0", "m4", "m5", "m3"]]
+    return land, batches
+
+
+def _stage(spark, land, batches):
+    for i, names in enumerate(batches):
+        spark.createDataFrame(
+            [(n,) for n in names], "name string"
+        ).coalesce(1).write.parquet(str(land / f"arrival_{i}"))
+
+
+def test_stream_upsert_matches_batch_upsert(spark, tmp_path, staged):
+    land, batches = staged
+    _stage(spark, land, batches)
+    root = str(tmp_path / "models_table")
+
+    stream = (
+        spark.readStream.schema("name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{land}/arrival_*")
+    )
+    ingest.run_upsert_stream(
+        stream, root, keys=["name"], schema_ddl=SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = ingest.read_table(spark, root, SCHEMA)
+    rows = {r["name"]: r["id"] for r in got.collect()}
+
+    # same key set as the one-shot batch upsert
+    batch_all = spark.createDataFrame(
+        [(n,) for b in batches for n in b], "name string"
+    )
+    expect = write_ops.upsert(
+        spark.createDataFrame([], SCHEMA), batch_all, keys=["name"]
+    )
+    assert set(rows) == {r["name"] for r in expect.collect()} == {
+        "m0", "m1", "m2", "m3", "m4", "m5"
+    }
+    # dense unique ids regardless of arrival batching
+    assert sorted(rows.values()) == list(range(1, 7))
+    # earlier arrivals hold smaller ids (allocation is append-only)
+    assert rows["m0"] < rows["m3"] < rows["m4"]
+
+
+def test_retried_epoch_is_a_no_op(spark, tmp_path, staged):
+    land, batches = staged
+    root = str(tmp_path / "models_table")
+    sink = ingest.upsert_sink(root, keys=["name"], schema_ddl=SCHEMA)
+
+    for i, names in enumerate(batches):
+        sink(spark.createDataFrame([(n,) for n in names], "name string"), i)
+    before = sorted(
+        map(tuple, ingest.read_table(spark, root, SCHEMA).collect())
+    )
+    v_before = ingest.current_version(root)
+
+    # at-least-once: epoch 1 is delivered again after a "failure"
+    sink(spark.createDataFrame([(n,) for n in batches[1]], "name string"), 1)
+
+    after_df = ingest.read_table(spark, root, SCHEMA)
+    assert sorted(map(tuple, after_df.collect())) == before
+    # a new version was committed (the sink doesn't special-case no-ops)
+    # but its contents are identical — exactly-once state, not log
+    assert ingest.current_version(root) != v_before
+
+
+def test_reader_sees_only_committed_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sink = ingest.upsert_sink(root, keys=["name"], schema_ddl=SCHEMA)
+    sink(spark.createDataFrame([("a",)], "name string"), 0)
+    v1 = ingest.current_version(root)
+    old = spark.read.parquet(os.path.join(root, v1))  # reader pins v1
+
+    sink(spark.createDataFrame([("b",)], "name string"), 1)
+    assert ingest.current_version(root) != v1
+    # pinned reader still resolves: old files are never rewritten
+    assert [r["name"] for r in old.collect()] == ["a"]
+    assert ingest.read_table(spark, root, SCHEMA).count() == 2
+
+
+def test_streamed_source_dim_feeds_search_pipeline(spark, tmp_path):
+    """End-to-end: stream source metadata in, then use the committed dim
+    in a null-safe lookup (the reference's U2 read side)."""
+    root = str(tmp_path / "sources")
+    ddl = "id long, model_id long, author string, title string, year int"
+    sink = ingest.upsert_sink(
+        root, keys=list(write_ops.SOURCE_UNIQUE_KEYS), schema_ddl=ddl
+    )
+    b1 = spark.createDataFrame(
+        [(1, "Dick", "Second Variety", 1953), (1, None, "Anon Tract", None)],
+        "model_id long, author string, title string, year int",
+    )
+    sink(b1, 0)
+    sink(b1, 1)  # duplicate delivery
+    dim = ingest.read_table(spark, root, ddl)
+    assert dim.count() == 2
+    # null-safe key lookup finds the NULL-keyed row exactly once
+    hit = dim.filter(
+        F.col("author").eqNullSafe(F.lit(None).cast("string"))
+        & (F.col("title") == "Anon Tract")
+    )
+    assert hit.count() == 1
