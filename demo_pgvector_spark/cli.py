@@ -1,0 +1,167 @@
+"""The reference's user-facing command surface, 1:1, over a parquet
+warehouse.
+
+A user of the reference runs exactly three commands (tasks.py /
+cli/*.py):
+
+- ``import_doc  FILES... --model M``        (cli/import_doc.py:31)
+- ``search_doc_chunks PROMPT --limit 10 --threshold 0.7``
+                                            (cli/search_doc_chunks.py:42)
+- ``generate_text PROMPT --model M``        (cli/generate_text.py:162)
+
+This module exposes the same three verbs with the same parameters and
+defaults, so switching is a drop-in: Postgres+pgvector becomes a
+directory of the four engine tables (models / sources / source_chunks /
+source_chunk_data) stored as versioned parquet with atomic pointer
+commits (streaming/ingest.py machinery — a crash mid-import leaves the
+previous state visible, the job-level analog of the reference's
+transaction). ``generate_text`` is deterministic up to the byte-exact
+prompt; token sampling itself is the pluggable external LLM sink
+(interfaces.LLMClient), exactly as SURVEY §2.4 scopes it.
+
+Real files in, real answers out: ``.epub`` goes through the stdlib
+EPUB→text parser (operators/convert.py, no pandoc needed), ``.txt`` /
+``.md`` are read as UTF-8 text, and ``<file>.meta.yml`` sidecars are
+picked up automatically when present — the same corpus layout as the
+reference's examples/ directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark import pipeline
+from demo_pgvector_spark import tables as t
+from demo_pgvector_spark.operators import convert
+from demo_pgvector_spark.streaming import ingest
+
+DEFAULT_MODEL = pipeline.DEFAULT_MODEL_NAME
+
+_TABLE_SCHEMAS = {
+    "models": t.MODELS_SCHEMA,
+    "sources": t.SOURCES_SCHEMA,
+    "chunks": t.SOURCE_CHUNKS_SCHEMA,
+    "chunk_data": t.SOURCE_CHUNK_DATA_SCHEMA,
+}
+
+
+def load_state(spark: SparkSession, warehouse: str) -> dict[str, DataFrame]:
+    """The committed warehouse state (all tables empty before the first
+    import — the ``config/init.sql`` analog is just these schemas)."""
+    return {
+        name: ingest.read_table(spark, os.path.join(warehouse, name), schema)
+        for name, schema in _TABLE_SCHEMAS.items()
+    }
+
+
+def save_state(state: dict[str, DataFrame], warehouse: str) -> None:
+    """Commit every table as a new version behind its pointer. Tables
+    commit independently; the import recomputes from committed inputs,
+    so a crash between table commits is repaired by rerunning the
+    (idempotent) import."""
+    for name in _TABLE_SCHEMAS:
+        ingest.commit_table(state[name], os.path.join(warehouse, name))
+
+
+def _read_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """(doc_id, filepath, text) from real local files: EPUB via the
+    stdlib container parse, txt/md as UTF-8. Per-file work parallelizes
+    across the binaryFile scan; doc_id is the content-independent path
+    hash (stable across re-imports)."""
+    epubs = [f for f in files if f.lower().endswith(".epub")]
+    plains = [f for f in files if not f.lower().endswith(".epub")]
+    parts: list[DataFrame] = []
+    if epubs:
+        media = (
+            spark.read.format("binaryFile")
+            .load(epubs)
+            .select("path", "content")
+        )
+        parts.append(
+            convert.convert_epub_real(media).select(
+                F.regexp_replace("path", "^file:", "").alias("filepath"), "text"
+            )
+        )
+    if plains:
+        media = spark.read.format("binaryFile").load(plains)
+        parts.append(
+            media.select(
+                F.regexp_replace("path", "^file:", "").alias("filepath"),
+                F.decode(F.col("content"), "UTF-8").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("doc_id", F.xxhash64("filepath")).select(
+        "doc_id", "filepath", "text"
+    )
+
+
+def import_doc(
+    spark: SparkSession,
+    warehouse: str,
+    files: list[str],
+    model: str = DEFAULT_MODEL,
+    max_tokens: int = 256,
+) -> dict[str, DataFrame]:
+    """``inv import.doc-file`` / cli/import_doc.py: convert each file,
+    join its ``.meta.yml`` sidecar when present, upsert the model and
+    source dimensions, chunk, embed, append — then commit."""
+    if not files:
+        return load_state(spark, warehouse)
+    frame = _read_files(spark, files)
+    side_paths = [f + ".meta.yml" for f in files if os.path.exists(f + ".meta.yml")]
+    sidecars = (
+        convert.read_sidecar_yaml(spark, side_paths)
+        if side_paths
+        else spark.createDataFrame(
+            [],
+            "filepath string, author string, title string, text_type string,"
+            " genre string, publication_date string",
+        )
+    )
+    state = pipeline.import_documents(
+        spark,
+        frame,
+        sidecars,
+        load_state(spark, warehouse),
+        model_name=model,
+        max_tokens=max_tokens,
+    )
+    save_state(state, warehouse)
+    return state
+
+
+def search_doc_chunks(
+    spark: SparkSession,
+    warehouse: str,
+    prompt: str,
+    limit: int = 10,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """``inv search.doc-chunks`` / cli/search_doc_chunks.py: embed the
+    prompt, threshold-filtered cosine top-k with payloads."""
+    return pipeline.search_chunks(
+        load_state(spark, warehouse), prompt, top_k=limit, threshold=threshold
+    )
+
+
+def generate_text(
+    spark: SparkSession,
+    warehouse: str,
+    prompt: str,
+    model: str = DEFAULT_MODEL,  # noqa: ARG001 — parity with the reference signature
+    top_k: int = 5,
+    threshold: float = 0.01,
+) -> str:
+    """``inv generate.text`` / cli/generate_text.py up to its
+    deterministic boundary: retrieval, excerpt fold, template choice —
+    returns the byte-exact prompt the reference would hand its vLLM
+    client (src/lib/llms.py:14-30, the pluggable external sink)."""
+    return pipeline.generate_prompt(
+        load_state(spark, warehouse), prompt, top_k=top_k, threshold=threshold
+    )

@@ -1,0 +1,80 @@
+"""The three-command user surface (cli.py) — the reference's
+tasks.py example.load_and_query_1 as separate invocations against a
+persistent warehouse, on the reference's own example corpus.
+
+Each command call reloads state from disk (load_state), exactly like
+the reference's CLI processes reconnecting to Postgres — nothing is
+carried in memory between verbs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from demo_pgvector_spark import cli
+
+EXAMPLES = "/root/reference/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference examples not present"
+)
+
+
+def test_import_search_generate_roundtrip(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    books = sorted(glob.glob(f"{EXAMPLES}/*.epub"))
+
+    # invocation 1: import two books
+    cli.import_doc(spark, wh, books[:2])
+    st = cli.load_state(spark, wh)
+    assert st["sources"].count() == 2
+    n_chunks_2 = st["chunks"].count()
+    assert n_chunks_2 > 40
+
+    # invocation 2: import the remaining three (plus a re-import dupe)
+    cli.import_doc(spark, wh, books[1:])
+    st = cli.load_state(spark, wh)
+    assert st["models"].count() == 1
+    assert st["sources"].count() == 5  # books[1] upserted, not duplicated
+
+    # invocation 3: search (fresh state load, like a new CLI process)
+    hits = cli.search_doc_chunks(
+        spark, wh, "the robots and machines rise up", limit=5, threshold=0.0
+    ).collect()
+    assert len(hits) == 5
+    assert all(h["chunk_text"] for h in hits)
+
+    # invocation 4: generate — the with-context template fires and carries
+    # retrieved excerpts with their sidecar attribution
+    prompt = cli.generate_text(spark, wh, "Tell me about machines that build themselves")
+    assert "you found the following relevant information" in prompt
+    assert 'Excerpt from "' in prompt and ", by " in prompt
+
+    # no-context branch on an impossible threshold
+    none = cli.generate_text(
+        spark, wh, "anything", threshold=1.0 - 1e-12
+    )
+    assert "you found no relevant information" in none
+
+
+def test_plaintext_and_missing_sidecar(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    doc = tmp_path / "notes.txt"
+    doc.write_text("Plain text ingestion path. " * 50, encoding="utf-8")
+
+    cli.import_doc(spark, wh, [str(doc)])
+    st = cli.load_state(spark, wh)
+    assert st["sources"].count() == 1  # sidecar-less file still imports
+    hits = cli.search_doc_chunks(
+        spark, wh, "plain text ingestion", limit=3, threshold=0.0
+    ).collect()
+    assert hits and "Plain text" in hits[0]["chunk_text"]
+
+
+def test_empty_files_is_a_noop(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    st = cli.import_doc(spark, wh, [])
+    assert st["models"].count() == 0
