@@ -53,6 +53,7 @@ BENCH_KEYS = (
     "dedup_embedding",
     "text_fingerprint",
     "text_quality",
+    "text_repetition",
     "chunk_enrich",
     "chunk_bpe",
     "stream_window_counts",

@@ -99,6 +99,60 @@ def quality_score(c: Column) -> Column:
     return 0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as joined strings; empty array when the doc has
+    fewer than n tokens. Linear per row (sequence + transform — no
+    self-product), so the projection stays scan-fused at 100 TB."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_components(c: Column) -> dict[str, Column]:
+    """Repetition signals in the Gopher/MassiveText filter family: the
+    fraction of duplicated unigrams / bigrams / trigrams in the word
+    stream, and of duplicated lines. High values mark boilerplate,
+    keyword stuffing, and template spam — the pathology class the
+    length/stopword signals in ``quality_components`` cannot see.
+    (Document-level screens; corpus-level near-dup lives in
+    operators/dedup.py.)"""
+    toks = _tokens(c)
+    out: dict[str, Column] = {}
+    for n, name in ((1, "dup_unigram_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+        grams = toks if n == 1 else _ngrams(toks, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        out[name] = (total - distinct) / F.greatest(total, F.lit(1))
+    lines = F.split(c, "\n")
+    out["dup_line_frac"] = (F.size(lines) - F.size(F.array_distinct(lines))) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+    return out
+
+
+def repetition_flag(
+    c: Column,
+    max_dup_unigram: float = 0.3,
+    max_dup_bigram: float = 0.2,
+    max_dup_line: float = 0.3,
+) -> Column:
+    """Boolean screen: true when any repetition fraction exceeds its
+    threshold (defaults in the range the Gopher rules popularized)."""
+    r = repetition_components(c)
+    return (
+        (r["dup_unigram_frac"] > max_dup_unigram)
+        | (r["dup_bigram_frac"] > max_dup_bigram)
+        | (r["dup_line_frac"] > max_dup_line)
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """Order-sensitive polynomial rolling hash over the word stream:
     h_i = (31·h_{i-1} + hash32(w_i)) mod p. Same text → same value;

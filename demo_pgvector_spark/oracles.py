@@ -679,6 +679,40 @@ FROM q
 """
 
 
+O_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_O_TOKS} AS w, string_split(text, chr(10)) AS ln
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, ln,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+              ELSE CAST([] AS VARCHAR[]) END AS g2,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                                  i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])
+              ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(w)  - len(list_distinct(w))  AS DOUBLE) / greatest(len(w),  1) AS u,
+         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1) AS b,
+         CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1) AS tr,
+         CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE) / greatest(len(ln), 1) AS l
+  FROM g
+)
+SELECT doc_id,
+       ROUND(u, 6) AS dup_unigram_frac,
+       ROUND(b, 6) AS dup_bigram_frac,
+       ROUND(tr, 6) AS dup_trigram_frac,
+       ROUND(l, 6) AS dup_line_frac,
+       (u > 0.3 OR b > 0.2 OR l > 0.3) AS flagged
+FROM f
+"""
+
+
 O_TEXT_FINGERPRINT = f"""
 SELECT doc_id,
        list_reduce(

@@ -87,6 +87,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_FINGERPRINT,
     O_TEXT_LANG_ID,
     O_TEXT_QUALITY,
+    O_TEXT_REPETITION,
     O_TPCH_Q1,
     O_TPCH_Q3,
     O_TPCH_Q6,
@@ -1176,6 +1177,25 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-family repetition screen: per-document
+    duplicated unigram/bigram/trigram/line fractions + the boolean
+    filter flag. Pure Catalyst (sequence+transform n-grams — linear per
+    row, no self-product), scan-fused, shuffle-free; complements
+    quality_components, which can't see boilerplate/stuffing."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    r = textstats.repetition_components(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(r["dup_unigram_frac"], 6).alias("dup_unigram_frac"),
+        F.round(r["dup_bigram_frac"], 6).alias("dup_bigram_frac"),
+        F.round(r["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+        F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
+        textstats.repetition_flag(F.col("text")).alias("flagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 chunking + enrichment — operators/chunking.py (SURVEY M3)
 # ---------------------------------------------------------------------------
@@ -1601,6 +1621,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rows added in r3 (never verified by the driver yet), then the r2
     # green rows — so if the driver's window is a timeout rather than a
     # hard 50-row cap, the unverified rows are next in line.
+    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),

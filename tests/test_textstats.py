@@ -68,3 +68,39 @@ def test_token_counts_consistency(spark):
     assert r["ws"] == 6
     assert r["bpe"] == 9  # 6 words + 3 punctuation marks
     assert r["est"] == 8  # ceil(29/4)
+
+
+def test_repetition_flags_boilerplate_not_prose(spark):
+    rows = [
+        (0, "buy now " * 40),                       # 50% dup bigrams, stuffing
+        (1, "the quick brown fox jumps over the lazy dog while rain falls"),
+        (2, "line one\nline one\nline one\nline two"),  # duplicated lines
+        (3, ""),                                     # empty: all fractions 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textstats.repetition_components(F.col("text"))
+    got = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in r.items()],
+            textstats.repetition_flag(F.col("text")).alias("flagged"),
+        ).collect()
+    }
+    assert got[0]["flagged"] and got[0]["dup_bigram_frac"] > 0.9
+    assert not got[1]["flagged"] and got[1]["dup_trigram_frac"] == 0.0
+    # "the" repeats once in doc 1: 12 tokens, 11 distinct
+    assert abs(got[1]["dup_unigram_frac"] - 1 / 12) < 1e-9
+    assert got[2]["flagged"] and abs(got[2]["dup_line_frac"] - 0.5) < 1e-9
+    assert not got[3]["flagged"]
+    assert got[3]["dup_unigram_frac"] == got[3]["dup_line_frac"] == 0.0
+
+
+def test_repetition_short_docs_have_empty_ngram_sets(spark):
+    df = spark.createDataFrame([(0, "solo"), (1, "two words")], "doc_id long, text string")
+    r = textstats.repetition_components(F.col("text"))
+    rows = {x["doc_id"]: x for x in df.select(
+        "doc_id", *[c.alias(n) for n, c in r.items()]
+    ).collect()}
+    assert rows[0]["dup_bigram_frac"] == 0.0   # < n tokens -> empty grams
+    assert rows[1]["dup_trigram_frac"] == 0.0
