@@ -62,11 +62,15 @@ def commit_table(df: DataFrame, root: str) -> str:
     The parquet job is all-or-nothing (Spark's file-commit protocol); the
     pointer swap is a single os.replace, so a crash between the two
     leaves the table at the previous version — readers never observe a
-    partial commit."""
+    partial commit. The version directory is written with overwrite
+    semantics: until the pointer names it, no reader can hold it, so an
+    orphan left by a crash BETWEEN write and swap is simply rewritten by
+    the retry — the rerun self-repairs instead of erroring on the
+    leftover directory."""
     v = current_version(root)
     nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
     os.makedirs(root, exist_ok=True)
-    df.write.mode("errorifexists").parquet(os.path.join(root, nxt))
+    df.write.mode("overwrite").parquet(os.path.join(root, nxt))
     tmp = os.path.join(root, f".{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(nxt)

@@ -111,6 +111,31 @@ def test_reader_sees_only_committed_versions(spark, tmp_path):
     assert ingest.read_table(spark, root, SCHEMA).count() == 2
 
 
+def test_crashed_commit_is_repaired_by_retry(spark, tmp_path):
+    """A crash BETWEEN the version write and the pointer swap leaves an
+    orphaned version directory the pointer never names. The retried
+    commit must rewrite that directory and succeed — not error on the
+    leftover — and readers must end on the retried contents."""
+    root = str(tmp_path / "t")
+    sink = ingest.upsert_sink(root, keys=["name"], schema_ddl=SCHEMA)
+    sink(spark.createDataFrame([("a",)], "name string"), 0)
+    assert ingest.current_version(root) == "v000001"
+
+    # simulate the crash: v000002 written (with stale content), pointer
+    # never swapped
+    spark.createDataFrame([(99, "stale")], SCHEMA).write.parquet(
+        os.path.join(root, "v000002")
+    )
+    assert ingest.current_version(root) == "v000001"
+
+    sink(spark.createDataFrame([("b",)], "name string"), 1)
+    assert ingest.current_version(root) == "v000002"
+    got = sorted(
+        r["name"] for r in ingest.read_table(spark, root, SCHEMA).collect()
+    )
+    assert got == ["a", "b"]  # stale orphan fully replaced
+
+
 def test_streamed_source_dim_feeds_search_pipeline(spark, tmp_path):
     """End-to-end: stream source metadata in, then use the committed dim
     in a null-safe lookup (the reference's U2 read side)."""
