@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_pgvector_spark import pipeline
+from demo_pgvector_spark import interfaces, pipeline
 from demo_pgvector_spark import tables as t
 from demo_pgvector_spark.operators import convert
 from demo_pgvector_spark.streaming import ingest
@@ -157,11 +157,23 @@ def generate_text(
     model: str = DEFAULT_MODEL,  # noqa: ARG001 — parity with the reference signature
     top_k: int = 5,
     threshold: float = 0.01,
+    client: "interfaces.LLMClient | None" = None,
+    max_tokens: int = 5000,
+    temperature: float = 0.8,
 ) -> str:
-    """``inv generate.text`` / cli/generate_text.py up to its
-    deterministic boundary: retrieval, excerpt fold, template choice —
-    returns the byte-exact prompt the reference would hand its vLLM
-    client (src/lib/llms.py:14-30, the pluggable external sink)."""
-    return pipeline.generate_prompt(
+    """``inv generate.text`` / cli/generate_text.py: retrieval, excerpt
+    fold, template choice — then, when a ``client`` is bound, the
+    generation sink itself (reference cli/generate_text.py:178-183).
+
+    With ``client=None`` (default) returns the byte-exact prompt the
+    reference would hand vLLM (src/lib/llms.py:14-30) — the deterministic
+    boundary the correctness gate checks. Passing any
+    ``interfaces.LLMClient`` (e.g. ``rag.DeterministicLLMClient()``, or a
+    real vLLM/HTTP binding) returns the completion instead; corpus-scale
+    batch generation goes through ``rag.generate_batch``."""
+    text = pipeline.generate_prompt(
         load_state(spark, warehouse), prompt, top_k=top_k, threshold=threshold
     )
+    if client is None:
+        return text
+    return client.generate([text], max_tokens=max_tokens, temperature=temperature)[0]

@@ -16,7 +16,7 @@ conformance test (tests/test_interfaces.py) asserts the bindings.
 | EmbeddingQueryProvider.similar (:36-44)    | EmbeddingQueryProvider |
 | SettingsProvider (:59-62)                  | EngineSettings (data)  |
 | PostgresqlConnectionProvider (:53-56)      | — (no wire protocol: storage is Parquet) |
-| TextGenerator / LLMModelProvider (:16-19,:47-50) | — (external generation sink, out of the relational surface) |
+| TextGenerator / LLMModelProvider (:16-19,:47-50) | LLMClient (generation sink) |
 """
 
 from __future__ import annotations
@@ -62,6 +62,22 @@ class EmbeddingQueryProvider(Protocol):
         top_k: int = ...,
         threshold: float = ...,
     ) -> DataFrame: ...
+
+
+@runtime_checkable
+class LLMClient(Protocol):
+    """The generation sink — the reference's planned ``TextGenerator`` /
+    ``LLMModelProvider`` (src/lib/interfaces.py:16-19, :47-50), realized
+    there by a vLLM singleton (src/lib/llms.py:14-30). The engine form is
+    batch-oriented: a list of fully-assembled prompts in, one completion
+    per prompt out, so one client call amortizes model overhead across an
+    Arrow batch. Generation itself stays EXTERNAL to the relational
+    correctness surface (nondeterministic sampling, GPU residency);
+    everything up to the prompt string is exact and oracle-checked."""
+
+    def generate(
+        self, prompts: list[str], max_tokens: int = ..., temperature: float = ...
+    ) -> list[str]: ...
 
 
 @dataclass(frozen=True)

@@ -96,3 +96,76 @@ def contextualized_prompt(agg: DataFrame, prompt: str) -> DataFrame:
         .otherwise(F.format_string(WITH_CONTEXT_TEMPLATE, p, ctx, p))
         .alias("prompt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generation sink (reference cli/generate_text.py:162-191 + src/lib/llms.py:
+# 14-30): the reference drives ONE prompt through a vLLM singleton on the
+# driver. The engine's scale shape is batch inference over a DataFrame of
+# prompts — mapInPandas, with the (heavyweight, unpicklable) client built
+# once per PARTITION from a factory and fed whole Arrow batches, so model
+# load is amortized and nothing but strings crosses the Arrow boundary.
+# ---------------------------------------------------------------------------
+
+
+class DeterministicLLMClient:
+    """The pluggable stand-in where vLLM would bind (interfaces.LLMClient).
+
+    Real sampling is external by design (GPU, nondeterministic — SURVEY
+    §2.9 scopes it out of the correctness surface); this client makes the
+    END-TO-END generate path executable and testable by emitting a
+    deterministic completion: a fixed header plus a sha256-derived tag of
+    the prompt, truncated to ``max_tokens`` whitespace tokens. Swapping in
+    a real client changes no engine code — only the factory passed to
+    ``generate_batch`` / ``cli.generate_text``."""
+
+    def __init__(self, model_name: str = "deterministic-echo"):
+        self.model_name = model_name
+
+    def generate(
+        self,
+        prompts: list[str],
+        max_tokens: int = 5000,
+        temperature: float = 0.8,  # noqa: ARG002 — parity with the reference signature
+    ) -> list[str]:
+        import hashlib
+
+        out = []
+        for p in prompts:
+            tag = hashlib.sha256(p.encode("utf-8")).hexdigest()[:12]
+            text = f"[{self.model_name}:{tag}] response to a {len(p)}-char prompt"
+            out.append(" ".join(text.split()[: int(max_tokens)]))
+        return out
+
+
+def generate_batch(
+    prompts: DataFrame,
+    client_factory=DeterministicLLMClient,
+    prompt_col: str = "prompt",
+    max_tokens: int = 5000,
+    temperature: float = 0.8,
+) -> DataFrame:
+    """Distributed generation: one ``generated`` string per prompt row.
+
+    ``client_factory`` is called once per partition (NOT per row, NOT
+    pickled as an instance) — the pattern for executor-resident model
+    state: a vLLM/HTTP client constructed lazily where the work runs.
+    Per-row map work over Arrow batches; no shuffle."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in prompts.schema)
+
+    def gen(batches):
+        client = client_factory()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["generated"] = pd.Series(
+                client.generate(
+                    list(pdf[prompt_col]), max_tokens=max_tokens, temperature=temperature
+                ),
+                index=pdf.index,
+                dtype="object",
+            )
+            yield pdf
+
+    return prompts.mapInPandas(gen, f"{fields}, generated string")

@@ -59,6 +59,23 @@ def test_import_search_generate_roundtrip(spark, tmp_path):
     )
     assert "you found no relevant information" in none
 
+    # invocation 5: the generation sink itself, with the deterministic
+    # client bound (reference cli/generate_text.py:178-183 with vLLM)
+    from demo_pgvector_spark.operators import rag
+
+    done = cli.generate_text(
+        spark,
+        wh,
+        "Tell me about machines that build themselves",
+        client=rag.DeterministicLLMClient("m"),
+    )
+    assert done.startswith("[m:") and "response to a" in done
+    # deterministic: same warehouse + prompt → same completion
+    assert done == cli.generate_text(
+        spark, wh, "Tell me about machines that build themselves",
+        client=rag.DeterministicLLMClient("m"),
+    )
+
 
 def test_plaintext_and_missing_sidecar(spark, tmp_path):
     wh = str(tmp_path / "warehouse")
@@ -72,6 +89,25 @@ def test_plaintext_and_missing_sidecar(spark, tmp_path):
         spark, wh, "plain text ingestion", limit=3, threshold=0.0
     ).collect()
     assert hits and "Plain text" in hits[0]["chunk_text"]
+
+
+def test_generate_batch_is_distributed_and_deterministic(spark):
+    """Corpus-scale generation: one completion per prompt row via
+    mapInPandas, client built per partition — order-independent and
+    identical to driving the client directly."""
+    from demo_pgvector_spark.operators import rag
+
+    prompts = spark.createDataFrame(
+        [(i, f"prompt number {i}") for i in range(20)], "qid int, prompt string"
+    ).repartition(4)
+    got = {
+        r["qid"]: r["generated"]
+        for r in rag.generate_batch(prompts, max_tokens=16).collect()
+    }
+    client = rag.DeterministicLLMClient()
+    want = client.generate([f"prompt number {i}" for i in range(20)], max_tokens=16)
+    assert got == {i: w for i, w in enumerate(want)}
+    assert len(set(got.values())) == 20  # prompt-dependent outputs
 
 
 def test_empty_files_is_a_noop(spark, tmp_path):

@@ -5,10 +5,20 @@ from __future__ import annotations
 
 from demo_pgvector_spark import interfaces, pipeline
 from demo_pgvector_spark.functions import embedding
+from demo_pgvector_spark.operators import rag
 
 
 def test_embedding_generator_conformance():
     assert isinstance(embedding.hash_embed, interfaces.EmbeddingGenerator)
+
+
+def test_llm_client_conformance():
+    client = rag.DeterministicLLMClient()
+    assert isinstance(client, interfaces.LLMClient)
+    out = client.generate(["prompt one", "prompt two"], max_tokens=4)
+    assert len(out) == 2 and out[0] != out[1]  # prompt-dependent
+    assert out == client.generate(["prompt one", "prompt two"], max_tokens=4)
+    assert all(len(c.split()) <= 4 for c in out)
 
 
 def test_ingestor_conformance():
