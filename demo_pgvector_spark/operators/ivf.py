@@ -12,10 +12,10 @@ Centroid choice is pluggable: the CORRECTNESS row uses fixed seed
 vectors (deterministic, oracle-replicable — cross-engine argmin margins
 on the testdata are ≥1e-5, nine orders above float noise); real
 deployments train with ``kmeans_lloyd`` below — Lloyd's algorithm as
-pure DataFrame ops, iterating assignment (broadcast centroids → argmax
-similarity) and update (element-wise mean via posexplode) with only the
-k×dim centroid matrix ever touching the driver between iterations (the
-same shape MLlib's KMeans uses).
+pure DataFrame ops, iterating assignment (driver-resident centroids
+inlined into a shuffle-free argmax projection) and update (element-wise
+mean via posexplode) with only the k×dim centroid matrix ever touching
+the driver between iterations (the same shape MLlib's KMeans uses).
 """
 
 from __future__ import annotations
@@ -102,6 +102,59 @@ def ivf_topk(
     )
 
 
+def assign_clusters_inline(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster) against DRIVER-KNOWN centroids — a pure
+    projection, ZERO shuffle.
+
+    ``assign_clusters`` above (centroids as a DataFrame) costs a
+    crossJoin(broadcast) + a groupBy(id) exchange per call; inside the
+    Lloyd loop that shuffles the whole vector table every iteration. When
+    the centroid matrix lives on the driver (always true mid-Lloyd — it
+    was just collected) the k scores can instead be one array expression:
+    centroids are pre-NORMALIZED driver-side so each score is a plain dot
+    product, and ``argmax_i dot(v, c_i/|c_i|) = argmax_i cosine(v, c_i)``
+    because the common 1/|v| factor never changes the winner. Ties go to
+    the LOWEST cid (``array_position`` returns the first match) —
+    identical to assign_clusters' ``max_by(cid, struct(sim, -cid))``.
+
+    Built as ONE parsed SQL string: k·dim literals via F.array/F.lit cost
+    ~65 Py4J round-trips each (see functions/vector.py
+    query_vector_literal); one expr string is a single round-trip.
+    """
+    import math
+
+    dots = []
+    for c in cents:
+        n = math.sqrt(sum(float(x) * float(x) for x in c))
+        unit = [float(x) / n if n > 0 else 0.0 for x in c]
+        lit = "array(" + ",".join(f"{x!r}D" for x in unit) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_col}, {lit},"
+            " (x, y) -> double(x) * y), 0D, (a, x) -> a + x)"
+        )
+    scores = "array(" + ", ".join(dots) + ")"
+    # Two selects on purpose: HOF lambdas are opaque to codegen CSE, so
+    # referencing the scores expression twice (argmax needs max + position)
+    # would compute all k dot products twice per row. Projected first, the
+    # argmax reads the materialized column; CollapseProject keeps expensive
+    # multi-referenced aliases in their own projection.
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col), F.expr(scores).alias("_scores")
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr("cast(array_position(_scores, array_max(_scores)) - 1 as int)").alias(
+            "cluster"
+        ),
+    )
+
+
 DEFAULT_OVERSAMPLE = 8
 
 
@@ -160,12 +213,14 @@ def kmeans_lloyd(
     cache: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means on DataFrames: one-pass sampled farthest-point
-    init (``sample_init``), then ``iters`` rounds of assign (broadcast
-    centroids, argmax cosine, ties to lowest cid) + update (element-wise
-    mean via posexplode → groupBy(cluster, dim position) → re-collect).
-    Only the k×dim centroid matrix is collected per iteration; every
-    per-row step is distributed. Empty clusters keep their previous
-    centroid.
+    init (``sample_init``), then ``iters`` rounds of assign
+    (``assign_clusters_inline`` — a shuffle-FREE projection, since the
+    centroid matrix is driver-resident between iterations; argmax cosine,
+    ties to lowest cid) + update (element-wise mean via posexplode →
+    groupBy(cluster, dim position) → re-collect). Per iteration the only
+    exchange is the k×dim partial-aggregated mean update, and only the
+    k×dim centroid matrix is collected; every per-row step is
+    distributed. Empty clusters keep their previous centroid.
 
     ``round_to``: centroid means are quantized to this many decimals
     after every update (None disables). 1e-6 is far below any cluster-
@@ -185,7 +240,6 @@ def kmeans_lloyd(
 
     Returns (final assignment DataFrame, centroid matrix).
     """
-    spark = vectors.sparkSession
     base = vectors.select(id_col, vec_col)
     if cache:
         base = base.persist()
@@ -197,10 +251,7 @@ def kmeans_lloyd(
             mean_col = F.round(mean_col, round_to)
 
         for _ in range(iters):
-            cdf = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-            )
-            assigned = assign_clusters(base, cdf, id_col, vec_col)
+            assigned = assign_clusters_inline(base, cents, id_col, vec_col)
             means = (
                 assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
                 .groupBy("cluster", "pos")
@@ -221,7 +272,4 @@ def kmeans_lloyd(
         if cache:
             base.unpersist()
 
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-    )
-    return assign_clusters(vectors, cdf, id_col, vec_col), cents
+    return assign_clusters_inline(vectors, cents, id_col, vec_col), cents
