@@ -102,6 +102,60 @@ def ivf_topk(
     )
 
 
+def ivf_topk_inline(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` for DRIVER-KNOWN centroids (the common case: they
+    were just trained or loaded) — the zero-shuffle probe plan:
+
+        scan → inline argmax projection (``assign_clusters_inline``) →
+        ``cluster IN (top-nprobe ids)`` filter → TakeOrderedAndProject
+
+    ``ivf_topk`` above must broadcast-join the centroid DataFrame and
+    re-group by vector id (an exchange over every row); here cluster
+    membership is a projected column and the probe set is ``nprobe``
+    integer literals, so the big side never shuffles at all — the same
+    plan shape a partition-pruned read of write-time-clustered data
+    gives. Centroid RANKING stays a Spark job over the k-row centroid
+    frame (collecting ``nprobe`` ints), keeping its float semantics and
+    tie-break identical to ``ivf_topk``'s."""
+    spark = vectors.sparkSession
+    q = query_vector_literal(qvec)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    probe_ids = [
+        r["cid"]
+        for r in cdf.select(
+            "cid", cosine_similarity(F.col("cv"), q).alias("_csim")
+        )
+        .orderBy(F.col("_csim").desc(), F.col("cid").asc())
+        .limit(int(nprobe))
+        .collect()
+    ]
+    cand = assign_clusters_inline(vectors, cents, id_col, vec_col).filter(
+        F.col("cluster").isin(probe_ids)
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("similarity_score")
+    )
+    top = scored.orderBy(
+        F.col("similarity_score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "similarity_score", F.row_number().over(w).alias("rank")
+    )
+
+
 def assign_clusters_inline(
     vectors: DataFrame,
     cents: list[list[float]],

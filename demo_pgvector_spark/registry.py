@@ -1271,15 +1271,25 @@ def q_vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: fixed seed centroids (vec_id < 16 — deterministic and
     oracle-replicable; production would train via operators/ivf.py
     kmeans_lloyd), nprobe=4 cluster probe, exact re-rank of cluster
-    members only. Cross-engine argmin margins ≥1e-5 on this data."""
+    members only. Cross-engine argmin margins ≥1e-5 on this data.
+
+    Round 3: probes through ``ivf_topk_inline`` — the 16 seed vectors are
+    collected once (16×64 doubles) and inlined, so the big side is scan →
+    argmax projection → IN-filter → top-k with ZERO data exchange
+    (previously a broadcast crossJoin + full groupBy(vec_id) per probe)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cv")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").cast("int").alias("cid"), "embedding")
+        .collect()
     )
-    out = ivf_ops.ivf_topk(
+    cents: list[list[float]] = [None] * len(seed_rows)  # type: ignore[list-item]
+    for r in seed_rows:
+        cents[r["cid"]] = [float(x) for x in r["embedding"]]
+    out = ivf_ops.ivf_topk_inline(
         emb.select("vec_id", "embedding"),
-        centroids,
+        cents,
         _query_vec(spark, sf_dir),
         k=10,
         nprobe=4,

@@ -71,6 +71,31 @@ def test_ivf_search_on_clustered_data(spark, clustered_df):
     assert got == _exact_topk(rows, np.array(q), 10)
 
 
+def test_ivf_inline_matches_dataframe_path(spark, clustered_df):
+    """``ivf_topk_inline`` (driver-known centroids, zero-shuffle probe)
+    must return exactly what the DataFrame-centroid ``ivf_topk`` does —
+    same hits, same ranks — and its physical plan must contain no hash or
+    range exchange (the big side never shuffles)."""
+    import re
+
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    rows = _clustered()
+    q = rows[0][1]
+    df_out = ivf.ivf_topk(clustered_df, cdf, q, k=10, nprobe=2)
+    inline_out = ivf.ivf_topk_inline(clustered_df, cents, q, k=10, nprobe=2)
+    want = [(r["vec_id"], r["rank"]) for r in df_out.collect()]
+    got = [(r["vec_id"], r["rank"]) for r in inline_out.collect()]
+    assert got == want
+
+    plan = inline_out._jdf.queryExecution().executedPlan().toString()
+    # post-limit rank window over <=k rows is a SinglePartition exchange;
+    # hash/range exchanges over the data are what must not appear
+    assert not re.findall(r"Exchange (hash|range)partitioning", plan), plan
+
+
 def test_sample_init_deterministic_and_spread(spark, clustered_df):
     """One-pass sampled init: deterministic across calls, returns k
     distinct seeds, and greedy max-min refinement spreads them — on 8
