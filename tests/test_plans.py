@@ -155,10 +155,12 @@ def test_chunk_bpe_single_exchange(spark):
     assert "ObjectHashAggregate" in plan
 
 
-def test_kmeans_assignment_single_aggregation(spark):
-    """The kmeans output (final assignment) must be a broadcast of the
-    k-row centroid table + one aggregation over the big side — never a
-    shuffle of the vectors against the centroids."""
+def test_kmeans_assignment_is_shuffle_free_projection(spark):
+    """The kmeans output (final assignment) must be the inlined-centroid
+    argmax PROJECTION — no join, no aggregation, no exchange of any kind
+    over the vector table (round 3: replaced the broadcast-join +
+    groupBy(vec_id) shape, which exchanged every row per Lloyd step)."""
     plan = _plan(spark, "cluster_kmeans")
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    assert "array_position" in plan  # the inlined argmax
+    for op in ("Exchange", "Join", "HashAggregate"):
+        assert op not in plan, f"unexpected {op} in:\n{plan}"

@@ -1,0 +1,82 @@
+"""Scaling-curve runner: time a set of registry keys at several data
+scales and print one JSON object per scale plus per-key growth ratios.
+
+Usage:
+    python tools/scale_curve.py DIR [DIR ...]
+        [--keys k1,k2,...] [--label L1,L2,...]
+
+The key set defaults to the scale-safe bench subset: the two
+output-quadratic dedup rows (dedup_minhash_pairs, dedup_embedding) are
+excluded because replicated corpora multiply their RESULT size
+quadratically (every replica pair is a true near-dup), which measures
+output volume, not operator scaling — SCALE.md discusses them
+separately. Use --keys to override.
+
+A 10×/30× replica is built with the SCALE.md recipe (small row groups +
+SPARK_GRAFT_MAX_PARTITION_BYTES=8m so the scanner can actually split
+single local files; without that, document-bound ops serialize on one
+task and look 13-19× instead of ~3×).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_KEYS = (
+    "vec_sim_topk", "vec_knn_join", "rag_prompt_context",
+    "upsert_source", "ins_chunk_txn",
+    "tpch_q1", "tpch_q3", "tpch_q6", "join_lineitem_orders",
+    "vec_ann_topk", "vec_ivf_topk", "cluster_kmeans", "join_asof",
+    "emb_hash_embed", "dedup_exact", "text_fingerprint", "text_quality",
+    "text_repetition", "chunk_enrich", "chunk_bpe",
+    "stream_window_counts", "stream_session_windows",
+    "mm_decode_image", "agg_word_counts",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dirs", nargs="+")
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--labels", default=None)
+    args = ap.parse_args()
+    keys = [k for k in args.keys.split(",") if k]
+    labels = args.labels.split(",") if args.labels else args.dirs
+
+    from demo_pgvector_spark import registry
+    from demo_pgvector_spark.session import get_session
+
+    spark = get_session("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[str, float]] = {}
+    for label, d in zip(labels, args.dirs):
+        registry.REGISTRY["vec_sim_topk"][0](spark, d).collect()  # warm
+        t: dict[str, float] = {}
+        for key in keys:
+            entry = registry.REGISTRY.get(key)
+            fn = entry[0] if entry else getattr(registry, f"q_{key}")
+            t0 = time.time()
+            fn(spark, d).collect()
+            t[key] = round(time.time() - t0, 3)
+        results[label] = t
+        print(json.dumps({"scale": label, "total": round(sum(t.values()), 2),
+                          "queries": t}), flush=True)
+
+    if len(labels) > 1:
+        base = results[labels[0]]
+        ratios = {
+            k: {lb: round(results[lb][k] / base[k], 2) for lb in labels[1:]}
+            for k in keys
+        }
+        print(json.dumps({"ratios_vs_" + labels[0]: ratios}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
