@@ -31,10 +31,15 @@ DEFAULT_WATERMARK = "10 minutes"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet. The file carries
-    TIMESTAMP(NANOS) → with ``nanosAsLong`` set (session construction)
-    it surfaces as a long that we truncate to micros, exactly like the
-    batch loader (tables.load)."""
+    """``readStream`` over the events parquet, normalizing ``ts`` to a
+    session-timezone TIMESTAMP exactly like the batch loader
+    (tables.load): TIMESTAMP(NANOS) data surfaces as a long (via the
+    ``nanosAsLong`` conf set at session construction) and is truncated
+    to micros; TIMESTAMP_MICROS(isAdjustedToUTC=0) data surfaces as
+    TIMESTAMP_NTZ and is cast to TIMESTAMP — the session timezone is
+    pinned UTC, so the instant is unambiguous. The cast matters in
+    streaming: ``withWatermark`` rejects NTZ event-time columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on Spark 4.x)."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource monitors a DIRECTORY; the testdata table is a
     # single file, so stage a symlink dir (a real deployment points this
@@ -49,8 +54,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(batch_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -76,19 +76,26 @@ SOURCE_CHUNK_DATA_SCHEMA = T.StructType(
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; plain parquet scan → full pushdown support.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects unless the session-level conf
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set (done once at session
-    construction — ``session.get_session`` / ``session.tune_session`` — NOT
-    mutated here); with it set, the column arrives as raw nanos LongType and
-    is truncated to micros (same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP).
+    ``events.ts`` is normalized to a session-timezone TIMESTAMP whatever
+    the parquet physical type: TIMESTAMP(NANOS) data arrives as raw nanos
+    LongType (the ``spark.sql.legacy.parquet.nanosAsLong`` conf is set once
+    at session construction — ``session.get_session`` /
+    ``session.tune_session`` — NOT mutated here) and is truncated to micros
+    (same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP);
+    TIMESTAMP_MICROS(isAdjustedToUTC=0) data arrives as TIMESTAMP_NTZ and is
+    cast to TIMESTAMP — the session timezone is pinned UTC, so the instant
+    is unambiguous and downstream event-time ops (watermarks reject NTZ)
+    work on both batch and stream paths.
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
