@@ -138,6 +138,24 @@ FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
 """
 
 
+# Composite row: proj_similarity + filt_threshold + join_chunk_data as
+# branch-tagged sparse union (round-4 consolidation).
+O_PROJ_SIM_FAMILY = f"""
+SELECT 'proj' AS branch, CAST(id AS BIGINT) AS id, similarity_score,
+       chunk_text, CAST(NULL AS VARCHAR) AS lang,
+       metadata_source AS source, CAST(NULL AS INTEGER) AS label
+FROM ({O_PROJ_SIMILARITY})
+UNION ALL
+SELECT 'filt', CAST(vec_id AS BIGINT), similarity_score,
+       NULL, NULL, NULL, NULL
+FROM ({O_FILT_THRESHOLD})
+UNION ALL
+SELECT 'join', CAST(vec_id AS BIGINT), CAST(NULL AS DOUBLE),
+       chunk_text, lang, source, label
+FROM ({O_JOIN_CHUNK_DATA})
+"""
+
+
 O_CLASSIFY_SOURCE_TYPE = """
 WITH staged AS (
   SELECT doc_id,
@@ -171,13 +189,22 @@ FROM (
 """
 
 
-O_STR_SCALARS = """
+O_STR_SCALARS = r"""
+WITH toks AS (
+  SELECT doc_id, text, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
 SELECT doc_id,
        CASE WHEN length(text) > 500 THEN substring(text, 1, 500) || '...'
             ELSE text END AS display_text,
        length(text) AS n_len,
-       lower(trim('  ' || upper(source) || ' ' || chr(9))) AS normalized
-FROM documents
+       lower(trim('  ' || upper(source) || ' ' || chr(9))) AS normalized,
+       CAST(len(t) AS INTEGER) AS n_tokens, t[1] AS first_token,
+       sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+       CAST(('0x' || substring(sha256(text), 1, 8))::UBIGINT AS BIGINT) AS base_seed
+FROM toks
 """
 
 
@@ -552,6 +579,26 @@ SELECT doc_id, CAST(u.f AS INT) AS frame_no,
        md5('vid:' || doc_id || ':' || u.f) AS frame_hex
 FROM v CROSS JOIN (SELECT unnest(range(6)) AS f) u
 WHERE u.f < v.nf
+"""
+
+
+# Composite row: all three modality pipelines as a branch-tagged sparse
+# union (round-4 consolidation).
+O_MM_MEDIA = f"""
+SELECT 'image' AS branch, doc_id, width, height, n_pixels, mean_intensity,
+       max_intensity, min_intensity,
+       CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS INTEGER) AS n_samples,
+       CAST(NULL AS DOUBLE) AS mean_amp, CAST(NULL AS DOUBLE) AS rms,
+       CAST(NULL AS INTEGER) AS frame_no, CAST(NULL AS VARCHAR) AS frame_hex
+FROM ({O_MM_DECODE_IMAGE})
+UNION ALL
+SELECT 'audio', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+       sample_rate, n_samples, mean_amp, rms, NULL, NULL
+FROM ({O_MM_AUDIO_FEATURES})
+UNION ALL
+SELECT 'video', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, frame_no, frame_hex
+FROM ({O_MM_FRAME_SAMPLE})
 """
 
 
@@ -946,6 +993,57 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sh sa ON c.id_a = sa.doc_id
 JOIN sh sb ON c.id_b = sb.doc_id
+"""
+
+
+# Pairs → keeper assignment: connected components of the minhash pair
+# graph. The recursive walk collects every label reachable over the
+# symmetric edge set; MIN over reachable labels (plus the node's own id)
+# is the component minimum — identical to min-label propagation at its
+# fixed point (operators/dedup.py dedup_assign).
+O_DEDUP_ASSIGN = f"""
+WITH RECURSIVE pairs AS ({O_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+)
+SELECT id, MIN(lbl) AS keeper_id, MIN(lbl) = id AS is_keeper
+FROM walk GROUP BY id
+"""
+
+
+# Streaming ingest replay: three micro-batches (event_id % 3, processed
+# in batch order), each applying the write-path upsert — within-batch
+# first-event-wins dedup (batch_order = event_id), novel-keys-only across
+# batches, ids = max(id so far) + row_number over user_id ASC NULLS FIRST
+# per batch ≡ one global row_number over (batch, user_id).
+O_STREAM_INGEST = """
+WITH tagged AS (
+  SELECT event_id % 3 AS b, event_id, user_id, event_type, ROUND(value, 6) AS value
+  FROM events
+),
+batch_winner AS (
+  SELECT * FROM (
+    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY b, user_id
+                                   ORDER BY event_id ASC NULLS FIRST) AS rn
+    FROM tagged t
+  ) WHERE rn = 1
+),
+first_batch AS (
+  SELECT * FROM (
+    SELECT w.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b ASC) AS rn2
+    FROM batch_winner w
+  ) WHERE rn2 = 1
+)
+SELECT ROW_NUMBER() OVER (ORDER BY b ASC, user_id ASC NULLS FIRST) AS id,
+       event_id, user_id, event_type, value
+FROM first_batch
 """
 
 

@@ -23,28 +23,34 @@ from demo_pgvector_spark import registry
 SF = "/root/testdata/sf0.001"
 
 # Keys that MUST sit inside the driver's 50-row correctness window:
-# the full SURVEY §2 surface (after the round-3 consolidation mapping
+# the full SURVEY §2 surface (after the round-3/4 consolidation mapping
 # documented in SURVEY.md §2) + all four LLM-pipeline pillars.
 WINDOW_REQUIRED = {
     # reference surface (filt_predicates carries filt_model_eq +
     # filt_nullsafe; rag_prompts both template branches; stream_windows
-    # tumbling + sliding; vec_cosine_dist also carries math_norm)
-    "vec_sim_topk", "vec_cosine_dist", "proj_similarity",
-    "filt_threshold", "filt_predicates", "join_chunk_data",
-    "classify_source_type", "extract_year", "str_scalars", "str_tokenize",
-    "agg_word_counts", "json_metadata", "emb_hash_embed", "emb_generate",
-    "hash_sha256", "src_route", "filt_files", "meta_sidecar",
+    # tumbling + sliding; vec_cosine_dist also carries math_norm;
+    # str_scalars carries str_tokenize + hash_sha256/md5 since r4;
+    # proj_sim_family carries proj_similarity + filt_threshold +
+    # join_chunk_data since r4)
+    "vec_sim_topk", "vec_cosine_dist", "proj_sim_family",
+    "filt_predicates", "classify_source_type", "extract_year",
+    "str_scalars", "agg_word_counts", "json_metadata", "emb_hash_embed",
+    "emb_generate", "src_route", "filt_files", "meta_sidecar",
     "sink_stdout", "src_convert_epub", "chunk_docling", "chunk_enrich",
     "win_chunk_number", "upsert_model", "upsert_source", "ins_chunk_txn",
     "agg_context_concat", "rag_prompts", "stream_windows",
-    "stream_session_windows", "stream_dedup",
+    "stream_session_windows", "stream_dedup", "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
+    # (mm_media carries all three modality pipelines since r4)
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
-    "cluster_kmeans", "chunk_bpe", "mm_decode_image", "mm_audio_features",
-    "mm_frame_sample", "text_lang_id", "text_quality", "text_fingerprint",
-    # TPC-H family (VERDICT r2: needs green rows this round)
+    "dedup_embedding", "dedup_assign", "vec_ann_topk", "vec_ann_join",
+    "vec_ivf_topk", "cluster_kmeans", "chunk_bpe", "mm_media",
+    "text_lang_id", "text_quality", "text_fingerprint",
+    "text_repetition",
+    # TPC-H family (VERDICT r2: needs green rows)
     "tpch_q1", "tpch_q3", "tpch_q6", "join_lineitem_orders",
+    # r3 tail analytics rotated in per VERDICT r3 (never driver-verified)
+    "win_running_total", "agg_pivot", "agg_percentiles",
 }
 
 
