@@ -139,7 +139,7 @@ def ivf_topk_inline(
         .limit(int(nprobe))
         .collect()
     ]
-    cand = assign_clusters_inline(vectors, cents, id_col, vec_col).filter(
+    cand = assign_clusters_auto(vectors, cents, id_col, vec_col).filter(
         F.col("cluster").isin(probe_ids)
     )
     scored = cand.select(
@@ -153,6 +153,43 @@ def ivf_topk_inline(
     w = Window.orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
     return top.select(
         id_col, "similarity_score", F.row_number().over(w).alias("rank")
+    )
+
+
+# Ceiling for the inline-literal assignment strategy: above this many
+# k·dim double literals the single projected SQL expression stops being a
+# win — expression-tree build, parse, and (interpreted) eval cost all grow
+# linearly with k·dim, and at IVF-realistic scale (k≥256, dim 1024+) the
+# plan itself becomes the bottleneck. 16384 ≈ k=256 @ dim=64: at or past
+# that point the broadcast-join path (k rows broadcast, cost independent
+# of plan size) wins, so ``assign_clusters_auto`` switches over.
+INLINE_MAX_LITERALS = 16_384
+
+
+def assign_clusters_auto(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literals: int = INLINE_MAX_LITERALS,
+) -> DataFrame:
+    """Driver-known-centroid assignment with automatic physical-strategy
+    selection (VERDICT r3 #3): the shuffle-free inlined-literal argmax
+    projection while the centroid matrix is small (k·dim <
+    ``max_literals``), the broadcast-join + map-side argmax aggregation
+    (``assign_clusters``) once the matrix would blow up the plan. Both
+    paths share the same contract — (id, vector, cluster), argmax cosine,
+    ties to the LOWEST cid — so callers (the Lloyd loop, the IVF probe)
+    never see the switch."""
+    kdim = len(cents) * (len(cents[0]) if cents else 0)
+    if kdim < max_literals:
+        return assign_clusters_inline(vectors, cents, id_col, vec_col)
+    cdf = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    return assign_clusters(vectors, cdf, id_col, vec_col).select(
+        id_col, vec_col, "cluster"
     )
 
 
@@ -268,8 +305,9 @@ def kmeans_lloyd(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means on DataFrames: one-pass sampled farthest-point
     init (``sample_init``), then ``iters`` rounds of assign
-    (``assign_clusters_inline`` — a shuffle-FREE projection, since the
-    centroid matrix is driver-resident between iterations; argmax cosine,
+    (``assign_clusters_auto`` — a shuffle-FREE inlined projection while
+    k·dim is small, auto-switching to the broadcast join at
+    ``INLINE_MAX_LITERALS``; argmax cosine,
     ties to lowest cid) + update (element-wise mean via posexplode →
     groupBy(cluster, dim position) → re-collect). Per iteration the only
     exchange is the k×dim partial-aggregated mean update, and only the
@@ -305,7 +343,7 @@ def kmeans_lloyd(
             mean_col = F.round(mean_col, round_to)
 
         for _ in range(iters):
-            assigned = assign_clusters_inline(base, cents, id_col, vec_col)
+            assigned = assign_clusters_auto(base, cents, id_col, vec_col)
             means = (
                 assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
                 .groupBy("cluster", "pos")
@@ -326,4 +364,4 @@ def kmeans_lloyd(
         if cache:
             base.unpersist()
 
-    return assign_clusters_inline(vectors, cents, id_col, vec_col), cents
+    return assign_clusters_auto(vectors, cents, id_col, vec_col), cents

@@ -96,6 +96,42 @@ def test_ivf_inline_matches_dataframe_path(spark, clustered_df):
     assert not re.findall(r"Exchange (hash|range)partitioning", plan), plan
 
 
+def test_assign_auto_strategy_switch(spark, clustered_df):
+    """``assign_clusters_auto`` must pick the inlined-literal projection
+    below INLINE_MAX_LITERALS and the broadcast-join path above it, with
+    IDENTICAL assignments either way (same argmax, same lowest-cid
+    tie-break)."""
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=1)
+
+    inline = ivf.assign_clusters_auto(clustered_df, cents)
+    joined = ivf.assign_clusters_auto(clustered_df, cents, max_literals=1)
+
+    inline_plan = inline._jdf.queryExecution().executedPlan().toString()
+    joined_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "array_position" in inline_plan and "Join" not in inline_plan
+    assert "BroadcastNestedLoopJoin" in joined_plan or "BroadcastHashJoin" in joined_plan
+    assert "array_position" not in joined_plan
+
+    want = {r["vec_id"]: r["cluster"] for r in inline.collect()}
+    got = {r["vec_id"]: r["cluster"] for r in joined.collect()}
+    assert got == want
+
+
+def test_kmeans_large_k_avoids_plan_blowup(spark, clustered_df):
+    """kmeans_lloyd(k=256, dim=64) crosses INLINE_MAX_LITERALS (16384
+    literals) — the assignment must come out of the broadcast-join path
+    (no quarter-million-char inline expression) and still be a valid
+    total assignment (VERDICT r3 #3)."""
+    assert 256 * 64 >= ivf.INLINE_MAX_LITERALS
+    assigned, cents = ivf.kmeans_lloyd(clustered_df, k=256, iters=1)
+    assert len(cents) == 256
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "array_position" not in plan, "inline path used past the ceiling"
+    rows = assigned.select("vec_id", "cluster").collect()
+    assert len(rows) == clustered_df.count()
+    assert all(0 <= r["cluster"] < 256 for r in rows)
+
+
 def test_sample_init_deterministic_and_spread(spark, clustered_df):
     """One-pass sampled init: deterministic across calls, returns k
     distinct seeds, and greedy max-min refinement spreads them — on 8
