@@ -153,26 +153,31 @@ def minhash_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(_band_keys()).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+    # Bucket-local pair enumeration: ONE hash aggregation collects each
+    # bucket's (sorted) member ids, then ordered pairs are projected from
+    # the array — replacing the round-3 two-sided self-join, which
+    # shuffled AND sorted the banded rows twice for a merge join. The
+    # per-bucket array is bounded by the largest duplicate cluster (or by
+    # ``max_bucket_size`` when set — now a plain size filter instead of a
+    # count-join), so collect_list never sees unbounded state.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        counts = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_bsize")
-        )
-        banded = banded.join(
-            counts.filter(F.col("_bsize") <= max_bucket_size), ["band", "key"]
-        ).drop("_bsize")
-    a, b = banded.alias("a"), banded.alias("b")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) ->"
+                    " transform(slice(_ids, i + 2, size(_ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = with_shingles(docs, text_col).select(
