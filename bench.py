@@ -60,6 +60,21 @@ BENCH_KEYS = (
     "stream_session_windows",
     "mm_decode_image",
     "agg_word_counts",
+    # round-4 additions: the previously-unbenched relational tail, so
+    # r4-vs-r3 regression tracking covers every registry key family
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "set_intersect",
+    "set_except",
+    "win_rank_topn",
+    "win_running_total",
+    "join_range",
+    # round-4 new rows: pair-graph resolution + the streaming write path
+    "dedup_assign",
+    "stream_ingest",
 )
 
 
