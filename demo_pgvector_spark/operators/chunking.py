@@ -142,13 +142,23 @@ def chunk_bpe(
     space-joined piece stream (tokenized text — original whitespace is
     not reconstructed, as in any detokenization-free BPE pipeline).
     """
-    from pyspark.sql import Window
-
     pieces = F.expr(f"regexp_extract_all({text_col}, '\\\\w+|[^\\\\w\\\\s]', 0)")
     e = docs.select(F.col(id_col), F.posexplode(pieces).alias("pos", "piece"))
     e = e.withColumn(
         "cost", F.ceil(F.length("piece") / F.lit(float(subword_len)))
     )
+    return _pack_pieces(e, max_bpe_tokens, id_col)
+
+
+def _pack_pieces(
+    e: DataFrame, max_bpe_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared budget-packing tail of ``chunk_bpe``/``chunk_bpe_real``:
+    (id, pos, piece, cost) rows → (id, chunk_number, n_pieces,
+    n_bpe_tokens, chunk_text). One doc-keyed exchange for the cumulative
+    sum; the chunk regroup reuses the same partitioning."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -173,18 +183,61 @@ def chunk_bpe(
     )
 
 
-def bpe_costs_udf(subword_len: int = BPE_SUBWORD_LEN):
+def chunk_bpe_real(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    max_bpe_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``chunk_bpe`` with REAL learned merge costs: the pinned Arrow UDF
+    slot runs an actual BPE encoder (functions/bpe.py — the public
+    Sennrich/GPT-2 train+encode pair) over a merge table, so each piece's
+    budget cost is its true token count under those merges, exactly how
+    the reference's HF tokenizer drives HybridChunker boundaries
+    (src/lib/documents.py:67-90). The committed table trained on the
+    testdata corpus lives at golden/bpe_merges.txt (tools/train_bpe.py).
+
+    Plan shape: scan → ArrowEvalPython (one batch-encode per text) →
+    posexplode → the same single doc-keyed exchange as the proxy path.
+    The encoder memoizes per-executor by distinct piece, so cost is
+    bounded by vocabulary, not token count."""
+    tok = bpe_costs_udf(merges=merges)
+    t = docs.select(F.col(id_col), tok(F.col(text_col)).alias("_tc"))
+    e = t.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip("_tc.pieces", "_tc.costs")).alias("pos", "_pc"),
+    ).select(
+        id_col,
+        "pos",
+        F.col("_pc.pieces").alias("piece"),
+        F.col("_pc.costs").alias("cost"),
+    )
+    return _pack_pieces(e, max_bpe_tokens, id_col)
+
+
+def bpe_costs_udf(
+    subword_len: int = BPE_SUBWORD_LEN,
+    merges: list[tuple[str, str]] | None = None,
+):
     """The pluggable-tokenizer slot of ``chunk_bpe``: an Arrow-batched
-    pandas_udf mapping text → arrays of (piece, cost), with the same
-    deterministic cost model as the Catalyst path. A REAL tokenizer
-    (HuggingFace BPE) drops in by replacing the two lines marked below
-    with ``tokenizer.tokenize(...)`` — schema, batching, and the
-    downstream packing contract stay identical. Pinned equal to the
-    Catalyst expression in tests/test_chunking.py so the two paths
-    cannot drift."""
+    pandas_udf mapping text → arrays of (piece, cost).
+
+    With ``merges=None`` the cost model is the deterministic
+    fixed-length proxy, pinned equal to the Catalyst expression in
+    tests/test_chunking.py so the two paths cannot drift. With a merge
+    table (since round 4) the slot runs a REAL BPE encoder
+    (functions/bpe.py): cost = the piece's token count under the learned
+    merges, memoized per distinct piece so each executor encodes a piece
+    once per batch-run regardless of corpus frequency. A HuggingFace
+    tokenizer drops in the same way — replace the cost line with
+    ``len(tokenizer.tokenize(piece))``; schema, batching, and the
+    downstream packing contract stay identical."""
     import re as _re
 
     from pyspark.sql.functions import pandas_udf
+
+    from demo_pgvector_spark.functions import bpe as _bpe
 
     # re.ASCII, deliberately: Spark's Java regex and DuckDB's RE2 both
     # treat \w as [0-9A-Za-z_] by default, so the engine's pre-tokenizer
@@ -194,13 +247,27 @@ def bpe_costs_udf(subword_len: int = BPE_SUBWORD_LEN):
     # HF tokenizer replacing these lines brings its own Unicode rules —
     # and then defines the contract on both sides.
     pat = _re.compile(r"\w+|[^\w\s]", _re.ASCII)
+    ranks = _bpe.merge_ranks(merges) if merges is not None else None
 
     @pandas_udf("struct<pieces: array<string>, costs: array<long>>")
     def _tok(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def cost_of(p: str) -> int:
+            c = memo.get(p)
+            if c is None:
+                c = (
+                    _bpe.n_tokens(p, ranks)
+                    if ranks is not None
+                    else -(-len(p) // subword_len)
+                )
+                memo[p] = c
+            return c
+
         pieces_col, costs_col = [], []
         for t in texts:
             pieces = pat.findall(t or "")          # ← real tokenizer here
-            costs = [-(-len(p) // subword_len) for p in pieces]  # ← and here
+            costs = [cost_of(p) for p in pieces]   # ← and here
             pieces_col.append(pieces)
             costs_col.append(costs)
         return pd.DataFrame({"pieces": pieces_col, "costs": costs_col})

