@@ -1262,27 +1262,34 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    import duckdb
 
     tune_session(spark)
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
-    )
+    # Staging is harness scaffolding (a real deployment's landing files
+    # already exist); DuckDB writes the three batch files straight from
+    # the source parquet without routing 10k-10M rows through the Spark
+    # driver. Batch rounding happens at staging so the staged stream and
+    # the oracle replay see bit-identical doubles.
     work = tempfile.mkdtemp(prefix="spark_graft_ingest_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    pdf = ev.toPandas().sort_values("event_id")
     for b in range(3):
-        part = pdf[pdf["event_id"] % 3 == b]
         path = os.path.join(landing, f"batch-{b}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        duckdb.sql(
+            f"COPY (SELECT event_id, user_id, event_type,"
+            f" ROUND(value, 6) AS value"
+            f" FROM '{sf_dir}/events.parquet'"
+            f" WHERE event_id % 3 = {b} ORDER BY event_id)"
+            f" TO '{path}' (FORMAT parquet)"
+        )
         os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
     schema_ddl = (
         "id long, event_id long, user_id long, event_type string, value double"
     )
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )

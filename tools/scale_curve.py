@@ -37,6 +37,13 @@ DEFAULT_KEYS = (
     "text_repetition", "chunk_enrich", "chunk_bpe",
     "stream_window_counts", "stream_session_windows",
     "mm_decode_image", "agg_word_counts",
+    # round-4 additions: the relational tail + the streaming write path.
+    # dedup_assign is excluded like the pair rows — its INPUT (the pair
+    # graph) grows quadratically on replicated corpora.
+    "agg_pivot", "agg_percentiles", "agg_cube", "agg_rollup",
+    "agg_grouping_sets", "set_intersect", "set_except",
+    "win_rank_topn", "win_running_total", "join_range",
+    "stream_ingest",
 )
 
 
@@ -45,9 +52,17 @@ def main() -> None:
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument("--labels", default=None)
+    ap.add_argument(
+        "--reps", type=int, default=1,
+        help="runs per key; the MEDIAN is reported (use >=3 on shared "
+        "machines — single samples are hostage to GC pauses and "
+        "neighbor load)",
+    )
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
     labels = args.labels.split(",") if args.labels else args.dirs
+
+    from statistics import median
 
     from demo_pgvector_spark import registry
     from demo_pgvector_spark.session import get_session
@@ -62,9 +77,12 @@ def main() -> None:
         for key in keys:
             entry = registry.REGISTRY.get(key)
             fn = entry[0] if entry else getattr(registry, f"q_{key}")
-            t0 = time.time()
-            fn(spark, d).collect()
-            t[key] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(max(1, args.reps)):
+                t0 = time.time()
+                fn(spark, d).collect()
+                samples.append(time.time() - t0)
+            t[key] = round(median(samples), 3)
         results[label] = t
         print(json.dumps({"scale": label, "total": round(sum(t.values()), 2),
                           "queries": t}), flush=True)
