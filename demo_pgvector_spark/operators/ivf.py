@@ -127,18 +127,7 @@ def ivf_topk_inline(
     tie-break identical to ``ivf_topk``'s."""
     spark = vectors.sparkSession
     q = query_vector_literal(qvec)
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-    )
-    probe_ids = [
-        r["cid"]
-        for r in cdf.select(
-            "cid", cosine_similarity(F.col("cv"), q).alias("_csim")
-        )
-        .orderBy(F.col("_csim").desc(), F.col("cid").asc())
-        .limit(int(nprobe))
-        .collect()
-    ]
+    probe_ids = _rank_centroids(spark, cents, qvec, nprobe)
     cand = assign_clusters_auto(vectors, cents, id_col, vec_col).filter(
         F.col("cluster").isin(probe_ids)
     )
@@ -190,6 +179,77 @@ def assign_clusters_auto(
     )
     return assign_clusters(vectors, cdf, id_col, vec_col).select(
         id_col, vec_col, "cluster"
+    )
+
+
+def _rank_centroids(
+    spark, cents: list[list[float]], qvec: list[float], nprobe: int
+) -> list[int]:
+    """Top-``nprobe`` centroid ids for a probe vector — a tiny Spark job
+    over the k-row centroid frame so float semantics and the
+    (sim DESC, cid ASC) tie-break match the DataFrame path exactly."""
+    q = query_vector_literal(qvec)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    return [
+        r["cid"]
+        for r in cdf.select(
+            "cid", cosine_similarity(F.col("cv"), q).alias("_csim")
+        )
+        .orderBy(F.col("_csim").desc(), F.col("cid").asc())
+        .limit(int(nprobe))
+        .collect()
+    ]
+
+
+def ivf_write_clustered(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write-time IVF clustering: assign every vector to its centroid and
+    store the table PARTITIONED BY cluster — the physical layout that
+    turns probe-time cluster filters into partition PRUNING (only nprobe
+    of k directories are ever listed/read). This is the 100 TB shape: the
+    assignment cost is paid once at ingest, and every probe afterwards is
+    sublinear I/O."""
+    assigned = assign_clusters_auto(vectors, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    cents: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a write-time-clustered table
+    (``ivf_write_clustered``): the ``cluster IN (probe ids)`` predicate
+    is a PARTITION filter — the scan never touches the other k−nprobe
+    directories (pinned: tests/test_ivf.py asserts the pushed
+    PartitionFilters and that only nprobe partitions are read). Results
+    are identical to ``ivf_topk_inline`` over the same centroids."""
+    q = query_vector_literal(qvec)
+    probe_ids = _rank_centroids(spark, cents, qvec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
+    scored = cand.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("similarity_score")
+    )
+    top = scored.orderBy(
+        F.col("similarity_score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("similarity_score").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col, "similarity_score", F.row_number().over(w).alias("rank")
     )
 
 
