@@ -83,3 +83,68 @@ def range_join(
         & (lineitem["l_shipdate"] <= F.date_add(orders["o_orderdate"], days))
     )
     return lineitem.join(orders, cond, "inner")
+
+
+def group_ranked(
+    vals: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str = "v",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 0-based rank of ``value_col`` within each key group, with
+    the group size — the distributed building block for EXACT order
+    statistics (percentiles, medians, ntiles) over groups of ANY size.
+
+    A ``row_number`` window partitioned by the key serializes each group
+    onto one task (3 groups → 3-way parallelism no matter the cluster);
+    the builtin ``percentile`` aggregate buffers every group value in one
+    reducer. This is the classic two-pass distributed rank instead:
+
+    1. ``repartitionByRange(keys..., value)`` + ``sortWithinPartitions``
+       — a RANGE exchange: every partition holds a contiguous slice of
+       one-or-more (key, value) runs, all partitions sort in parallel,
+       spillable.
+    2. ``monotonically_increasing_id()`` over the sorted partitions
+       yields per-partition sequential ids in sorted order; a TINY
+       aggregate (one row per partition×key) computes each run's start
+       id and the cross-partition prefix offsets, broadcast back.
+       Global rank = prefix_offset + (id − run_start).
+
+    Exchanges: one range repartition of the data + one k·P-row aggregate
+    — nothing group-serial anywhere. Ties order arbitrarily within equal
+    values (ranks among equal values are interchangeable for order
+    statistics). Returns ``keys… value_col rn n``.
+    """
+    parts = num_partitions or vals.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    kcols = [F.col(k) for k in keys]
+    r = (
+        vals.repartitionByRange(int(parts), *kcols, F.col(value_col))
+        .sortWithinPartitions(*kcols, F.col(value_col))
+        .select(*kcols, value_col, F.monotonically_increasing_id().alias("_mid"))
+    )
+    per_run = r.groupBy(F.spark_partition_id().alias("_pid"), *kcols).agg(
+        F.min("_mid").alias("_start"), F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy(*kcols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_run.select(
+        "_pid",
+        *kcols,
+        "_start",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(*kcols)).alias("n"),
+    )
+    joined = r.withColumn("_pid", F.spark_partition_id()).join(
+        F.broadcast(offsets), ["_pid", *keys]
+    )
+    return joined.select(
+        *kcols,
+        value_col,
+        (F.col("_mid") - F.col("_start") + F.col("_off")).alias("rn"),
+        "n",
+    )

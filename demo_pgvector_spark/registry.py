@@ -1052,21 +1052,58 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) of extended price
-    per return flag — Spark ``percentile`` and DuckDB ``quantile_cont``
-    share the linear-interpolation definition. Exact percentiles sort
-    within each group; the documented scale path is
-    ``percentile_approx`` (t-digest sketch, partial-aggregable), which
-    trades the per-group sort for a mergeable sketch — approximate
-    results have no cross-engine oracle, so the exact form is the
-    correctness row."""
+    per return flag, computed SORT-BASED: rank each group's values with
+    a window, keep only the ≤4 boundary rows per group that any
+    percentile interpolates between, and fold them with Spark's
+    ``percentile`` lerp formula (lower + (higher−lower)·frac — the same
+    definition DuckDB's ``quantile_cont`` uses, so the oracle matches
+    bit-for-bit after 4dp rounding).
+
+    Round 4 replaced the builtin ``percentile()`` aggregate here: that
+    function buffers EVERY group value in one aggregation buffer on one
+    reducer — an unbounded-memory plan that breaks at 100 TB group
+    sizes. The window form is one exchange + a distributed, spillable
+    sort; the final aggregate sees ≤4 rows per group. The documented
+    sketch path for approximate needs remains ``percentile_approx``
+    (t-digest, partial-aggregable, no cross-engine oracle)."""
     tune_session(spark)
     li = tables.load(spark, sf_dir, "lineitem")
+    vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
+    ranked = rel_ops.group_ranked(vals, keys=("l_returnflag",), value_col="v")
+
+    def pct(p: float, name: str):
+        h = (F.col("n") - 1) * F.lit(p)
+        lo, hi = F.floor(h), F.ceil(h)
+        contrib = (
+            F.when((F.col("rn") == lo) & (F.col("rn") == hi), F.col("v"))
+            .when(F.col("rn") == lo, F.col("v") * (F.lit(1.0) - (h - lo)))
+            .when(F.col("rn") == hi, F.col("v") * (h - lo))
+            .otherwise(F.lit(0.0))
+        )
+        # Spark's builtin lerp is lower + (higher-lower)*frac; the
+        # weighted sum lower*(1-frac) + higher*frac is algebraically
+        # equal and, at 4dp rounding of cent-valued prices, never
+        # straddles a rounding boundary (hash-verified vs quantile_cont
+        # at sf0.01/0.1 and the 10x/30x replicas).
+        keep = (F.col("rn") == lo) | (F.col("rn") == hi)
+        return F.sum(F.when(keep, contrib).otherwise(F.lit(0.0))).alias(name)
+
+    boundary = ranked.filter(
+        (
+            (F.col("rn") >= F.floor((F.col("n") - 1) * F.lit(0.5)))
+            & (F.col("rn") <= F.ceil((F.col("n") - 1) * F.lit(0.5)))
+        )
+        | (
+            (F.col("rn") >= F.floor((F.col("n") - 1) * F.lit(0.9)))
+            & (F.col("rn") <= F.ceil((F.col("n") - 1) * F.lit(0.9)))
+        )
+    )
     return (
-        li.groupBy("l_returnflag")
+        boundary.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.count(F.lit(1)).alias("n"),
+            F.round(pct(0.5, "_p50"), 4).alias("p50"),
+            F.round(pct(0.9, "_p90"), 4).alias("p90"),
+            F.max("n").alias("n"),
         )
         .orderBy("l_returnflag")
     )

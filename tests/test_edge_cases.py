@@ -108,3 +108,30 @@ def test_embedding_handles_edges(edge_df):
 
     rows = edge_df.select(hash_embed(F.col("text"), dim=8).alias("e")).collect()
     assert all(len(r["e"]) == 8 for r in rows)
+
+
+def test_group_ranked_is_exact_global_rank(spark):
+    """group_ranked (the distributed order-statistics building block)
+    must produce, per group, a permutation of 0..n-1 whose rank order
+    agrees with value order — on skewed group sizes, duplicate values,
+    and a group smaller than the partition count."""
+    import random
+
+    from demo_pgvector_spark.operators import relational as rel
+
+    rng = random.Random(7)
+    rows = [("big", float(rng.randint(0, 50))) for _ in range(5000)]
+    rows += [("small", float(v)) for v in (3.0, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = rel.group_ranked(df, keys=("g",), value_col="v").collect()
+
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append((r["rn"], r["v"], r["n"]))
+    assert set(by_group) == {"big", "small"}
+    for g, items in by_group.items():
+        n = len(items)
+        assert all(i[2] == n for i in items)           # group size column
+        assert sorted(i[0] for i in items) == list(range(n))  # 0..n-1, no gaps
+        ordered = [v for _rn, v, _n in sorted(items)]
+        assert ordered == sorted(ordered)              # rank order = value order
