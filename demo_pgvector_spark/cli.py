@@ -107,10 +107,13 @@ def import_doc(
     files: list[str],
     model: str = DEFAULT_MODEL,
     max_tokens: int = 256,
+    tokenizer: str = "words",
 ) -> dict[str, DataFrame]:
     """``inv import.doc-file`` / cli/import_doc.py: convert each file,
     join its ``.meta.yml`` sidecar when present, upsert the model and
-    source dimensions, chunk, embed, append — then commit."""
+    source dimensions, chunk, embed, append — then commit.
+    ``tokenizer="bpe"`` budgets chunks by real learned BPE token counts
+    (the reference's tokenizer-driven chunker shape)."""
     if not files:
         return load_state(spark, warehouse)
     frame = _read_files(spark, files)
@@ -131,6 +134,7 @@ def import_doc(
         load_state(spark, warehouse),
         model_name=model,
         max_tokens=max_tokens,
+        tokenizer=tokenizer,
     )
     save_state(state, warehouse)
     return state

@@ -64,20 +64,19 @@ def chunk_split(
     )
 
 
-def chunk_enrich(
-    docs: DataFrame,
+def enrich_split(
+    split: DataFrame,
     max_tokens: int = MAX_CHUNK_TOKENS,
     tokenizer_model: str = DEFAULT_TOKENIZER_MODEL,
     import_date: str | None = FIXED_IMPORT_DATE,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     meta_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
-    """Enriched chunk rows (src/lib/documents.py:51-65): the split output
-    plus the constant metadata fields, and a ``metadata`` map that merges
-    the document's metadata columns with the per-chunk constants — the
-    engine form of the reference's dict merge at :58-64."""
-    split = chunk_split(docs, max_tokens, id_col, text_col)
+    """Enrichment half of ``chunk_enrich`` over ANY split output (rows
+    with ``chunk_number``/``chunk_text`` — the word splitter's or
+    ``chunk_bpe_real``'s): the constant metadata fields plus a
+    ``metadata`` map merging the document's metadata columns with the
+    per-chunk constants — the engine form of the reference's dict merge
+    (src/lib/documents.py:58-64)."""
     stamp = (
         F.lit(import_date)
         if import_date is not None
@@ -100,6 +99,21 @@ def chunk_enrich(
         F.lit("import_date"), stamp,
     ]
     return enriched.withColumn("metadata", F.create_map(*meta_entries))
+
+
+def chunk_enrich(
+    docs: DataFrame,
+    max_tokens: int = MAX_CHUNK_TOKENS,
+    tokenizer_model: str = DEFAULT_TOKENIZER_MODEL,
+    import_date: str | None = FIXED_IMPORT_DATE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Enriched chunk rows (src/lib/documents.py:51-65): the word-budget
+    split plus ``enrich_split``'s metadata."""
+    split = chunk_split(docs, max_tokens, id_col, text_col)
+    return enrich_split(split, max_tokens, tokenizer_model, import_date, meta_cols)
 
 
 BPE_SUBWORD_LEN = 4

@@ -54,10 +54,20 @@ def import_documents(
     state: dict[str, DataFrame],
     model_name: str = DEFAULT_MODEL_NAME,
     max_tokens: int = 32,
+    tokenizer: str = "words",
 ) -> dict[str, DataFrame]:
     """Batch import. ``files``: (doc_id, filepath, text); ``sidecars``:
     (filepath, author, title, genre, text_type, publication_date) — the
-    ``*.meta.yml`` analog. Returns the four updated tables."""
+    ``*.meta.yml`` analog. Returns the four updated tables.
+
+    ``tokenizer``: ``"words"`` budgets chunks by whitespace words (the
+    deterministic stand-in); ``"bpe"`` budgets by REAL learned BPE token
+    counts through the pinned Arrow slot (golden/bpe_merges.txt) — the
+    tokenizer-faithful mirror of the reference's HF-tokenizer-driven
+    HybridChunker (src/lib/documents.py:67-90). Out-of-vocabulary pieces
+    cost their post-merge symbol count (upper-bounded by length), exactly
+    how real BPE prices OOV text.
+    """
     kept = ingest.ingestion_ready(files)  # route; rejected rows dropped (Q6 side output available)
 
     docs = kept.join(F.broadcast(sidecars), "filepath", "left")
@@ -115,10 +125,30 @@ def import_documents(
     )
 
     # chunk + enrich + embed
-    chunks = chunking.chunk_enrich(
-        resolved, max_tokens=max_tokens, tokenizer_model=model_name,
-        meta_cols=("author", "title", "publication_date"),
-    )
+    if tokenizer == "bpe":
+        import os as _os
+
+        from demo_pgvector_spark.functions import bpe as bpe_fns
+
+        merges = bpe_fns.load_merges(
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "golden", "bpe_merges.txt",
+            )
+        )
+        split = chunking.chunk_bpe_real(
+            resolved.select("doc_id", "text"), merges,
+            max_bpe_tokens=max_tokens, id_col="doc_id",
+        ).join(F.broadcast(resolved.drop("text")), "doc_id")
+        chunks = chunking.enrich_split(
+            split, max_tokens=max_tokens, tokenizer_model=model_name,
+            meta_cols=("author", "title", "publication_date"),
+        )
+    else:
+        chunks = chunking.chunk_enrich(
+            resolved, max_tokens=max_tokens, tokenizer_model=model_name,
+            meta_cols=("author", "title", "publication_date"),
+        )
     batch = chunks.select(
         "source_id",
         "model_id",

@@ -115,3 +115,33 @@ def test_rag_prompt_no_context(state):
         threshold=0.999,
     )
     assert "you found no relevant information" in prompt
+
+
+def test_import_with_bpe_tokenizer_budget(spark):
+    """tokenizer='bpe' drives the import's chunk boundaries with REAL
+    learned merge costs through the pinned Arrow slot: chunks respect
+    the BPE-token budget (n_bpe_tokens-based packing, not word counts),
+    the tables populate end-to-end, and search still retrieves."""
+    files = spark.createDataFrame(CORPUS, "doc_id long, filepath string, text string")
+    sidecars = spark.createDataFrame(
+        SIDECARS,
+        "filepath string, author string, title string, genre string,"
+        " text_type string, publication_date string",
+    )
+    st = pipeline.import_documents(
+        spark, files, sidecars, pipeline.empty_tables(spark),
+        max_tokens=24, tokenizer="bpe",
+    )
+    assert st["chunks"].count() == st["chunk_data"].count() > 2
+    # BPE packing differs from word packing of the same corpus
+    words = pipeline.import_documents(
+        spark, files, sidecars, pipeline.empty_tables(spark),
+        max_tokens=24, tokenizer="words",
+    )
+    bpe_texts = {r["chunk_text"] for r in st["chunk_data"].collect()}
+    word_texts = {r["chunk_text"] for r in words["chunk_data"].collect()}
+    assert bpe_texts != word_texts
+    # retrieval over the BPE-chunked corpus works end-to-end
+    probe = st["chunk_data"].first()["chunk_text"]
+    hits = pipeline.search_chunks(st, probe, top_k=1, threshold=0.5)
+    assert hits.first()["chunk_text"] == probe
