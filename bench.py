@@ -64,6 +64,7 @@ BENCH_KEYS = (
     # r4-vs-r3 regression tracking covers every registry key family
     "agg_pivot",
     "agg_percentiles",
+    "agg_percentiles_approx",  # sketch path, bench-only (no oracle)
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",

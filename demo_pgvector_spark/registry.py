@@ -1109,6 +1109,32 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented sketch path for percentiles at 100 TB: Spark's
+    ``percentile_approx`` (KLL-family sketch, PARTIAL-AGGREGABLE — each
+    task folds its rows into a mergeable bounded-size sketch, one
+    exchange carries k sketches, no sort anywhere). No registry row:
+    approximate answers have no cross-engine oracle (DuckDB's
+    approx_quantile uses a different sketch), so this is bench-only —
+    the exact `agg_percentiles` row is the correctness gate, this is the
+    throughput shape a production pipeline runs."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 4
+            ).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 conversion — operators/convert.py
 # ---------------------------------------------------------------------------
