@@ -164,3 +164,30 @@ def test_kmeans_assignment_is_shuffle_free_projection(spark):
     assert "array_position" in plan  # the inlined argmax
     for op in ("Exchange", "Join", "HashAggregate"):
         assert op not in plan, f"unexpected {op} in:\n{plan}"
+
+
+def test_minhash_pairs_bucket_local_enumeration(spark):
+    """Round-4 shape: candidate pairs come from ONE bucket aggregation
+    (collect_list per (band, key)) + an array-lambda pair projection —
+    no self-join of the exploded band rows, so no second shuffle+sort of
+    the banded data. Remaining exchanges: the bucket groupBy, the
+    cross-band pair dedup, and the rank-window's single partition."""
+    plan = _plan(spark, "dedup_minhash_pairs")
+    assert "collect_list" in plan
+    # the old shape merge-joined banded ON (band, key): no join may
+    # consume the band columns now
+    import re
+
+    assert not re.search(r"SortMergeJoin.*band", plan), plan
+    assert plan.count("Exchange hashpartitioning(band") == 1, plan
+
+
+def test_percentiles_are_range_partitioned_not_buffered(spark):
+    """Round-4 shape: exact percentiles must run the distributed-rank
+    plan — a RANGE repartition of (key, value) with parallel partition
+    sorts — never the builtin percentile() aggregate, whose buffer holds
+    every group value on one reducer."""
+    plan = _plan(spark, "agg_percentiles")
+    assert "rangepartitioning" in plan, plan
+    assert "percentile(" not in plan, plan
+    assert "monotonically_increasing_id" in plan
