@@ -303,10 +303,18 @@ def dedup_assign(
     long).
 
     Each round is one shuffle keyed on ``id_col`` (edge join + min-agg);
-    the edge list is materialized once symmetric. At 100 TB the standard
-    big-graph alternative (alternating large/small-star, GraphFrames CC)
-    slots into the same contract; min-label propagation is exact and has
-    no Python in any row path.
+    the edge list is materialized once symmetric. Min-label propagation
+    alone converges in O(diameter) rounds — right for near-dup clusters
+    (shallow by construction) but an adversarial CHAIN-shaped component
+    of depth d needs d rounds. So from round 3 on (a component survived
+    two plain rounds → it is deeper than the common case), every
+    propagation round is followed by a POINTER-DOUBLING step:
+    ``keeper(u) ← keeper(keeper(u))`` (labels self-join — keepers are
+    themselves doc ids, so the lookup is total). Doubling halves label
+    chain depth, so propagation + doubling converges in O(log d) rounds
+    for any shape — the same guarantee class as alternating
+    large/small-star CC, with one extra key-shuffle per round only on
+    the rounds that need it. Exact and Python-free either way.
 
     Returns (id, keeper_id, is_keeper). Docs with no near-dup partner
     keep themselves.
@@ -319,7 +327,7 @@ def dedup_assign(
     labels = docs.select(F.col(id_col).alias("id")).withColumn(
         "keeper_id", F.col("id")
     )
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"], "inner")
             .groupBy("src")
@@ -336,6 +344,21 @@ def dedup_assign(
                 F.col("keeper_id").alias("_prev"),
             )
         )
+        if rnd >= 2:  # deep component: accelerate with pointer doubling
+            lut = updated.select(
+                F.col("id").alias("_lid"), F.col("keeper_id").alias("_lkeeper")
+            )
+            updated = (
+                updated.join(lut, updated["keeper_id"] == lut["_lid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("keeper_id"),
+                        F.coalesce(F.col("_lkeeper"), F.col("keeper_id")),
+                    ).alias("keeper_id"),
+                    "_prev",
+                )
+            )
         updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
         changed = updated.filter(F.col("keeper_id") != F.col("_prev")).count()
         labels = updated.drop("_prev")

@@ -146,3 +146,19 @@ def test_embedding_pairs_bucket_cap(spark):
     assert full.count() >= 8  # the 8 exact-duplicate pairs at least
     capped = dedup.embedding_pairs(df, threshold=0.99, max_bucket_size=1)
     assert capped.count() == 0
+
+
+def test_dedup_assign_deep_chain_converges_logarithmically(spark):
+    """A 200-node chain has diameter 199 — plain min-label propagation
+    needs 199 rounds and would blow the 20-round cap. The adaptive
+    pointer-doubling (round 3+) must resolve it to one component within
+    the default max_iters."""
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"])
+           for r in dedup.dedup_assign(docs, pairs).collect()}
+    assert all(k == 0 for k, _ in out.values())
+    assert [i for i, (_, keep) in out.items() if keep] == [0]
