@@ -582,8 +582,41 @@ WHERE u.f < v.nf
 """
 
 
-# Composite row: all three modality pipelines as a branch-tagged sparse
-# union (round-4 consolidation).
+# The stride-2 resize over the same SPKM pixel grid: pixel i (0-based)
+# sits at (row i//w, col i%w); the resized image keeps even rows/cols.
+O_MM_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(range(width * height),
+           i -> CAST(('0x' || substr({_o_mm_hexchain('img', 'width * height')},
+                                     CAST(2 * i + 1 AS INT), 2))::UBIGINT AS INT)) AS p
+  FROM dims
+),
+sampled AS (
+  SELECT doc_id, width, height,
+         list_filter(
+           list_transform(range(width * height),
+             i -> CASE WHEN (i // width) % 2 = 0 AND (i % width) % 2 = 0
+                       THEN p[i + 1] END),
+           x -> x IS NOT NULL) AS sp
+  FROM px
+)
+SELECT doc_id,
+       CAST((width + 1) // 2 AS INT) AS r_width,
+       CAST((height + 1) // 2 AS INT) AS r_height,
+       ROUND(list_avg(sp), 4) AS r_mean
+FROM sampled
+"""
+
+
+# Composite row: the four modality pipelines as a branch-tagged sparse
+# union (round-4 consolidation). The resize branch reuses the image
+# columns for the resized dims/mean.
 O_MM_MEDIA = f"""
 SELECT 'image' AS branch, doc_id, width, height, n_pixels, mean_intensity,
        max_intensity, min_intensity,
@@ -599,6 +632,10 @@ UNION ALL
 SELECT 'video', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
        NULL, NULL, NULL, NULL, frame_no, frame_hex
 FROM ({O_MM_FRAME_SAMPLE})
+UNION ALL
+SELECT 'resize', doc_id, r_width, r_height, NULL, r_mean, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL
+FROM ({O_MM_RESIZE})
 """
 
 

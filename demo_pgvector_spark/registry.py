@@ -1190,12 +1190,15 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite correctness row for SURVEY §2 ``mm_decode_image`` +
-    ``mm_audio_features`` + ``mm_frame_sample`` (round-4 consolidation —
-    frees two correctness-window slots). Branch-tagged sparse union: each
-    modality keeps its own mapInPandas decode pipeline (schemas, Arrow
-    batch iteration, 1→N frame explosion all unchanged and still
-    exercised per-branch in tests/test_multimodal.py); columns not
-    produced by a branch are typed NULLs."""
+    ``mm_audio_features`` + ``mm_frame_sample`` + the resize stage
+    (round-4 consolidation — frees two correctness-window slots).
+    Branch-tagged sparse union: each modality keeps its own mapInPandas
+    decode pipeline (schemas, Arrow batch iteration, 1→N frame explosion
+    all unchanged and still exercised per-branch in
+    tests/test_multimodal.py); columns not produced by a branch are
+    typed NULLs. The ``resize`` branch (stride-2 downsample) reuses the
+    image columns: width/height are the RESIZED dims, mean_intensity the
+    resized mean."""
     tune_session(spark)
     null_i = F.lit(None).cast("int")
     null_d = F.lit(None).cast("double")
@@ -1232,6 +1235,24 @@ def q_mm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("frame_no"),
         null_s.alias("frame_hex"),
     )
+    docs = tables.load(spark, sf_dir, "documents")
+    rsz_media = mm_ops.fake_images(docs).select("doc_id", "content")
+    rsz = mm_ops.resize_images(rsz_media, factor=2).select(
+        F.lit("resize").alias("branch"),
+        "doc_id",
+        F.col("r_width").alias("width"),
+        F.col("r_height").alias("height"),
+        null_i.alias("n_pixels"),
+        F.round("r_mean", 4).alias("mean_intensity"),
+        null_i.alias("max_intensity"),
+        null_i.alias("min_intensity"),
+        null_i.alias("sample_rate"),
+        null_i.alias("n_samples"),
+        null_d.alias("mean_amp"),
+        null_d.alias("rms"),
+        null_i.alias("frame_no"),
+        null_s.alias("frame_hex"),
+    )
     vid = q_mm_frame_sample(spark, sf_dir).select(
         F.lit("video").alias("branch"),
         "doc_id",
@@ -1248,7 +1269,7 @@ def q_mm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         "frame_hex",
     )
-    return img.unionAll(aud).unionAll(vid)
+    return img.unionAll(aud).unionAll(vid).unionAll(rsz)
 
 
 # ---------------------------------------------------------------------------
