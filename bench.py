@@ -45,6 +45,7 @@ BENCH_KEYS = (
     # LLM-pipeline extension surface
     "vec_ann_topk",
     "vec_ivf_topk",
+    "vec_ivf_pruned",
     "cluster_kmeans",
     "join_asof",
     "emb_hash_embed",

@@ -1630,6 +1630,41 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_vec_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-time-clustered IVF probe (operators/ivf.py
+    ivf_write_clustered → ivf_topk_pruned): vectors are stored
+    PARTITIONED BY cluster in a temp table, and the probe's
+    ``cluster IN (top-nprobe)`` predicate prunes to nprobe of k
+    directories — the physical layout the 100 TB deployment uses.
+    Same fixed seed centroids and semantics as ``vec_ivf_topk``, so the
+    two rows share one oracle; this row gates the PRUNED path."""
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    try:
+        ivf_ops.ivf_write_clustered(emb, cents, work)
+        out = ivf_ops.ivf_topk_pruned(
+            spark, work, cents, _query_vec(spark, sf_dir), k=10, nprobe=4
+        )
+        out = out.withColumn(
+            "similarity_score", F.round("similarity_score", 6)
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 def q_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → keeper assignment (the stage after pair generation in a
     training-data dedup pipeline): connected components over the minhash
@@ -1947,6 +1982,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_intersect": (q_set_intersect, O_SET_INTERSECT),
     "set_except": (q_set_except, O_SET_EXCEPT),
     "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
+    # Round-4 tail addition: the write-time-clustered partition-pruned
+    # IVF probe — same semantics (and oracle) as vec_ivf_topk, gating
+    # the storage-layout path; verified via the local parity harness at
+    # sf0.01/sf0.1 + replicas (past the driver's 50-row window).
+    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
 }
 
 
