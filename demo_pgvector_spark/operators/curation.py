@@ -1,0 +1,152 @@
+"""Corpus-curation operators — decontamination and sparse (BM25)
+retrieval, completing the LLM-training-data pipeline surface alongside
+operators/dedup.py (extension; the reference has no curation stage — its
+retrieval is dense-only, cli/generate_text.py:60-100, covered by
+operators/similarity.py and ann/ivf).
+
+Two operators, both pure Catalyst (no Python in any row path):
+
+- decontaminate — benchmark-overlap screen: flag every training document
+  sharing at least one word n-gram (default n=13, the standard
+  eval-decontamination window) with a held-out evaluation set.
+- bm25_topk     — Okapi BM25 (k1=1.2, b=0.75) top-k retrieval for a
+  bag-of-terms query; the sparse complement to the dense ANN/IVF path.
+
+Scale notes (100 TB posture):
+
+- ``decontaminate`` never shuffles the corpus' gram stream by gram key:
+  the eval side of the join is an n-gram *hash* set built from the
+  benchmark corpus — megabytes even for large eval suites — so it
+  broadcasts, and the only exchange is the final per-document count
+  aggregation, which partial-combines map-side to one row per document.
+  Grams travel as 8-byte ``xxhash64`` keys, never as strings (the
+  corpus-side explode stays narrow); a pathological eval set too big to
+  broadcast degrades to a plain shuffled hash join on the same 8-byte
+  key, and Spark's runtime bloom-filter injection
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes the
+  corpus side before the exchange.
+- ``bm25_topk`` is two corpus scans and ZERO joins on the big side:
+  scan 1 partial-aggregates the global stats row (N, avgdl, per-term
+  document frequencies — one row total), which cross-broadcasts onto
+  scan 2's per-document term-frequency projection; scoring is a static
+  codegen expression and the result is a TakeOrderedAndProject (top-k
+  heap per partition, k rows per partition to the driver — no global
+  sort). Per-term tf columns come from ``size(filter(tokens, ...))``
+  projections, so the token stream is never exploded and nothing
+  resembling a posting list is ever materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DECON_N = 13  # standard eval-decontamination n-gram window
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Canonical registry query: a fixed bag-of-terms probe over the testdata
+# vocabulary (registry.q_text_bm25_topk and the DuckDB oracle both build
+# from this list so the scoring expressions stay in lockstep).
+BM25_TERMS = ["spark", "join", "vector", "window"]
+BM25_TOPK = 15
+
+
+def _gram_hashes(text_col: str, n: int) -> str:
+    """SQL fragment: distinct xxhash64 keys of the n-word grams of
+    ``text_col`` (lowercased, space-tokenized). Documents shorter than
+    n words contribute no grams — they cannot contain an n-gram of the
+    eval set by definition."""
+    toks = f"split(lower({text_col}), ' ')"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {n}))))) END"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share any n-word gram with the eval
+    set: (id, n_grams, n_overlap, contaminated).
+
+    ``n_grams`` counts the document's distinct n-grams, ``n_overlap``
+    how many of them appear anywhere in ``eval_docs``. The eval gram set
+    is deduplicated then broadcast (see module scale notes); documents
+    with fewer than n words surface with ``n_grams = 0`` and are never
+    contaminated."""
+    grams = _gram_hashes(text_col, n)
+    eval_grams = (
+        eval_docs.select(F.explode(F.expr(grams)).alias("g")).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode_outer(F.expr(grams)).alias("g")
+    )
+    hit = F.broadcast(eval_grams.withColumn("_hit", F.lit(1)))
+    return (
+        train_grams.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > F.lit(0))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k for a bag-of-terms query: (id, bm25).
+
+    idf(t) = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   [Robertson/Lucene]
+    score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Scores are rounded to 4 decimals and ties broken by ascending id so
+    the result set is deterministic across engines. See module scale
+    notes for the two-scan zero-join plan shape."""
+    toks = f"split(lower({text_col}), ' ')"
+    per_doc = docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, x -> x = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}")
+        part = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -26,6 +26,7 @@ from demo_pgvector_spark.fixtures import (
 )
 from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.operators import chunking as chunk_ops
+from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 
 
@@ -1410,3 +1411,85 @@ SELECT l_returnflag,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# --- curation: decontamination + BM25 (operators/curation.py) --------------
+#
+# The Spark side joins on xxhash64 of the gram string (8-byte shuffle
+# keys — the 100 TB posture); the oracle joins on the gram STRINGS
+# themselves, so a hash collision would surface as a parity mismatch
+# rather than hide inside identical wrong answers.
+O_TEXT_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 13 THEN []
+              ELSE list_distinct(list_transform(
+                range(len(w) - 12),
+                i -> array_to_string(w[i + 1:i + 13], ' ')
+              )) END AS g
+  FROM toks
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 41 = 0
+),
+tg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 41 <> 0
+),
+counts AS (
+  SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(e.gram) AS n_overlap
+  FROM tg t LEFT JOIN eg e USING (gram) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_grams, 0) AS n_grams,
+       COALESCE(c.n_overlap, 0) AS n_overlap,
+       COALESCE(c.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 41 <> 0
+"""
+
+
+def _o_bm25(terms: list[str], k1: float, b: float, k: int) -> str:
+    """Okapi BM25 oracle mirroring operators/curation.py bm25_topk
+    expression-for-expression (same idf form, same rounding, same
+    tiebreak) over per-document tf projections — no posting list."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * {k1 + 1.0}"
+        f" / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH pd AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM pd
+)
+SELECT doc_id, ROUND({score}, 4) AS bm25
+FROM pd, st
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
+O_TEXT_BM25 = _o_bm25(
+    curation_ops.BM25_TERMS,
+    curation_ops.BM25_K1,
+    curation_ops.BM25_B,
+    curation_ops.BM25_TOPK,
+)

@@ -89,6 +89,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_WINDOWS,
     O_STR_SCALARS,
     O_STR_TOKENIZE,
+    O_TEXT_BM25,
+    O_TEXT_DECONTAMINATE,
     O_TEXT_FINGERPRINT,
     O_TEXT_LANG_ID,
     O_TEXT_QUALITY,
@@ -115,6 +117,7 @@ from demo_pgvector_spark.functions.vector import cosine_similarity, query_vector
 from demo_pgvector_spark.operators import ann as ann_ops
 from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import convert as convert_ops
+from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import ivf as ivf_ops
@@ -1889,6 +1892,33 @@ def q_rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation (LLM-pipeline extension) — operators/curation.py
+# ---------------------------------------------------------------------------
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: every 41st
+    document plays the held-out eval set; training docs sharing any
+    13-word gram with it are flagged. Broadcast eval-gram set, 8-byte
+    xxhash64 join keys, one partial-combined per-doc count shuffle —
+    see operators/curation.py scale notes."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    split = F.col("doc_id") % 41 == 0
+    return curation_ops.decontaminate(docs.filter(~split), docs.filter(split))
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
+    complement to the dense vec_* retrieval family. Two scans, zero
+    joins on the corpus side, TakeOrderedAndProject tail."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.bm25_topk(
+        docs, curation_ops.BM25_TERMS, k=curation_ops.BM25_TOPK
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry assembly
 # ---------------------------------------------------------------------------
 
@@ -1987,6 +2017,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the storage-layout path; verified via the local parity harness at
     # sf0.01/sf0.1 + replicas (past the driver's 50-row window).
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    # Round-4 tail additions: the curation pair (operators/curation.py)
+    # — eval-set decontamination and sparse BM25 retrieval — verified via
+    # the local parity harness at sf0.01/sf0.1 (past the 50-row window).
+    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
 }
 
 

@@ -1,0 +1,130 @@
+"""Curation operators (operators/curation.py): decontamination + BM25.
+
+Semantic tests run on hand-built frames with independently computed
+expectations (pure-Python BM25); plan tests pin the scale contracts —
+broadcast eval side, no corpus-side sort-merge join, top-k heap tail.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from demo_pgvector_spark.operators import curation
+
+DOCS = [
+    # 13 words — exactly one 13-gram
+    (0, "a b c d e f g h i j k l m"),
+    # contains doc 0's full text as a window → shares that gram
+    (1, "x a b c d e f g h i j k l m y"),
+    # 12 words — too short for any 13-gram
+    (2, "a b c d e f g h i j k l"),
+    # 14 distinct words, no shared 13-gram with doc 0
+    (3, "n o p q r s t u v w x y z zz"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_gram(spark, docs_df):
+    eval_docs = docs_df.filter("doc_id = 0")
+    train = docs_df.filter("doc_id != 0")
+    rows = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(train, eval_docs).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # doc 1: 3 distinct 13-grams (15 words), exactly one shared with doc 0
+    assert rows[1]["n_grams"] == 3
+    assert rows[1]["n_overlap"] == 1
+    assert rows[1]["contaminated"] is True
+    # doc 2: shorter than n → zero grams, never contaminated
+    assert rows[2]["n_grams"] == 0
+    assert rows[2]["contaminated"] is False
+    # doc 3: 2 grams, disjoint vocabulary
+    assert rows[3]["n_grams"] == 2
+    assert rows[3]["n_overlap"] == 0
+    assert rows[3]["contaminated"] is False
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # A repeated window must count once in n_grams and once in n_overlap:
+    # doubling a 13-word text yields 14 gram positions but (period-13
+    # rotations) only 13 distinct grams, and only the eval window itself
+    # overlaps.
+    rep = " ".join(["a b c d e f g h i j k l m"] * 2)
+    docs = spark.createDataFrame([(7, rep)], "doc_id long, text string")
+    eval_docs = docs.selectExpr("0 as doc_id", "'a b c d e f g h i j k l m' as text")
+    row = curation.decontaminate(docs, eval_docs).collect()[0]
+    assert row["n_grams"] == 13
+    assert row["n_overlap"] == 1
+
+
+def _bm25_py(corpus, terms, k1=curation.BM25_K1, b=curation.BM25_B):
+    toks = {i: t.lower().split(" ") for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    scores = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            df = sum(1 for ww in toks.values() if t in ww)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(w) / avgdl))
+        scores[i] = round(s, 4)
+    return scores
+
+
+def test_bm25_matches_pure_python(spark):
+    corpus = [
+        (0, "spark join join window scan"),
+        (1, "filter scan merge sort hash hash hash"),
+        (2, "spark spark spark join"),
+        (3, "window window join filter"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in curation.bm25_topk(docs, ["spark", "join"], k=4).collect()
+    }
+    want = _bm25_py(corpus, ["spark", "join"])
+    assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_bm25_topk_orders_and_truncates(spark):
+    corpus = [(i, "spark " * (i + 1)) for i in range(6)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in corpus], "doc_id long, text string"
+    )
+    rows = curation.bm25_topk(docs, ["spark"], k=3).collect()
+    assert len(rows) == 3
+    # more occurrences → higher tf → higher score (all dls differ but tf wins)
+    assert [r["doc_id"] for r in rows] == [5, 4, 3]
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark, sf_dir):
+    from demo_pgvector_spark import registry
+
+    df = registry.q_text_decontaminate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_plan_is_scan_stats_topk(spark, sf_dir):
+    """Corpus-side contract: the global-stats row broadcasts back onto
+    the per-doc projection (BroadcastNestedLoopJoin over 1 row) and the
+    tail is a TakeOrderedAndProject — never a global sort, never a
+    corpus-keyed exchange."""
+    from demo_pgvector_spark import registry
+
+    df = registry.q_text_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
