@@ -51,16 +51,30 @@ BM25_TERMS = ["spark", "join", "vector", "window"]
 BM25_TOPK = 15
 
 
-def _gram_hashes(text_col: str, n: int) -> str:
-    """SQL fragment: distinct xxhash64 keys of the n-word grams of
+def _with_gram_hashes(
+    df: DataFrame, text_col: str, n: int, out: str = "_grams"
+) -> DataFrame:
+    """Project ``out``: distinct xxhash64 keys of the n-word grams of
     ``text_col`` (lowercased, space-tokenized). Documents shorter than
     n words contribute no grams — they cannot contain an n-gram of the
-    eval set by definition."""
-    toks = f"split(lower({text_col}), ' ')"
+    eval set by definition.
+
+    The token array is projected ONCE (``_toks``) before the gram
+    expression references it: higher-order-function lambdas defeat
+    codegen common-subexpression elimination, so inlining the split
+    would re-tokenize each row three times (the text_repetition lesson,
+    functions/textstats.py)."""
     return (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {n}))))) END"
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN size(_toks) < {n} THEN array() "
+                f"ELSE array_distinct(transform(sequence(0, size(_toks) - {n}), "
+                f"i -> xxhash64(concat_ws(' ', slice(_toks, i + 1, {n}))))) END"
+            ),
+        )
+        .drop("_toks")
     )
 
 
@@ -79,12 +93,13 @@ def decontaminate(
     is deduplicated then broadcast (see module scale notes); documents
     with fewer than n words surface with ``n_grams = 0`` and are never
     contaminated."""
-    grams = _gram_hashes(text_col, n)
     eval_grams = (
-        eval_docs.select(F.explode(F.expr(grams)).alias("g")).distinct()
+        _with_gram_hashes(eval_docs, text_col, n)
+        .select(F.explode("_grams").alias("g"))
+        .distinct()
     )
-    train_grams = train.select(
-        F.col(id_col), F.explode_outer(F.expr(grams)).alias("g")
+    train_grams = _with_gram_hashes(train, text_col, n).select(
+        F.col(id_col), F.explode_outer("_grams").alias("g")
     )
     hit = F.broadcast(eval_grams.withColumn("_hit", F.lit(1)))
     return (
@@ -115,12 +130,16 @@ def bm25_topk(
     Scores are rounded to 4 decimals and ties broken by ascending id so
     the result set is deterministic across engines. See module scale
     notes for the two-scan zero-join plan shape."""
-    toks = f"split(lower({text_col}), ' ')"
-    per_doc = docs.select(
+    # Project the token array once — the per-term filter lambdas would
+    # otherwise re-split the text len(terms)+1 times per row (HOF lambdas
+    # defeat codegen CSE; see _with_gram_hashes).
+    per_doc = docs.withColumn(
+        "_toks", F.split(F.lower(F.col(text_col)), " ")
+    ).select(
         F.col(id_col),
-        F.expr(f"size({toks})").alias("dl"),
+        F.expr("size(_toks)").alias("dl"),
         *[
-            F.expr(f"size(filter({toks}, x -> x = '{t}'))").alias(f"tf_{i}")
+            F.expr(f"size(filter(_toks, x -> x = '{t}'))").alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ],
     )

@@ -44,6 +44,9 @@ DEFAULT_KEYS = (
     "agg_grouping_sets", "set_intersect", "set_except",
     "win_rank_topn", "win_running_total", "join_range",
     "stream_ingest",
+    # round-4 curation pair: both output-linear (per-doc counts / fixed
+    # top-k), so replica scaling measures the operators, not the output.
+    "text_decontaminate", "text_bm25_topk",
 )
 
 
