@@ -87,9 +87,12 @@ BENCH_KEYS = (
     # round-4 new rows: pair-graph resolution + the streaming write path
     "dedup_assign",
     "stream_ingest",
-    # round-4 curation pair: eval-set decontamination + sparse retrieval
+    # round-4 curation family: decontamination, sparse retrieval,
+    # stratified sampling, sequence packing
     "text_decontaminate",
     "text_bm25_topk",
+    "sample_stratified",
+    "pack_sequences",
 )
 
 

@@ -1,16 +1,25 @@
-"""Corpus-curation operators — decontamination and sparse (BM25)
-retrieval, completing the LLM-training-data pipeline surface alongside
-operators/dedup.py (extension; the reference has no curation stage — its
-retrieval is dense-only, cli/generate_text.py:60-100, covered by
+"""Corpus-curation operators — decontamination, sparse (BM25) retrieval,
+stratified sampling, and sequence packing — completing the
+LLM-training-data pipeline surface alongside operators/dedup.py
+(extension; the reference has no curation stage — its retrieval is
+dense-only, cli/generate_text.py:60-100, covered by
 operators/similarity.py and ann/ivf).
 
-Two operators, both pure Catalyst (no Python in any row path):
+Four operators, all pure Catalyst (no Python in any row path):
 
-- decontaminate — benchmark-overlap screen: flag every training document
-  sharing at least one word n-gram (default n=13, the standard
+- decontaminate     — benchmark-overlap screen: flag every training
+  document sharing at least one word n-gram (default n=13, the standard
   eval-decontamination window) with a held-out evaluation set.
-- bm25_topk     — Okapi BM25 (k1=1.2, b=0.75) top-k retrieval for a
+- bm25_topk         — Okapi BM25 (k1=1.2, b=0.75) top-k retrieval for a
   bag-of-terms query; the sparse complement to the dense ANN/IVF path.
+- sample_stratified — deterministic per-stratum downsampling (domain
+  mixing): keep a document iff its salted content-independent hash
+  falls under the stratum's per-mille rate. Rerunnable: the same
+  (id, salt) always draws the same ticket.
+- pack_sequences    — token-budget sequence packing: per-stratum prefix
+  sums assign documents to fixed-budget training packs (the
+  chunk-then-concat dataloader contract: a pack may overflow by at most
+  its final document).
 
 Scale notes (100 TB posture):
 
@@ -25,6 +34,15 @@ Scale notes (100 TB posture):
   key, and Spark's runtime bloom-filter injection
   (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes the
   corpus side before the exchange.
+- ``sample_stratified`` is a scan-fused filter — zero shuffles, zero
+  joins, embarrassingly parallel; the rate table is a literal CASE
+  expression (strata counts are small: domains, languages, sources).
+- ``pack_sequences`` is one exchange (hash by stratum) + one in-partition
+  sort + a running-sum window per stratum — the classic skew candidate
+  when one stratum dominates; at 100 TB the stratum key gains a salt
+  suffix (pre-splitting giant domains into sub-streams, each packed
+  independently — packs never span salt boundaries, which the contract
+  allows since packs are independent training units).
 - ``bm25_topk`` is two corpus scans and ZERO joins on the big side:
   scan 1 partial-aggregates the global stats row (N, avgdl, per-term
   document frequencies — one row total), which cross-broadcasts onto
@@ -38,7 +56,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DECON_N = 13  # standard eval-decontamination n-gram window
@@ -110,6 +128,79 @@ def decontaminate(
             F.count("_hit").alias("n_overlap"),
         )
         .withColumn("contaminated", F.col("n_overlap") > F.lit(0))
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int = 0,
+    salt: str = "r4",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff its
+    salted hash ticket (0-999) falls under its stratum's per-mille rate.
+    Output adds the ``ticket`` column so the decision is auditable.
+
+    The ticket is the md5-derived 32-bit base hash of ``id:salt`` mod
+    1000 — md5 is bit-identical in Spark/DuckDB/Python (the same oracle
+    contract as operators/dedup.py; a production swap to ``xxhash64`` is
+    one line). Changing the salt redraws every ticket; keeping it makes
+    the sample append-stable: new rows never flip old decisions —
+    the property that lets a 100 TB corpus be re-sampled incrementally.
+    Scan-fused filter: zero shuffles, the rate table is a literal CASE
+    over the (small) stratum vocabulary."""
+    ticket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast("
+            f"{id_col} as string), ':{salt}')), 1, 8), 16, 10) as bigint)"
+        )
+        % 1000
+    )
+    rate = F.lit(default_per_mille)
+    for s, r in sorted(rates_per_mille.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("ticket", ticket)
+        .filter(F.col("ticket") < rate)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a training
+    pack via its stratum-local token prefix sum — pack_id =
+    floor(tokens_before / budget), the chunk-then-concat dataloader
+    contract (a pack may overflow by at most its final document, which
+    the loader truncates or wraps). Deterministic: documents pack in
+    ascending id order within each stratum.
+
+    (id, stratum, n_tokens, pack_id) per document. One hash exchange on
+    the stratum key + one in-partition sort feeds the running-sum
+    window; see module scale notes for the giant-stratum salting story."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+            ),
+        )
     )
 
 

@@ -1493,3 +1493,32 @@ O_TEXT_BM25 = _o_bm25(
     curation_ops.BM25_B,
     curation_ops.BM25_TOPK,
 )
+
+
+# Salted-ticket stratified sampling (operators/curation.py
+# sample_stratified): md5-derived ticket, same rates CASE as
+# registry.SAMPLE_RATES/SAMPLE_DEFAULT.
+O_SAMPLE_STRATIFIED = """
+SELECT * FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8))::UBIGINT
+              AS BIGINT) % 1000 AS ticket
+  FROM documents
+)
+WHERE ticket < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 500 END
+"""
+
+
+# Token-budget packing (operators/curation.py pack_sequences): stratum
+# prefix sums over id order; pack may overflow by its final doc.
+O_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM t
+"""

@@ -89,6 +89,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_WINDOWS,
     O_STR_SCALARS,
     O_STR_TOKENIZE,
+    O_PACK_SEQUENCES,
+    O_SAMPLE_STRATIFIED,
     O_TEXT_BM25,
     O_TEXT_DECONTAMINATE,
     O_TEXT_FINGERPRINT,
@@ -1918,6 +1920,34 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum sampling rates for the canonical registry row (the oracle
+# mirrors this CASE literally): oversample src0, thin src1, keep half of
+# everything else.
+SAMPLE_RATES = {"src0": 800, "src1": 300}
+SAMPLE_DEFAULT = 500
+PACK_BUDGET = 256
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing downsample of the documents corpus —
+    salted md5 ticket per doc, per-source per-mille rates. Scan-fused
+    filter, zero shuffles; rerunnable and append-stable."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.sample_stratified(
+        docs, SAMPLE_RATES, default_per_mille=SAMPLE_DEFAULT
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over the documents corpus: stratum
+    prefix-sum → pack assignment (chunk-then-concat contract). One
+    stratum exchange + running-sum window."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.pack_sequences(docs, budget=PACK_BUDGET)
+
+
 # ---------------------------------------------------------------------------
 # registry assembly
 # ---------------------------------------------------------------------------
@@ -2022,6 +2052,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the local parity harness at sf0.01/sf0.1 (past the 50-row window).
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
     "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
 }
 
 

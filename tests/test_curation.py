@@ -128,3 +128,88 @@ def test_bm25_plan_is_scan_stats_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_stratified_is_deterministic_and_append_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "srcA" if i % 2 else "srcB") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    kept1 = {
+        r["doc_id"]
+        for r in curation.sample_stratified(
+            docs, {"srcA": 700}, default_per_mille=200
+        ).collect()
+    }
+    # identical redraw
+    kept2 = {
+        r["doc_id"]
+        for r in curation.sample_stratified(
+            docs, {"srcA": 700}, default_per_mille=200
+        ).collect()
+    }
+    assert kept1 == kept2
+    # append stability: adding rows never flips old decisions
+    more = spark.createDataFrame(
+        [(i, f"t{i}", "srcA" if i % 2 else "srcB") for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    kept3 = {
+        r["doc_id"]
+        for r in curation.sample_stratified(
+            more, {"srcA": 700}, default_per_mille=200
+        ).collect()
+    }
+    assert kept1 == {i for i in kept3 if i < 200}
+    # a different salt redraws
+    kept4 = {
+        r["doc_id"]
+        for r in curation.sample_stratified(
+            docs, {"srcA": 700}, default_per_mille=200, salt="other"
+        ).collect()
+    }
+    assert kept1 != kept4
+    # rates actually stratify: srcA keeps ~70%, srcB ~20%
+    a = sum(1 for i in kept1 if i % 2)
+    b = sum(1 for i in kept1 if not i % 2)
+    assert 50 <= a <= 90 and 5 <= b <= 35
+
+
+def test_sample_stratified_plan_is_scan_fused(spark, sf_dir):
+    from demo_pgvector_spark import registry
+
+    df = registry.q_sample_stratified(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pack_sequences_respects_budget_contract(spark):
+    # 7 docs of 100 tokens in one stratum, budget 256: prefix-before sums
+    # 0,100,...,600 → floor(prefix/256) packs 0,0,0,1,1,1,2.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100), "s") for i in range(7)],
+        "doc_id long, text string, source string",
+    )
+    rows = curation.pack_sequences(docs, budget=256).orderBy("doc_id").collect()
+    assert [r["pack_id"] for r in rows] == [0, 0, 0, 1, 1, 1, 2]
+    assert all(r["n_tokens"] == 100 for r in rows)
+    # per-pack token sums only exceed the budget via their last member
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r["n_tokens"])
+    for toks in packs.values():
+        assert sum(toks[:-1]) < 256
+
+
+def test_pack_sequences_strata_pack_independently(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e", "y"), (3, "f g h i", "x")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in curation.pack_sequences(docs, budget=5).collect()}
+    assert rows[1]["pack_id"] == 0  # x: prefix 0
+    assert rows[3]["pack_id"] == 0  # x: prefix 3 < 5
+    assert rows[2]["pack_id"] == 0  # y: own stratum, prefix 0
