@@ -93,6 +93,7 @@ BENCH_KEYS = (
     "text_bm25_topk",
     "sample_stratified",
     "pack_sequences",
+    "curate_corpus",
 )
 
 

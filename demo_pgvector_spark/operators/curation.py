@@ -204,6 +204,65 @@ def pack_sequences(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int = 500,
+    min_tokens: int = 15,
+    pack_budget: int = 256,
+    n: int = DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed logical plan:
+
+        exact-dedup keepers → length screen → decontaminate vs the
+        held-out eval split (doc_id % 41 = 0) → stratified sample →
+        token-budget packing
+
+    — i.e. what a training-data job actually runs, assembled from the
+    operators in this module + operators/dedup.py. Every stage is
+    deterministic, so the whole cascade has a DuckDB oracle.
+
+    Stage shuffles at scale: dedup keeper groupBy (content hash),
+    keeper/clean semi-joins co-partitioned on the id, the decontaminate
+    count aggregation, and the final stratum window — each
+    partial-combined or key-partitioned; the eval gram set broadcasts
+    and the sample filter is scan-fused (free)."""
+    from demo_pgvector_spark.operators import dedup as dedup_ops
+
+    keepers = dedup_ops.exact_dedup(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = docs.join(keepers, id_col, "left_semi")
+    longd = kept.filter(
+        F.expr(f"size(split(lower({text_col}), ' '))") >= min_tokens
+    )
+    split = F.col(id_col) % 41 == 0
+    train = longd.filter(~split)
+    decon = decontaminate(
+        train, docs.filter(split), n=n, id_col=id_col, text_col=text_col
+    )
+    clean = train.join(
+        decon.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+    sampled = sample_stratified(
+        clean,
+        rates_per_mille,
+        default_per_mille=default_per_mille,
+        id_col=id_col,
+        stratum_col=stratum_col,
+    ).drop("ticket")
+    return pack_sequences(
+        sampled,
+        budget=pack_budget,
+        id_col=id_col,
+        text_col=text_col,
+        stratum_col=stratum_col,
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],

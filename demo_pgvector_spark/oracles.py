@@ -1522,3 +1522,60 @@ SELECT doc_id, source, n_tokens,
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM t
 """
+
+
+# End-to-end curation cascade (operators/curation.py curate_corpus):
+# dedup keepers -> length screen -> decontaminate vs the %41 eval split
+# -> stratified sample -> token-budget packing. Every stage mirrors its
+# standalone oracle above.
+O_CURATE_CORPUS = """
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+longd AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+  WHERE len(string_split(lower(d.text), ' ')) >= 15
+),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 13 THEN []
+              ELSE list_distinct(list_transform(
+                range(len(w) - 12),
+                i -> array_to_string(w[i + 1:i + 13], ' ')
+              )) END AS g
+  FROM toks
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 41 = 0
+),
+train AS (
+  SELECT * FROM longd WHERE doc_id % 41 <> 0
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT g2.doc_id, unnest(g2.g) AS gram
+        FROM grams g2 JOIN train USING (doc_id)) t
+  JOIN eg USING (gram)
+),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8))::UBIGINT
+             AS BIGINT) % 1000
+        < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 500 END
+),
+st AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM sampled
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM st
+"""

@@ -89,6 +89,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_WINDOWS,
     O_STR_SCALARS,
     O_STR_TOKENIZE,
+    O_CURATE_CORPUS,
     O_PACK_SEQUENCES,
     O_SAMPLE_STRATIFIED,
     O_TEXT_BM25,
@@ -1939,6 +1940,19 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation cascade as one composed plan — dedup keepers →
+    length screen → decontamination → stratified sample → sequence
+    packing (operators/curation.py curate_corpus). The end-to-end
+    'training-data job' a user of the engine actually submits."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.curate_corpus(
+        docs, SAMPLE_RATES, default_per_mille=SAMPLE_DEFAULT,
+        pack_budget=PACK_BUDGET,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing over the documents corpus: stratum
     prefix-sum → pack assignment (chunk-then-concat contract). One
@@ -2054,6 +2068,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
 }
 
 

@@ -213,3 +213,26 @@ def test_pack_sequences_strata_pack_independently(spark):
     assert rows[1]["pack_id"] == 0  # x: prefix 0
     assert rows[3]["pack_id"] == 0  # x: prefix 3 < 5
     assert rows[2]["pack_id"] == 0  # y: own stratum, prefix 0
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Each stage visibly acts: dup drops, short doc drops, contaminated
+    doc drops, the survivor packs at pack 0."""
+    eval_text = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13"
+    docs = spark.createDataFrame(
+        [
+            (41 * 3, eval_text + " tail", "s"),  # eval split (id % 41 == 0)
+            (1, "dup " * 20, "s"),
+            (2, "dup " * 20, "s"),  # exact dup of 1 → dropped
+            (3, "short text", "s"),  # < 15 tokens → dropped
+            (4, "x1 " + eval_text + " x2 x3", "s"),  # contaminated → dropped
+            (5, " ".join(f"w{i}" for i in range(30)), "s"),  # survives
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = curation.curate_corpus(docs, {}, default_per_mille=1000).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 5]
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[5]["n_tokens"] == 30
+    assert by_id[5]["pack_id"] == 0

@@ -46,6 +46,9 @@ DEFAULT_KEYS = (
     "stream_ingest",
     # round-4 curation pair: both output-linear (per-doc counts / fixed
     # top-k), so replica scaling measures the operators, not the output.
+    # (curate_corpus and sample_stratified are oracle-gated at every
+    # scale but excluded here: exact-dedup keepers collapse replicated
+    # corpora, so their replica curve measures output shrinkage.)
     "text_decontaminate", "text_bm25_topk",
 )
 
