@@ -113,7 +113,9 @@ def _ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def repetition_components(c: Column) -> dict[str, Column]:
+def repetition_components(
+    c: Column, toks: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
     """Repetition signals in the Gopher/MassiveText filter family: the
     fraction of duplicated unigrams / bigrams / trigrams in the word
     stream, and of duplicated lines. High values mark boilerplate,
@@ -128,8 +130,17 @@ def repetition_components(c: Column) -> dict[str, Column]:
     (e.g. ``size(grams)`` for the denominator) would rebuild every gram
     string per row. Totals instead come from arithmetic on
     ``size(tokens)`` (an n-token doc has n−k+1 k-grams), which halved
-    the measured cost at 10× scale."""
-    toks = _tokens(c)
+    the measured cost at 10× scale.
+
+    Pass ``toks``/``lines`` as PRE-PROJECTED columns to also tokenize
+    once: inlined, the split runs inside each of the three gram lambdas
+    (plus the line split) — four tokenizations per row for the same
+    reason the gram arrays needed single construction. The registry row
+    projects both and measured another ~1.6× at sf0.1."""
+    if toks is None:
+        toks = _tokens(c)
+    if lines is None:
+        lines = F.split(c, "\n")
     n_tok = F.size(toks)
     out: dict[str, Column] = {}
     for n, name in ((1, "dup_unigram_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
@@ -141,7 +152,6 @@ def repetition_components(c: Column) -> dict[str, Column]:
         )
         distinct = F.size(F.array_distinct(grams))
         out[name] = (total - distinct) / F.greatest(total, F.lit(1))
-    lines = F.split(c, "\n")
     out["dup_line_frac"] = (F.size(lines) - F.size(F.array_distinct(lines))) / F.greatest(
         F.size(lines), F.lit(1)
     )

@@ -1458,12 +1458,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_components, which can't see boilerplate/stuffing."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
-    r = textstats.repetition_components(F.col("text"))
+    # Tokenize ONCE: _toks/_lines are projected columns, so the three
+    # gram lambdas + line screen all read the same materialized arrays
+    # (inlined, the split re-runs inside every HOF — codegen CSE can't
+    # see through lambdas; see textstats.repetition_components).
+    r = textstats.repetition_components(
+        F.col("text"), toks=F.col("_toks"), lines=F.col("_lines")
+    )
     # Flag from the already-projected fractions, NOT repetition_flag(text):
     # recomputing the components would rebuild every gram array a second
-    # time (HOF lambdas are opaque to codegen CSE — see textstats).
-    staged = docs.select(
-        "doc_id", *[expr.alias(f"_{name}") for name, expr in r.items()]
+    # time.
+    staged = (
+        docs.withColumn("_toks", F.split(F.lower(F.col("text")), " "))
+        .withColumn("_lines", F.split(F.col("text"), "\n"))
+        .select("doc_id", *[expr.alias(f"_{name}") for name, expr in r.items()])
     )
     return staged.select(
         "doc_id",
