@@ -35,19 +35,31 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def l2_normalize(a: Column) -> Column:
+def l2_normalize(a: Column, n: Column | None = None) -> Column:
     """Return the unit vector; zero vectors pass through unchanged
-    (matches the reference's guard, src/lib/embedding.py:115-118)."""
-    n = l2_norm(a)
+    (matches the reference's guard, src/lib/embedding.py:115-118).
+
+    Pass ``n`` as a PRE-PROJECTED norm column on hot paths: inlined, the
+    norm fold sits inside the per-element division lambda and lambda
+    bodies are re-evaluated per element — an O(dim²) row cost (the same
+    lambda-opacity trap as the text_repetition gram screen)."""
+    if n is None:
+        n = l2_norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
         F.transform(a, lambda x: x.cast("double"))
     )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity = dot/(|a||b|); null-safe on zero norms."""
-    na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(None))
+    """Cosine similarity = dot/(|a||b|); null-safe on zero norms.
+
+    ``try_divide`` gives the null-on-zero-norm guard with each aggregate
+    occurring ONCE — the ``when((na>0)&(nb>0), d/(na·nb))`` formulation
+    evaluated both norms twice (guard + quotient), and aggregate() trees
+    contain lambdas, which codegen subexpression elimination skips: five
+    O(dim) folds per row where three suffice. Matters on the ANN/IVF
+    scan paths that score every stored vector."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b)))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:

@@ -205,15 +205,24 @@ def q_vec_cosine_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, sf_dir, "embeddings")
     qv = query_vector_literal(_query_vec(spark, sf_dir))
-    sim = cosine_similarity(F.col("embedding"), qv)
-    return emb.select(
+    # _sim/_n projected once: every aggregate() fold contains a lambda,
+    # which codegen CSE skips — textual reuse would re-fold per output.
+    staged = emb.select(
         "vec_id",
-        F.round(F.lit(1.0) - sim, 6).alias("cosine_distance"),
+        F.col("embedding"),
+        cosine_similarity(F.col("embedding"), qv).alias("_sim"),
+        l2_norm(F.col("embedding")).alias("_n"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.lit(1.0) - F.col("_sim"), 6).alias("cosine_distance"),
         F.round(euclidean_distance(F.col("embedding"), qv), 6).alias("l2_dist"),
         F.round(inner_product_distance(F.col("embedding"), qv), 6).alias("neg_ip"),
-        F.round(sim, 4).alias("sim4"),
-        F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
-        F.round(l2_norm(l2_normalize(F.col("embedding"))), 6).alias("unit_norm"),
+        F.round(F.col("_sim"), 4).alias("sim4"),
+        F.round(F.col("_n"), 6).alias("norm"),
+        F.round(
+            l2_norm(l2_normalize(F.col("embedding"), n=F.col("_n"))), 6
+        ).alias("unit_norm"),
     )
 
 
