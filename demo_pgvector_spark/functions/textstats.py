@@ -36,19 +36,23 @@ def _tokens(c: Column) -> Column:
     return F.split(F.lower(c), " ")
 
 
-def lang_scores(c: Column) -> dict[str, Column]:
-    """Per-language profile-hit counts."""
-    toks = _tokens(c)
+def lang_scores(c: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language profile-hit counts. Pass ``toks`` pre-projected on
+    hot paths — inlined, each language's filter re-splits the text
+    (lambda-bearing trees are opaque to codegen CSE)."""
+    if toks is None:
+        toks = _tokens(c)
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
         for lang, words in sorted(LANG_PROFILES.items())
     }
 
 
-def lang_id(c: Column) -> Column:
-    """Predicted language: argmax profile-hit count, alphabetical
-    tie-break, 'unknown' when no profile word appears."""
-    scores = lang_scores(c)
+def lang_pred(scores: dict[str, Column]) -> Column:
+    """Argmax of per-language scores, alphabetical tie-break, 'unknown'
+    when no profile word appears. Feed it PROJECTED score columns: the
+    argmax references every score ~3× (greatest + each branch), so
+    inlined score expressions multiply their own cost."""
     m = F.greatest(*scores.values())
     out = F.lit("unknown")
     expr = None
@@ -56,6 +60,12 @@ def lang_id(c: Column) -> Column:
         cond = scores[lang] == m
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return F.when(m > 0, expr.otherwise(out)).otherwise(out)
+
+
+def lang_id(c: Column) -> Column:
+    """Predicted language (one-shot convenience form; the registry row
+    stages tokens → hit columns → argmax instead — see lang_pred)."""
+    return lang_pred(lang_scores(c))
 
 
 def token_counts(c: Column) -> tuple[Column, Column, Column]:
@@ -68,10 +78,12 @@ def token_counts(c: Column) -> tuple[Column, Column, Column]:
     return ws, bpe, est
 
 
-def quality_components(c: Column) -> dict[str, Column]:
+def quality_components(c: Column, toks: Column | None = None) -> dict[str, Column]:
     """Raw quality signals: length, token count, mean token length,
-    stopword ratio, punctuation ratio."""
-    toks = _tokens(c)
+    stopword ratio, punctuation ratio. Pass ``toks`` pre-projected on
+    hot paths (see lang_scores)."""
+    if toks is None:
+        toks = _tokens(c)
     n_tokens = F.size(toks)
     n_chars = F.length(c)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -88,15 +100,20 @@ def quality_components(c: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(c: Column) -> Column:
-    """Composite [0,1] quality score: rewards reasonable length and
-    stopword presence, penalizes punctuation soup — the standard
-    heuristic-filter shape (length/punct/stopword ratios)."""
-    q = quality_components(c)
+def quality_score_from(q: dict[str, Column]) -> Column:
+    """Composite [0,1] quality score from (ideally projected) component
+    columns: rewards reasonable length and stopword presence, penalizes
+    punctuation soup — the standard heuristic-filter shape."""
     length_term = F.least(q["n_tokens"] / 50.0, F.lit(1.0))
     stop_term = F.least(q["stopword_ratio"] * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(q["punct_ratio"] * 4.0, F.lit(1.0))
     return 0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term
+
+
+def quality_score(c: Column) -> Column:
+    """One-shot convenience form of quality_score_from (the registry row
+    stages components first)."""
+    return quality_score_from(quality_components(c))
 
 
 def _ngrams(toks: Column, n: int) -> Column:

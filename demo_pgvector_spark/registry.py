@@ -1418,11 +1418,22 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax prediction (alphabetical tie-break, 'unknown' on zero)."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
-    scores = textstats.lang_scores(F.col("text"))
-    return docs.select(
+    # Stage tokens → hit columns → argmax: inlined, lang_id(text) would
+    # re-split + re-filter per language per argmax branch (~15 token
+    # scans/row — lambda trees are opaque to codegen CSE).
+    scores = textstats.lang_scores(F.col("text"), toks=F.col("_toks"))
+    staged = docs.withColumn(
+        "_toks", F.split(F.lower(F.col("text")), " ")
+    ).select(
         "doc_id",
         *[scores[lang].alias(f"hits_{lang}") for lang in sorted(scores)],
-        textstats.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    return staged.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in sorted(scores)],
+        textstats.lang_pred(
+            {lang: F.col(f"hits_{lang}") for lang in sorted(scores)}
+        ).alias("pred_lang"),
     )
 
 
@@ -1434,18 +1445,41 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same table, pure Catalyst) for the correctness window."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
-    q = textstats.quality_components(F.col("text"))
+    # Stage tokens → components → score: quality_score(text) would
+    # recompute every component from a fresh split (lambda-opaque CSE).
+    q = textstats.quality_components(F.col("text"), toks=F.col("_toks"))
     ws, bpe, est = textstats.token_counts(F.col("text"))
-    return docs.select(
+    staged = docs.withColumn(
+        "_toks", F.split(F.lower(F.col("text")), " ")
+    ).select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
-        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(textstats.quality_score(F.col("text")), 6).alias("quality"),
+        q["stopword_ratio"].alias("_stop"),
+        q["punct_ratio"].alias("_punct"),
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         est.alias("subword_estimate"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("_stop", 6).alias("stopword_ratio"),
+        F.round("_punct", 6).alias("punct_ratio"),
+        F.round(
+            textstats.quality_score_from(
+                {
+                    "n_tokens": F.col("n_tokens"),
+                    "stopword_ratio": F.col("_stop"),
+                    "punct_ratio": F.col("_punct"),
+                }
+            ),
+            6,
+        ).alias("quality"),
+        "ws_tokens",
+        "bpe_tokens",
+        "subword_estimate",
     )
 
 
