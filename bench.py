@@ -50,6 +50,7 @@ BENCH_KEYS = (
     # relational analytics over the 600k-row lineitem
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "join_lineitem_orders",
     # LLM-pipeline extension surface

@@ -99,6 +99,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_QUALITY,
     O_TEXT_REPETITION,
     O_TPCH_Q1,
+    O_TPCH_Q5,
     O_TPCH_Q3,
     O_TPCH_Q6,
     O_UPSERT_MODEL,
@@ -522,6 +523,46 @@ def q_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the one testdata table big enough to stress the engine — 600k rows at
 # sf0.1; these are the bench workhorses, VERDICT r1 "Next round" #6).
 # ---------------------------------------------------------------------------
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: the SIX-table join chain
+    (region → nation → supplier ⨝ lineitem ⨝ orders ⨝ customer, with the
+    customer-nation = supplier-nation locality constraint) aggregated to
+    per-nation revenue. The region/nation/supplier dimension chain is
+    broadcast (region filter prunes it before it ever touches a fact
+    row); only the fact-fact joins shuffle. DECIMAL sums for
+    order-independent parity."""
+    tune_session(spark)
+    region = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = tables.load(spark, sf_dir, "nation")
+    supp = tables.load(spark, sf_dir, "supplier")
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            dims,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue")
+    )
+
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping priority: three-table join (customer
@@ -2120,6 +2161,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    # Round-4 tail: the six-table TPC-H Q5 join chain (exercises the
+    # region/nation/supplier dims the other relational rows leave cold).
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
 }
 
 

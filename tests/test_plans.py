@@ -191,3 +191,15 @@ def test_percentiles_are_range_partitioned_not_buffered(spark):
     assert "rangepartitioning" in plan, plan
     assert "percentile(" not in plan, plan
     assert "monotonically_increasing_id" in plan
+
+
+def test_tpch_q5_broadcasts_dimension_chain(spark):
+    """The region→nation→supplier dim chain must broadcast (never a
+    fact-side shuffle for dimensions) and the region literal filter must
+    reach the region scan as a pushed data filter."""
+    plan = _plan(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "r_name" in plan and "= ASIA" in plan.replace("ASIA)", "ASIA) ")
+    # at test SF every join broadcasts; the single exchange is the
+    # per-nation aggregation
+    assert "SortMergeJoin" not in plan
