@@ -181,3 +181,82 @@ def test_dedup_assign_matches_union_find_on_random_graphs(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["keeper_id"] for r in dedup.dedup_assign(docs, pairs).collect()}
     assert got == want
+
+
+# -- curation properties (batched into one Spark job each) -----------------
+
+
+def test_pack_sequences_matches_python_reference_on_fuzzed_streams(spark):
+    """Random per-stratum token streams: Spark pack assignment must equal
+    the plain-Python floor(prefix_before/budget) fold, and no pack may
+    exceed the budget except via its final member."""
+    import random
+
+    from demo_pgvector_spark.operators import curation
+
+    rng = random.Random(17)
+    rows, budget = [], 50
+    for i in range(300):
+        stratum = f"s{rng.randrange(5)}"
+        rows.append((i, " ".join("w" for _ in range(rng.randrange(1, 40))), stratum))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["n_tokens"])
+        for r in curation.pack_sequences(df, budget=budget).collect()
+    }
+    cum: dict[str, int] = {}
+    packs: dict[tuple, int] = {}
+    for i, text, stratum in rows:  # ascending doc_id == packing order
+        n = len(text.split(" "))
+        before = cum.get(stratum, 0)
+        want_pack = before // budget
+        assert got[i] == (want_pack, n), (i, got[i], want_pack, n)
+        cum[stratum] = before + n
+        key = (stratum, want_pack)
+        packs[key] = packs.get(key, 0) + n
+    # budget contract: pack total minus its last member stays under budget
+    lasts: dict[tuple, int] = {}
+    for i, text, stratum in rows:
+        lasts[(stratum, got[i][0])] = got[i][1]
+    for key, total in packs.items():
+        assert total - lasts[key] < budget, key
+
+
+def test_decontaminate_matches_python_reference_on_fuzzed_docs(spark):
+    """Random small-vocab docs vs a random eval split: n_grams/n_overlap
+    must equal the plain-Python distinct-set computation."""
+    import random
+
+    from demo_pgvector_spark.operators import curation
+
+    rng = random.Random(23)
+    vocab = [f"v{j}" for j in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(120)
+    ]
+    n = 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = df.filter("doc_id % 7 = 0")
+    train_df = df.filter("doc_id % 7 != 0")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+        for r in curation.decontaminate(train_df, eval_df, n=n).collect()
+    }
+
+    def grams(text):
+        w = text.split(" ")
+        if len(w) < n:
+            return set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    eval_grams = set()
+    for i, t in rows:
+        if i % 7 == 0:
+            eval_grams |= grams(t)
+    for i, t in rows:
+        if i % 7 == 0:
+            continue
+        g = grams(t)
+        want = (len(g), len(g & eval_grams), bool(g & eval_grams))
+        assert got[i] == want, (i, got[i], want)
