@@ -39,10 +39,10 @@ Scale notes (100 TB posture):
   expression (strata counts are small: domains, languages, sources).
 - ``pack_sequences`` is one exchange (hash by stratum) + one in-partition
   sort + a running-sum window per stratum — the classic skew candidate
-  when one stratum dominates; at 100 TB the stratum key gains a salt
-  suffix (pre-splitting giant domains into sub-streams, each packed
-  independently — packs never span salt boundaries, which the contract
-  allows since packs are independent training units).
+  when one stratum dominates; ``salt_parts`` pre-splits giant domains
+  into independently-packed sub-streams (packs never span salt
+  boundaries, which the contract allows since packs are independent
+  training units).
 - ``bm25_topk`` is two corpus scans and ZERO joins on the big side:
   scan 1 partial-aggregates the global stats row (N, avgdl, per-term
   document frequencies — one row total), which cross-broadcasts onto
@@ -173,35 +173,44 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "source",
+    salt_parts: int = 1,
 ) -> DataFrame:
     """Token-budget sequence packing: assign each document to a training
     pack via its stratum-local token prefix sum — pack_id =
     floor(tokens_before / budget), the chunk-then-concat dataloader
     contract (a pack may overflow by at most its final document, which
     the loader truncates or wraps). Deterministic: documents pack in
-    ascending id order within each stratum.
+    ascending id order within each (stratum, salt part).
 
     (id, stratum, n_tokens, pack_id) per document. One hash exchange on
-    the stratum key + one in-partition sort feeds the running-sum
-    window; see module scale notes for the giant-stratum salting story."""
+    the stratum key + one in-partition sort feeds the running-sum window.
+    ``salt_parts > 1`` is the giant-stratum skew escape: the window keys
+    on (stratum, xxhash64(id) mod parts), pre-splitting a dominant
+    stratum into ``parts`` independently-packed sub-streams — packs never
+    span salt boundaries, which the contract allows since every pack is
+    an independent training unit. Sub-stream packs get disjoint ids via
+    ``pack_id·parts + part`` (still deterministic and rerunnable)."""
+    staged = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+        (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+            if salt_parts > 1
+            else F.lit(0)
+        ).alias("_part"),
+    )
     w = (
-        Window.partitionBy(stratum_col)
+        Window.partitionBy(stratum_col, "_part")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        docs.select(
-            F.col(id_col),
-            F.col(stratum_col),
-            F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
-        )
-        .withColumn(
-            "pack_id",
-            F.floor(
-                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
-            ),
-        )
+    local = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
     )
+    return staged.withColumn(
+        "pack_id", local * F.lit(salt_parts) + F.col("_part")
+    ).drop("_part")
 
 
 def curate_corpus(

@@ -236,3 +236,36 @@ def test_curate_corpus_end_to_end(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[5]["n_tokens"] == 30
     assert by_id[5]["pack_id"] == 0
+
+
+def test_pack_sequences_salted_parts_pack_independently(spark):
+    """salt_parts pre-splits a dominant stratum: every sub-stream honors
+    the budget contract independently, pack ids stay globally disjoint
+    across parts, and salt_parts=1 output is byte-identical to the
+    unsalted form."""
+    from collections import defaultdict
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + i % 11)), "giant") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    budget = 64
+    rows = curation.pack_sequences(docs, budget=budget, salt_parts=8).collect()
+    assert len(rows) == 400
+    parts = {r["pack_id"] % 8 for r in rows}
+    assert len(parts) > 1  # the stratum really split
+    # reconstruct each sub-stream: members of a part pack in id order
+    by_part = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_part[r["pack_id"] % 8].append(r)
+    for part, members in by_part.items():
+        cum = 0
+        for r in members:
+            assert r["pack_id"] == (cum // budget) * 8 + part
+            cum += r["n_tokens"]
+    # default salt_parts=1 is the unsalted contract
+    plain = curation.pack_sequences(docs, budget=budget).collect()
+    cum = 0
+    for r in sorted(plain, key=lambda r: r["doc_id"]):
+        assert r["pack_id"] == cum // budget
+        cum += r["n_tokens"]
