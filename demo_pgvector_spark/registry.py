@@ -2101,9 +2101,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
-    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
-    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
-    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
+    # -- block 1c: NEW round-4 rows (operators/curation.py, write-time
+    # IVF clustering, TPC-H Q5) — never driver-verified, so they must
+    # sit inside the 50-row window.  The seven slots were freed by
+    # rotating out rows whose operator modules (write.py, rag.py,
+    # ingest.py) are byte-unchanged since their r3-green verdicts —
+    # those verdicts carry (see block 2). --------------------------------
+    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
@@ -2111,15 +2121,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
-    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
-    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "extract_year": (q_extract_year, O_EXTRACT_YEAR),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
-    "src_route": (q_src_route, O_SRC_ROUTE),
-    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
@@ -2148,22 +2154,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_intersect": (q_set_intersect, O_SET_INTERSECT),
     "set_except": (q_set_except, O_SET_EXCEPT),
     "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
-    # Round-4 tail addition: the write-time-clustered partition-pruned
-    # IVF probe — same semantics (and oracle) as vec_ivf_topk, gating
-    # the storage-layout path; verified via the local parity harness at
-    # sf0.01/sf0.1 + replicas (past the driver's 50-row window).
-    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
-    # Round-4 tail additions: the curation pair (operators/curation.py)
-    # — eval-set decontamination and sparse BM25 retrieval — verified via
-    # the local parity harness at sf0.01/sf0.1 (past the 50-row window).
-    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
-    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
-    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
-    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
-    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
-    # Round-4 tail: the six-table TPC-H Q5 join chain (exercises the
-    # region/nation/supplier dims the other relational rows leave cold).
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
+    # Rotated out of the window in round 4 to make room for block 1c:
+    # r3-green rows whose operator modules (operators/write.py,
+    # operators/rag.py, operators/ingest.py) are byte-unchanged since
+    # their green CORRECTNESS_r03 verdicts — verdicts carry.  Still
+    # re-verified every round by the local parity harness (tools/parity.py).
+    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
+    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
+    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
+    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
+    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
+    "src_route": (q_src_route, O_SRC_ROUTE),
+    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
 }
 
 

@@ -32,13 +32,17 @@ WINDOW_REQUIRED = {
     # str_scalars carries str_tokenize + hash_sha256/md5 since r4;
     # proj_sim_family carries proj_similarity + filt_threshold +
     # join_chunk_data since r4)
+    # (upsert_model/upsert_source/ins_chunk_txn/agg_context_concat/
+    # rag_prompts/src_route/meta_sidecar rotated to the tail in r4:
+    # their operator modules are byte-unchanged since their green r3
+    # driver rows, so the judge's carry rule applies; the freed slots
+    # hold the never-driver-verified round-4 keys below)
     "vec_sim_topk", "vec_cosine_dist", "proj_sim_family",
     "filt_predicates", "classify_source_type", "extract_year",
     "str_scalars", "agg_word_counts", "json_metadata", "emb_hash_embed",
-    "emb_generate", "src_route", "filt_files", "meta_sidecar",
+    "emb_generate", "filt_files",
     "sink_stdout", "src_convert_epub", "chunk_docling", "chunk_enrich",
-    "win_chunk_number", "upsert_model", "upsert_source", "ins_chunk_txn",
-    "agg_context_concat", "rag_prompts", "stream_windows",
+    "win_chunk_number", "stream_windows",
     "stream_session_windows", "stream_dedup", "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
     # (mm_media carries all three modality pipelines since r4)
@@ -51,6 +55,9 @@ WINDOW_REQUIRED = {
     "tpch_q1", "tpch_q3", "tpch_q6", "join_lineitem_orders",
     # r3 tail analytics rotated in per VERDICT r3 (never driver-verified)
     "win_running_total", "agg_pivot", "agg_percentiles",
+    # round-4 additions (never driver-verified → must be in-window)
+    "text_decontaminate", "text_bm25_topk", "sample_stratified",
+    "pack_sequences", "curate_corpus", "vec_ivf_pruned", "tpch_q5",
 }
 
 
