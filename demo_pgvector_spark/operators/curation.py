@@ -5,7 +5,7 @@ LLM-training-data pipeline surface alongside operators/dedup.py
 dense-only, cli/generate_text.py:60-100, covered by
 operators/similarity.py and ann/ivf).
 
-Four operators, all pure Catalyst (no Python in any row path):
+Five operators, all pure Catalyst (no Python in any row path):
 
 - decontaminate     — benchmark-overlap screen: flag every training
   document sharing at least one word n-gram (default n=13, the standard
@@ -20,6 +20,9 @@ Four operators, all pure Catalyst (no Python in any row path):
   sums assign documents to fixed-budget training packs (the
   chunk-then-concat dataloader contract: a pack may overflow by at most
   its final document).
+- scrub_text        — PII masking (email/IPv4/phone → typed
+  placeholders) + C4-style short-line boilerplate screen; the
+  pre-tokenization scrub. Scan-fused, zero shuffles.
 
 Scale notes (100 TB posture):
 
@@ -327,4 +330,60 @@ def bm25_topk(
         scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + line-level cleaning (C4-style)
+# --------------------------------------------------------------------------
+
+# Conservative patterns chosen to mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repeats,
+# and ASCII \b only — no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d()\- ]{6,}\d"
+
+
+def scrub_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """PII masking + C4-style line filtering, the pre-tokenization scrub
+    every web-scale training corpus runs (reference has no cleaning
+    stage; its EPUB corpus is curated by hand — README.md:13-21).
+
+    Per document: mask emails/IPv4s/phone numbers with typed
+    placeholders, split into lines, drop lines with fewer than
+    ``min_line_words`` whitespace-separated words (the C4 boilerplate
+    screen), and re-join. Output keeps the per-doc PII hit counts
+    (measured on the ORIGINAL text, so masking is auditable) and the
+    kept/total line counts.
+
+    Scale: a pure per-row Catalyst projection — zero shuffles, zero
+    joins, zero Python; fuses into whatever scan precedes it and
+    pipelines with downstream dedup/decontamination. Order of masking
+    matters and is fixed: emails, then IPv4, then phones (the phone
+    pattern requires a leading '+' so it can never re-match a masked
+    IP's remnants).
+    """
+    t = F.col(text_col)
+    masked = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    masked = F.regexp_replace(masked, PII_IPV4, "<IP>")
+    masked = F.regexp_replace(masked, PII_PHONE, "<PHONE>")
+    lines = F.split(masked, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.size(F.split(F.trim(x), " +")) >= F.lit(min_line_words),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
     )

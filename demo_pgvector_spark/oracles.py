@@ -1596,3 +1596,47 @@ SELECT doc_id, source, n_tokens,
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM st
 """
+
+
+# PII scrub + C4-style line filter (operators/curation.py scrub_text).
+# The synthetic corpus carries no PII and no newlines, so the row
+# deterministically augments each document with a 2-word junk line and a
+# contact line (email + IPv4 + phone) before scrubbing — proving the
+# masks and the line screen actually fire.  Patterns are byte-identical
+# to curation.PII_EMAIL / PII_IPV4 / PII_PHONE and are valid in both
+# Java regex and RE2 (no lookaround / backreferences).
+O_TEXT_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'ab cd' || chr(10) || 'contact ' || source
+              || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.'
+              || CAST(doc_id % 250 + 1 AS VARCHAR) || ' or +1 555 000 '
+              || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+  FROM documents
+),
+masked AS (
+  SELECT doc_id, text,
+         string_split(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g'),
+           chr(10)) AS lines
+  FROM aug
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(lines, x -> len(string_split_regex(trim(x), ' +')) >= 3),
+         chr(10)) AS clean_text,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+\d[\d()\- ]{6,}\d')) AS n_phones,
+       len(list_filter(lines,
+           x -> len(string_split_regex(trim(x), ' +')) >= 3)) AS n_lines_kept,
+       len(lines) AS n_lines_total
+FROM masked
+"""

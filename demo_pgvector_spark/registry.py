@@ -94,6 +94,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SAMPLE_STRATIFIED,
     O_TEXT_BM25,
     O_TEXT_DECONTAMINATE,
+    O_TEXT_SCRUB,
     O_TEXT_FINGERPRINT,
     O_TEXT_LANG_ID,
     O_TEXT_QUALITY,
@@ -2032,6 +2033,29 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + C4-style line cleaning over the documents corpus.
+    The synthetic corpus has no PII and no newlines, so the row
+    deterministically appends a 2-word junk line (which the line screen
+    must drop) and a contact line carrying an email, an IPv4, and a
+    phone number (which the masks must hit) — the oracle builds the
+    identical augmentation. Pure scan-fused Catalyst projection: zero
+    shuffles, zero Python (operators/curation.py scrub_text)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\nab cd\ncontact "),
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+        F.lit(" or +1 555 000 "),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return curation_ops.scrub_text(docs.withColumn("text", aug))
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation cascade as one composed plan — dedup keepers →
     length screen → decontamination → stratified sample → sequence
@@ -2108,6 +2132,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ingest.py) are byte-unchanged since their r3-green verdicts —
     # those verdicts carry (see block 2). --------------------------------
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
     "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
@@ -2137,7 +2162,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
-    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
     "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
@@ -2166,6 +2190,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
     "src_route": (q_src_route, O_SRC_ROUTE),
     "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    # (r4, late) operators/convert.py likewise byte-unchanged since its
+    # green r3 row — rotated out for the new text_scrub curation row.
+    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
 }
 
 

@@ -269,3 +269,41 @@ def test_pack_sequences_salted_parts_pack_independently(spark):
     for r in sorted(plain, key=lambda r: r["doc_id"]):
         assert r["pack_id"] == cum // budget
         cum += r["n_tokens"]
+
+
+def test_scrub_text_masks_and_filters(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "Write to john.doe+x@mail.example.org today.\nab cd\n"
+                "server at 192.168.1.4 port 80\ncall +1 555 010-2030 now ok",
+            ),
+            (2, "no pii here at all\nxx"),
+            (3, "version 1.2.3.4.5 and 999.999.999.999 edge"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.scrub_text(docs).collect()}
+    assert out[1]["clean_text"] == (
+        "Write to <EMAIL> today.\nserver at <IP> port 80\n"
+        "call <PHONE> now ok"
+    )
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_total"]) == (3, 4)
+    # the 2-word line is boilerplate-screened
+    assert out[2]["clean_text"] == "no pii here at all"
+    # greedy IPv4 octets, no lookbehind: 1.2.3.4(.5) masks the prefix,
+    # out-of-range octets still mask (scrubbing favors recall)
+    assert out[3]["clean_text"] == "version <IP>.5 and <IP> edge"
+    assert out[3]["n_ips"] == 2
+
+
+def test_scrub_text_plan_is_scan_fused(spark, sf_dir):
+    from demo_pgvector_spark import registry
+
+    df = registry.q_text_scrub(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

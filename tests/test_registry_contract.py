@@ -41,7 +41,7 @@ WINDOW_REQUIRED = {
     "filt_predicates", "classify_source_type", "extract_year",
     "str_scalars", "agg_word_counts", "json_metadata", "emb_hash_embed",
     "emb_generate", "filt_files",
-    "sink_stdout", "src_convert_epub", "chunk_docling", "chunk_enrich",
+    "sink_stdout", "chunk_docling", "chunk_enrich",
     "win_chunk_number", "stream_windows",
     "stream_session_windows", "stream_dedup", "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
@@ -55,9 +55,12 @@ WINDOW_REQUIRED = {
     "tpch_q1", "tpch_q3", "tpch_q6", "join_lineitem_orders",
     # r3 tail analytics rotated in per VERDICT r3 (never driver-verified)
     "win_running_total", "agg_pivot", "agg_percentiles",
-    # round-4 additions (never driver-verified → must be in-window)
-    "text_decontaminate", "text_bm25_topk", "sample_stratified",
-    "pack_sequences", "curate_corpus", "vec_ivf_pruned", "tpch_q5",
+    # round-4 additions (never driver-verified → must be in-window;
+    # src_convert_epub rotated to the tail under the carry rule to make
+    # room for text_scrub)
+    "text_decontaminate", "text_scrub", "text_bm25_topk",
+    "sample_stratified", "pack_sequences", "curate_corpus",
+    "vec_ivf_pruned", "tpch_q5",
 }
 
 
