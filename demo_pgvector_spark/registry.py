@@ -1177,16 +1177,22 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughput shape a production pipeline runs."""
     tune_session(spark)
     li = tables.load(spark, sf_dir, "lineitem")
+    # ONE sketch per group serving both percentiles (array form) — two
+    # separate percentile_approx calls would build and merge two
+    # independent sketches per task for the same column.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(
-                F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4
-            ).alias("p50"),
-            F.round(
-                F.expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 4
-            ).alias("p90"),
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5D, 0.9D), 10000)"
+            ).alias("_ps"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 4).alias("p50"),
+            F.round(F.col("_ps")[1], 4).alias("p90"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
