@@ -323,6 +323,11 @@ def dedup_assign(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .dropDuplicates(["src", "dst"])
+        # Materialize ONCE: every propagation round joins the edge set,
+        # and without this each round would re-run the upstream pair
+        # generation (minhash/LSH — the expensive part) twice, once per
+        # union branch. Also truncates the lineage the rounds build on.
+        .localCheckpoint(eager=True)
     )
     labels = docs.select(F.col(id_col).alias("id")).withColumn(
         "keeper_id", F.col("id")
