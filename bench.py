@@ -57,6 +57,7 @@ BENCH_KEYS = (
     "vec_ann_topk",
     "vec_ivf_topk",
     "vec_ivf_pruned",
+    "join_bucketed",
     "cluster_kmeans",
     "join_asof",
     "emb_hash_embed",

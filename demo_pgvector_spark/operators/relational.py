@@ -148,3 +148,68 @@ def group_ranked(
         (F.col("_mid") - F.col("_start") + F.col("_off")).alias("rn"),
         "n",
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    path: str,
+    buckets: int = 8,
+) -> None:
+    """Persist ``df`` as an external parquet table hash-BUCKETED (and
+    within-bucket sorted) on ``key`` — the write-time layout that makes
+    every later equi-join / aggregation on ``key`` exchange-free.
+
+    At 100 TB this is the co-location contract between fact tables that
+    join repeatedly (lineitem ⋈ orders every query): pay the shuffle
+    once at ingest, never again. Spark records the bucket spec in the
+    catalog; scans of two tables bucketed (same key, same count) report
+    compatible HashPartitioning and the join planner drops both
+    exchanges (and with sortBy, both sorts).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        # Pre-repartition on the bucket hash so each task holds exactly
+        # one bucket → ONE file per bucket. Spark's sorted-bucket scan
+        # only trusts sortBy (and elides the join's sorts) when a bucket
+        # is a single file; with the default many-files-per-bucket
+        # layout the SMJ re-sorts every partition.
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_revenue_join(spark, li_table: str, ord_table: str) -> DataFrame:
+    """Per-order revenue over two co-bucketed tables: join and group ON
+    THE BUCKET KEY, so the whole plan runs exchange-free (the groupBy
+    keys are a superset of the scan's hash distribution). Compare
+    q_join_lineitem_orders, whose ad-hoc layout shuffles both sides."""
+    li = spark.table(li_table)
+    # The MERGE hint models the 100 TB case: neither fact side fits the
+    # broadcast threshold there, and sort-merge over co-bucketed sorted
+    # tables is the exchange-AND-sort-free plan this layout exists for.
+    # (At bench scale Spark would otherwise broadcast the orders side.)
+    orders = spark.table(ord_table).hint("merge")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            # round the EXACT decimal sum, then cast: per-order sums hit
+            # .xx5 ties often, and rounding after a double cast diverges
+            # between engines on values binary can't represent
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1640,3 +1640,18 @@ SELECT doc_id,
        len(lines) AS n_lines_total
 FROM masked
 """
+
+
+# Co-bucketed revenue join (operators/relational.py write_bucketed +
+# bucketed_revenue_join): the bucketed layout changes the PLAN, not the
+# answer, so the oracle is the plain per-order join aggregation.
+O_JOIN_BUCKETED = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+"""

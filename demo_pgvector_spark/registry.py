@@ -66,6 +66,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_HASH_SHA256,
     O_INS_CHUNK_TXN,
     O_JOIN_ASOF,
+    O_JOIN_BUCKETED,
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
     O_JOIN_RANGE,
@@ -1735,6 +1736,41 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue over CO-BUCKETED fact tables — the write-time
+    layout twin of vec_ivf_pruned for the relational side: both tables
+    are persisted hash-bucketed (one file per bucket, within-bucket
+    sorted) on the join key, and the join + same-key aggregation then
+    run with ZERO exchanges (operators/relational.py write_bucketed /
+    bucketed_revenue_join; plan pinned in tests/test_plans.py). At
+    100 TB this is the pay-the-shuffle-once-at-ingest contract between
+    tables that join repeatedly. Results are identical to the ad-hoc
+    layout, so the oracle is a plain DuckDB join."""
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    tag = os.path.basename(work).rsplit("_", 1)[-1].lower()
+    li_t, ord_t = f"li_b_{tag}", f"ord_b_{tag}"
+    try:
+        rel_ops.write_bucketed(
+            tables.load(spark, sf_dir, "lineitem"), li_t, "l_orderkey",
+            os.path.join(work, "li"),
+        )
+        rel_ops.write_bucketed(
+            tables.load(spark, sf_dir, "orders"), ord_t, "o_orderkey",
+            os.path.join(work, "ord"),
+        )
+        out = rel_ops.bucketed_revenue_join(spark, li_t, ord_t)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for t in (li_t, ord_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_vec_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-time-clustered IVF probe (operators/ivf.py
     ivf_write_clustered → ivf_topk_pruned): vectors are stored
@@ -2144,6 +2180,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
@@ -2164,7 +2201,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
-    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
@@ -2199,6 +2235,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (r4, late) operators/convert.py likewise byte-unchanged since its
     # green r3 row — rotated out for the new text_scrub curation row.
     "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
+    # (r4, late) functions/text.py byte-unchanged since its green r3
+    # row — rotated out for the new join_bucketed layout row.
+    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
 }
 
 

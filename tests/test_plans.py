@@ -203,3 +203,36 @@ def test_tpch_q5_broadcasts_dimension_chain(spark):
     # at test SF every join broadcasts; the single exchange is the
     # per-nation aggregation
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_plan_is_exchange_free(spark, tmp_path):
+    """The co-bucketed layout contract: join + same-key aggregation over
+    two tables bucketed on the join key run with ZERO exchanges — the
+    shuffle was paid once at write time. (Two in-partition no-shuffle
+    sorts remain: Spark only trusts sortBy file ordering behind the
+    legacy bucketedTableScan.outputOrdering conf.)"""
+    import os
+
+    from demo_pgvector_spark import tables
+    from demo_pgvector_spark.operators import relational as rel
+
+    sf = SF
+    rel.write_bucketed(
+        tables.load(spark, sf, "lineitem"), "t_li_bkt", "l_orderkey",
+        os.path.join(str(tmp_path), "li"),
+    )
+    rel.write_bucketed(
+        tables.load(spark, sf, "orders"), "t_ord_bkt", "o_orderkey",
+        os.path.join(str(tmp_path), "ord"),
+    )
+    try:
+        out = rel.bucketed_revenue_join(spark, "t_li_bkt", "t_ord_bkt")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # one parquet file per bucket: the small-file contract
+        li_files = [f for f in os.listdir(str(tmp_path / "li")) if f.endswith(".parquet")]
+        assert len(li_files) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
