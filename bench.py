@@ -52,7 +52,9 @@ BENCH_KEYS = (
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q18",
     "join_lineitem_orders",
+    "join_skew_salted",
     # LLM-pipeline extension surface
     "vec_ann_topk",
     "vec_ivf_topk",

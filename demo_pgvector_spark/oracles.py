@@ -1655,3 +1655,36 @@ SELECT o_orderkey, o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_orderpriority
 """
+
+
+# TPC-H Q18-style large-quantity orders (registry q_tpch_q18): the
+# HAVING screen's aggregate is reused for sum_qty instead of re-joining
+# lineitem — identical result, one less scan.
+O_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, ROUND(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+) b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# Salted skew join (operators/skew.py salted_join): salting is a plan
+# transformation only — the oracle is the PLAIN join + rollup, so any
+# row salting duplicated or dropped breaks the hash.
+O_JOIN_SKEW_SALTED = """
+WITH dim AS (
+  SELECT event_type, MIN(event_id) AS type_min_id FROM events GROUP BY event_type
+)
+SELECT e.event_type, d.type_min_id,
+       COUNT(*) AS n_events, SUM(e.event_id) AS sum_ids
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.type_min_id
+ORDER BY e.event_type
+"""

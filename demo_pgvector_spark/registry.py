@@ -69,6 +69,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_BUCKETED,
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
+    O_JOIN_SKEW_SALTED,
     O_JOIN_RANGE,
     O_JSON_METADATA,
     O_META_SIDECAR,
@@ -102,6 +103,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_REPETITION,
     O_TPCH_Q1,
     O_TPCH_Q5,
+    O_TPCH_Q18,
     O_TPCH_Q3,
     O_TPCH_Q6,
     O_UPSERT_MODEL,
@@ -130,6 +132,7 @@ from demo_pgvector_spark.operators import ivf as ivf_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
+from demo_pgvector_spark.operators import skew as skew_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
@@ -525,6 +528,61 @@ def q_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the one testdata table big enough to stress the engine — 600k rows at
 # sf0.1; these are the bench workhorses, VERDICT r1 "Next round" #6).
 # ---------------------------------------------------------------------------
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-quantity orders: per-order quantity rollup
+    with a HAVING screen, then customer/order enrichment and a top-100.
+    Spark-first phrasing reuses the aggregated quantity from the screen
+    instead of re-joining lineitem a second time (classic Q18 re-scans
+    it); the aggregate is partial-combined before its one exchange and
+    the tail is TakeOrderedAndProject."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("_sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join under the gate (operators/skew.py
+    salted_join): events (1M rows, FOUR distinct event_type values — the
+    textbook hot-key join) against a per-type derived dim. The big side
+    gets a deterministic per-row salt, the dim is exploded across the
+    salt space, and the join key becomes (key, salt), spreading each hot
+    key over 8 reducers. The oracle is the PLAIN join + rollup — salting
+    must not change a single row."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.min("event_id").alias("type_min_id"))
+    joined = skew_ops.salted_join(ev, dim, key="event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type", "type_min_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue: the SIX-table join chain
@@ -2238,6 +2296,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (r4, late) functions/text.py byte-unchanged since its green r3
     # row — rotated out for the new join_bucketed layout row.
     "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    # (r4, late) breadth tail: the Q18 large-quantity screen and the
+    # salted skew join under the gate — parity-verified at
+    # sf0.01/sf0.1 + replicas (past the driver's 50-row window).
+    "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
+    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
 }
 
 
