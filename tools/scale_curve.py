@@ -50,6 +50,11 @@ DEFAULT_KEYS = (
     # scale but excluded here: exact-dedup keepers collapse replicated
     # corpora, so their replica curve measures output shrinkage.)
     "text_decontaminate", "text_bm25_topk",
+    # late round-4 additions: the scrub projection, the Q18 screen, the
+    # salted skew join, and the bucketed-layout join (write+read; its
+    # time is write-dominated by design — the curve shows the ingest
+    # cost scaling linearly while the join stays exchange-free).
+    "text_scrub", "tpch_q18", "join_skew_salted", "join_bucketed",
 )
 
 
