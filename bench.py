@@ -57,6 +57,7 @@ BENCH_KEYS = (
     "join_skew_salted",
     # LLM-pipeline extension surface
     "vec_ann_topk",
+    "vec_pq_topk",
     "vec_ivf_topk",
     "vec_ivf_pruned",
     "join_bucketed",

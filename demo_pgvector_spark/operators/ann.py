@@ -252,3 +252,110 @@ def ann_join(
         cosine_similarity(F.col(vec_col), F.col(probe_vec)).alias("similarity_score"),
     )
     return topk_per_group(scored, probe_id, id_col, "similarity_score", k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed asymmetric-distance search
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # codewords per subspace
+PQ_SHORTLIST = 50  # ADC candidates kept for exact re-rank
+
+
+def _sub_lit(vec: list[float], s: int, subdim: int) -> str:
+    seg = vec[s * subdim:(s + 1) * subdim]
+    return "array(" + ",".join(f"{float(x)!r}D" for x in seg) + ")"
+
+
+def pq_topk(
+    vectors: DataFrame,
+    seeds: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization top-k: the memory-compressed ANN path.
+
+    Each vector is (logically) encoded as ``m`` codes — per subspace the
+    argmin-L2 codeword, ties to the lowest id — compressing a 64-float
+    vector to 8 bytes (32×); search scores the ASYMMETRIC distance
+    (query subvector ↔ assigned codeword, the classic ADC lookup-table
+    formulation of Jégou et al.'s IVFADC, computed here as a
+    constant-folded lookup since query and codebooks are both plan
+    literals), takes a ``shortlist`` by ADC, and exact-re-ranks the
+    shortlist by true L2. Codebooks here are seed-vector subvectors (the
+    same driver-resident-constants contract as the IVF/kmeans inline
+    path — a trained ``kmeans_lloyd`` per subspace drops into the same
+    slots).
+
+    Plan shape (pinned in tests/test_plans.py): scan → one projection
+    with m·k in-subspace fold expressions → TakeOrderedAndProject
+    (shortlist) → re-rank projection → TakeOrderedAndProject(k). ZERO
+    exchanges, zero joins, zero Python. Literal budget is
+    2·m·k·subdim + dim doubles (~2.1k here) — far below the
+    INLINE_MAX_LITERALS plan-compile ceiling (operators/ivf.py); larger
+    codebooks switch to the broadcast-join encode path exactly like
+    assign_clusters_auto.
+
+    At 100 TB the codes are PRE-computed at ingest (a projection of this
+    stage-1 expression persisted next to the table, 8 bytes a row) and
+    only the lookup-table scoring runs per query.
+    """
+    dim = len(query)
+    subdim = dim // m
+    sub_scores = []
+    for s in range(m):
+        sub = f"slice({vec_col}, {s * subdim + 1}, {subdim})"
+        dists = [
+            f"aggregate(zip_with({sub}, {_sub_lit(seed, s, subdim)},"
+            " (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (a, x) -> a + x)"
+            for seed in seeds
+        ]
+        sub_scores.append(f"array({', '.join(dists)})")
+    # stage 1 projected separately: HOF lambdas are opaque to codegen
+    # CSE, and the argmin below references each _sd twice (min + position)
+    staged = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.expr(e).alias(f"_sd{s}") for s, e in enumerate(sub_scores)],
+    )
+    adc_terms = []
+    for s in range(m):
+        qsub = _sub_lit(query, s, subdim)
+        qtable = ", ".join(
+            f"aggregate(zip_with({qsub}, {_sub_lit(seed, s, subdim)},"
+            " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+            for seed in seeds
+        )
+        adc_terms.append(
+            f"element_at(array({qtable}),"
+            f" cast(array_position(_sd{s}, array_min(_sd{s})) as int))"
+        )
+    cand = (
+        staged.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(" + ".join(adc_terms)).alias("_adc"),
+        )
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    qlit = "array(" + ",".join(f"{float(x)!r}D" for x in query) + ")"
+    l2 = (
+        f"aggregate(zip_with({vec_col}, {qlit},"
+        " (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (a, x) -> a + x)"
+    )
+    return (
+        cand.select(F.col(id_col), F.col("_adc"), F.expr(l2).alias("_l2"))
+        .orderBy(F.col("_l2").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.round("_adc", 6).alias("adc_dist"),
+            F.round("_l2", 6).alias("l2_dist"),
+        )
+    )

@@ -1688,3 +1688,43 @@ FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type, d.type_min_id
 ORDER BY e.event_type
 """
+
+
+# Product-quantization top-k (operators/ann.py pq_topk): fully
+# data-driven replay — codebooks are the first-16 seed subvectors, codes
+# are per-subspace argmin-L2 (ties to lowest cid), ADC sums the
+# query-to-codeword subdistances, and the shortlist re-ranks by true L2.
+O_VEC_PQ_TOPK = """
+WITH seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sub AS (SELECT unnest(range(8)) AS s),
+codes AS (
+  SELECT e.vec_id, sub.s,
+         first(seeds.cid ORDER BY
+           list_sum(list_transform(range(8),
+             i -> (CAST(e.embedding[sub.s * 8 + i + 1] AS DOUBLE)
+                   - seeds.cv[sub.s * 8 + i + 1]) ^ 2)) ASC,
+           seeds.cid ASC) AS code
+  FROM embeddings e CROSS JOIN sub CROSS JOIN seeds
+  GROUP BY e.vec_id, sub.s
+),
+adc AS (
+  SELECT c.vec_id,
+         SUM(list_sum(list_transform(range(8),
+           i -> (q.qv[c.s * 8 + i + 1] - seeds.cv[c.s * 8 + i + 1]) ^ 2))) AS adc
+  FROM codes c JOIN seeds ON seeds.cid = c.code CROSS JOIN q
+  GROUP BY c.vec_id
+),
+cand AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
+ex AS (
+  SELECT cand.vec_id, cand.adc,
+         list_sum(list_transform(range(64),
+           i -> (CAST(e.embedding[i + 1] AS DOUBLE) - q.qv[i + 1]) ^ 2)) AS l2
+  FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, ROUND(adc, 6) AS adc_dist, ROUND(l2, 6) AS l2_dist
+FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
+"""

@@ -113,6 +113,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_COSINE_DIST,
     O_VEC_IVF_TOPK,
     O_VEC_KNN_JOIN,
+    O_VEC_PQ_TOPK,
     O_VEC_SIM_TOPK,
     O_WIN_CHUNK_NUMBER,
     O_WIN_RANK_TOPN,
@@ -826,6 +827,23 @@ def q_emb_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the parity row gates the *implementation*, recall is pytest-gated
 # (see operators/ann.py docstring on why full recall is impossible on
 # near-orthogonal data).
+
+
+def q_vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/ann.py pq_topk): 8-subspace
+    seed codebooks, asymmetric-distance shortlist of 50, exact-L2
+    re-rank to 10. Zero-exchange single-scan plan; the compressed path
+    a 100 TB corpus serves when full vectors don't fit hot storage."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return ann_ops.pq_topk(emb, seeds, _query_vec(spark, sf_dir))
 
 
 def q_vec_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,6 +2256,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
@@ -2249,7 +2268,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
-    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
@@ -2294,8 +2312,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # green r3 row — rotated out for the new text_scrub curation row.
     "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
     # (r4, late) functions/text.py byte-unchanged since its green r3
-    # row — rotated out for the new join_bucketed layout row.
+    # rows — rotated out for the new join_bucketed and vec_pq_topk rows.
     "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
     # (r4, late) breadth tail: the Q18 large-quantity screen and the
     # salted skew join under the gate — parity-verified at
     # sf0.01/sf0.1 + replicas (past the driver's 50-row window).

@@ -96,3 +96,40 @@ def test_ann_join_matches_exact_on_clustered(spark, clustered_df):
     a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
     e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_pq_topk_matches_numpy_reference(spark):
+    """PQ codes, ADC, and re-rank cross-checked against a plain numpy
+    implementation of Jégou-style ADC on deterministic data."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim, m, kcb = 120, 64, 8, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    seeds = [[float(x) for x in vecs[i]] for i in range(kcb)]
+    query = [float(x) for x in vecs[0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann.pq_topk(df, seeds, query, k=10).collect()
+
+    # numpy reference (float64, same formulas)
+    v = vecs.astype(np.float64).reshape(n, m, dim // m)
+    cb = np.array(seeds, dtype=np.float64).reshape(kcb, m, dim // m)
+    # codes: argmin over codewords per subspace (first minimum = lowest cid)
+    d_vc = ((v[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(-1)  # n×k×m
+    codes = d_vc.argmin(axis=1)  # n×m
+    q = np.asarray(query, dtype=np.float64).reshape(m, dim // m)
+    d_qc = ((q[None, :, :] - cb) ** 2).sum(-1)  # k×m
+    adc = np.array([sum(d_qc[codes[i, s], s] for s in range(m)) for i in range(n)])
+    shortlist = sorted(range(n), key=lambda i: (adc[i], i))[:50]
+    l2 = ((vecs.astype(np.float64) - np.asarray(query)) ** 2).sum(-1)
+    expect = sorted(shortlist, key=lambda i: (l2[i], i))[:10]
+
+    assert [r["vec_id"] for r in got] == expect
+    for r in got:
+        assert r["adc_dist"] == pytest.approx(adc[r["vec_id"]], abs=2e-6)
+        assert r["l2_dist"] == pytest.approx(l2[r["vec_id"]], abs=2e-6)
+    # vec 0 IS the query and also codeword 0: exact zero distances
+    assert got[0]["vec_id"] == 0 and got[0]["l2_dist"] == 0.0

@@ -236,3 +236,14 @@ def test_bucketed_join_plan_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+def test_pq_topk_plan_zero_exchange_two_heaps(spark):
+    """PQ search is scan → fold projection → TakeOrdered(shortlist) →
+    re-rank projection → TakeOrdered(k): no exchange, no join, no
+    Python anywhere."""
+    plan = _plan(spark, "vec_pq_topk")
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert _shuffles(plan) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
