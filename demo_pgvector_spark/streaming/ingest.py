@@ -127,3 +127,46 @@ def run_upsert_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def list_versions(root: str) -> list[str]:
+    """All committed-or-orphan version directories, oldest first."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        n for n in names
+        if n.startswith("v") and n[1:].isdigit()
+        and os.path.isdir(os.path.join(root, n))
+    )
+
+
+def vacuum_versions(root: str, keep: int = 2) -> list[str]:
+    """Table maintenance: delete version directories no reader can
+    reach, keeping the current version plus ``keep - 1`` predecessors
+    for time-travel/rollback (and any version NEWER than the pointer —
+    an in-flight commit's directory is never touched).
+
+    This is the GC half of the versioned-table contract (a production
+    Delta/Iceberg VACUUM does the same against its transaction log):
+    every committed epoch adds a full version, so without vacuuming a
+    long-running ingest stream holds the table's whole history on disk.
+    Safe concurrently with readers because readers resolve ``_CURRENT``
+    at plan time and only versions strictly OLDER than the retained
+    window are removed. Returns the deleted version names.
+    """
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur = current_version(root)
+    if cur is None:
+        return []
+    versions = list_versions(root)
+    cur_idx = versions.index(cur)
+    cutoff = max(0, cur_idx - (keep - 1))
+    doomed = versions[:cutoff]
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, v), ignore_errors=True)
+    return doomed

@@ -158,3 +158,39 @@ def test_streamed_source_dim_feeds_search_pipeline(spark, tmp_path):
         & (F.col("title") == "Anon Tract")
     )
     assert hit.count() == 1
+
+
+def test_vacuum_keeps_current_and_window(spark, tmp_path):
+    """vacuum_versions deletes only versions strictly older than the
+    retained window; the committed state is untouched and re-readable."""
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        df = spark.createDataFrame([(i, f"r{i}")], "id long, name string")
+        ingest.commit_table(df, root)
+    assert ingest.list_versions(root) == [f"v{n:06d}" for n in range(1, 6)]
+    deleted = ingest.vacuum_versions(root, keep=2)
+    assert deleted == ["v000001", "v000002", "v000003"]
+    assert ingest.list_versions(root) == ["v000004", "v000005"]
+    assert ingest.current_version(root) == "v000005"
+    got = ingest.read_table(spark, root, "id long, name string").collect()
+    assert [(r["id"], r["name"]) for r in got] == [(4, "r4")]
+    # idempotent; keep=1 retains only the current version
+    assert ingest.vacuum_versions(root, keep=2) == []
+    assert ingest.vacuum_versions(root, keep=1) == ["v000004"]
+
+
+def test_vacuum_spares_versions_newer_than_pointer(spark, tmp_path):
+    """An orphan directory NEWER than _CURRENT (a commit in flight or a
+    crash between write and swap) is never deleted."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    for i in range(3):
+        df = spark.createDataFrame([(i, "x")], "id long, name string")
+        ingest.commit_table(df, root)
+    # roll the pointer back to v2, leaving v3 as the in-flight orphan
+    with open(os.path.join(root, "_CURRENT"), "w", encoding="utf-8") as fh:
+        fh.write("v000002")
+    deleted = ingest.vacuum_versions(root, keep=1)
+    assert deleted == ["v000001"]
+    assert ingest.list_versions(root) == ["v000002", "v000003"]
