@@ -325,14 +325,23 @@ def pq_topk(
     )
     adc_terms = []
     for s in range(m):
-        qsub = _sub_lit(query, s, subdim)
-        qtable = ", ".join(
-            f"aggregate(zip_with({qsub}, {_sub_lit(seed, s, subdim)},"
-            " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
-            for seed in seeds
-        )
+        # The query-to-codeword tables are constants: fold them driver-
+        # side in POSITION ORDER (a left-to-right IEEE sum — the same
+        # addend order DuckDB's list_sum and the stage-1 Spark fold use,
+        # so the doubles are bit-identical across engines) and inline
+        # m·k plain literals instead of m·k parse-heavy fold expressions.
+        qseg = query[s * subdim:(s + 1) * subdim]
+        qtable = []
+        for seed in seeds:
+            cseg = seed[s * subdim:(s + 1) * subdim]
+            acc = 0.0
+            for x, y in zip(qseg, cseg):
+                d = float(x) - float(y)
+                acc += d * d
+            qtable.append(acc)
+        qlits = ", ".join(f"{v!r}D" for v in qtable)
         adc_terms.append(
-            f"element_at(array({qtable}),"
+            f"element_at(array({qlits}),"
             f" cast(array_position(_sd{s}, array_min(_sd{s})) as int))"
         )
     cand = (
