@@ -260,3 +260,53 @@ def test_decontaminate_matches_python_reference_on_fuzzed_docs(spark):
         g = grams(t)
         want = (len(g), len(g & eval_grams), bool(g & eval_grams))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_scrub_text_matches_python_re_reference(spark):
+    """Spark's Java-regex scrub against a pure-Python ``re`` replay of
+    the same patterns over adversarial PII-dense text: dialect
+    divergence (word boundaries, greedy octets, class escapes) would
+    surface as a mismatch here before it reached the DuckDB gate."""
+    import re as _re
+    import random
+
+    from demo_pgvector_spark.operators.curation import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, scrub_text,
+    )
+
+    rng = random.Random(11)
+    frag = [
+        "a@b.co", "x.y+z@mail.example.org", "not@an", "a@@b.com", "@start",
+        "1.2.3.4", "10.0.0.255", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "v1.2.3.4-rel", "+1 555 010-2030", "+44 (0) 20 7946 0958", "+12",
+        "plain words here", "x", "", "tab\tsep", "trail.", "dot.word",
+    ]
+    rows = []
+    for i in range(60):
+        n_lines = rng.randrange(1, 5)
+        lines = [
+            " ".join(rng.choice(frag) for _ in range(rng.randrange(0, 6)))
+            for _ in range(n_lines)
+        ]
+        rows.append((i, "\n".join(lines)))
+    got = {
+        r["doc_id"]: r
+        for r in scrub_text(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+    for i, text in rows:
+        masked = _re.sub(PII_EMAIL, "<EMAIL>", text)
+        masked = _re.sub(PII_IPV4, "<IP>", masked)
+        masked = _re.sub(PII_PHONE, "<PHONE>", masked)
+        lines = masked.split("\n")
+        kept = [
+            ln for ln in lines if len(_re.split(" +", ln.strip())) >= 3
+        ]
+        r = got[i]
+        assert r["clean_text"] == "\n".join(kept), (i, text)
+        assert r["n_emails"] == len(_re.findall(PII_EMAIL, text))
+        assert r["n_ips"] == len(_re.findall(PII_IPV4, text))
+        assert r["n_phones"] == len(_re.findall(PII_PHONE, text))
+        assert (r["n_lines_kept"], r["n_lines_total"]) == (len(kept), len(lines))
