@@ -181,3 +181,43 @@ def generate_text(
     if client is None:
         return text
     return client.generate([text], max_tokens=max_tokens, temperature=temperature)[0]
+
+
+def curate(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    rates_per_mille: dict[str, int] | None = None,
+    default_per_mille: int = 500,
+    pack_budget: int = 256,
+    min_tokens: int = 15,
+    scrub: bool = False,
+) -> DataFrame:
+    """Engine extension verb (no reference counterpart): run the
+    training-data curation cascade over a documents parquet directory
+    and write pack assignments back as parquet.
+
+    Stages (operators/curation.py curate_corpus, one composed plan):
+    exact-dedup keepers → length screen → decontamination vs the
+    held-out doc_id % 41 eval split → stratified sample → token-budget
+    sequence packing; ``scrub=True`` prepends the PII/boilerplate scrub
+    and curates the cleaned text. Returns the written DataFrame
+    (doc_id, source, n_tokens, pack_id).
+    """
+    from demo_pgvector_spark.operators import curation
+
+    docs = spark.read.parquet(docs_path)
+    if scrub:
+        cleaned = curation.scrub_text(docs).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        docs = docs.drop("text").join(cleaned, "doc_id")
+    out = curation.curate_corpus(
+        docs,
+        rates_per_mille or {},
+        default_per_mille=default_per_mille,
+        pack_budget=pack_budget,
+        min_tokens=min_tokens,
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return out

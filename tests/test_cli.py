@@ -114,3 +114,36 @@ def test_empty_files_is_a_noop(spark, tmp_path):
     wh = str(tmp_path / "warehouse")
     st = cli.import_doc(spark, wh, [])
     assert st["models"].count() == 0
+
+
+def test_curate_writes_pack_assignments(spark, tmp_path):
+    """The engine-extension curate verb: documents parquet in, pack
+    assignments parquet out, scrubbed variant included."""
+    from demo_pgvector_spark import cli
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "packs")
+    rows = [
+        (i, f"{'tok%d ' % (i % 9) * 20}end of document {i}", "en",
+         "src0" if i % 2 else "src1", 40)
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(src)
+    got = cli.curate(spark, src, out, default_per_mille=1000, pack_budget=64)
+    back = spark.read.parquet(out)
+    assert back.columns == ["doc_id", "source", "n_tokens", "pack_id"]
+    assert back.count() == got.count() > 0
+    # budget contract: no pack exceeds budget before its final doc
+    from pyspark.sql import functions as F
+
+    over = (
+        back.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m"))
+        .filter(F.col("s") - F.col("m") >= 64)
+    )
+    assert over.count() == 0
+    # scrubbed path runs end-to-end too
+    got2 = cli.curate(spark, src, out, scrub=True, default_per_mille=1000)
+    assert got2.count() > 0
