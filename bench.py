@@ -58,6 +58,7 @@ BENCH_KEYS = (
     # LLM-pipeline extension surface
     "vec_ann_topk",
     "vec_pq_topk",
+    "vec_ivfpq_topk",
     "vec_ivf_topk",
     "vec_ivf_pruned",
     "join_bucketed",

@@ -368,3 +368,44 @@ def pq_topk(
             F.round("_l2", 6).alias("l2_dist"),
         )
     )
+
+
+def ivfpq_topk(
+    spark,
+    vectors: DataFrame,
+    cents: list[list[float]],
+    seeds: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = PQ_SHORTLIST,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ — the production ANN stack at 100 TB (Jégou et al.'s
+    IVFADC): coarse quantization prunes to ``nprobe`` of the k cluster
+    cells, then PQ asymmetric-distance scoring ranks ONLY the surviving
+    candidates, and the shortlist exact-re-ranks.
+
+    Pure composition of two already-gated pieces: the inline
+    argmax-cosine cluster assignment + driver-side probe ranking from
+    operators/ivf.py (identical semantics and tie-breaks to
+    vec_ivf_topk), and ``pq_topk`` over the filtered candidate set. The
+    whole thing stays one zero-exchange plan: scan → assignment
+    projection → cluster IN filter → PQ folds → two heaps. Swap the
+    in-plan assignment for `ivf_write_clustered`'s partitioned layout
+    and the filter becomes partition pruning (the vec_ivf_pruned row
+    gates that storage path).
+    """
+    from demo_pgvector_spark.operators import ivf as ivf_ops
+
+    probe_ids = ivf_ops._rank_centroids(spark, cents, query, nprobe)
+    assigned = ivf_ops.assign_clusters_inline(vectors, cents, id_col, vec_col)
+    cand = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    return pq_topk(
+        cand, seeds, query, k=k, shortlist=shortlist, m=m,
+        id_col=id_col, vec_col=vec_col,
+    )

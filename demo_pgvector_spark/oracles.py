@@ -1728,3 +1728,58 @@ ex AS (
 SELECT vec_id, ROUND(adc, 6) AS adc_dist, ROUND(l2, 6) AS l2_dist
 FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
 """
+
+
+# IVF + PQ composite (operators/ann.py ivfpq_topk): the IVF prefix is
+# byte-identical to O_VEC_IVF_TOPK's (argmax-cosine assignment, top-4
+# probe cells); the PQ suffix is O_VEC_PQ_TOPK's codes → ADC → re-rank
+# restricted to the probed candidates.
+O_VEC_IVFPQ_TOPK = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_ORACLE_QVEC}),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+topc AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
+),
+cand0 AS (SELECT a.vec_id FROM assign a JOIN topc t ON a.cluster = t.cid),
+seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+sub AS (SELECT unnest(range(8)) AS s),
+codes AS (
+  SELECT e.vec_id, sub.s,
+         first(seeds.cid ORDER BY
+           list_sum(list_transform(range(8),
+             i -> (CAST(e.embedding[sub.s * 8 + i + 1] AS DOUBLE)
+                   - seeds.cv[sub.s * 8 + i + 1]) ^ 2)) ASC,
+           seeds.cid ASC) AS code
+  FROM embeddings e JOIN cand0 USING (vec_id)
+  CROSS JOIN sub CROSS JOIN seeds
+  GROUP BY e.vec_id, sub.s
+),
+adc AS (
+  SELECT cd.vec_id,
+         SUM(list_sum(list_transform(range(8),
+           i -> (q.qv[cd.s * 8 + i + 1] - seeds.cv[cd.s * 8 + i + 1]) ^ 2))) AS adc
+  FROM codes cd JOIN seeds ON seeds.cid = cd.code CROSS JOIN q
+  GROUP BY cd.vec_id
+),
+cand AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
+ex AS (
+  SELECT cand.vec_id, cand.adc,
+         list_sum(list_transform(range(64),
+           i -> (CAST(e.embedding[i + 1] AS DOUBLE) - q.qv[i + 1]) ^ 2)) AS l2
+  FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, ROUND(adc, 6) AS adc_dist, ROUND(l2, 6) AS l2_dist
+FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
+"""

@@ -112,6 +112,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_ANN_TOPK,
     O_VEC_COSINE_DIST,
     O_VEC_IVF_TOPK,
+    O_VEC_IVFPQ_TOPK,
     O_VEC_KNN_JOIN,
     O_VEC_PQ_TOPK,
     O_VEC_SIM_TOPK,
@@ -844,6 +845,25 @@ def q_vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return ann_ops.pq_topk(emb, seeds, _query_vec(spark, sf_dir))
+
+
+def q_vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (IVFADC): coarse cluster pruning to nprobe=4 cells, PQ
+    asymmetric-distance shortlist over the survivors, exact-L2 re-rank
+    (operators/ann.py ivfpq_topk — one zero-exchange plan composing the
+    vec_ivf_topk assignment with the vec_pq_topk scorer)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return ann_ops.ivfpq_topk(
+        spark, emb, seeds, seeds, _query_vec(spark, sf_dir)
+    )
 
 
 def q_vec_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,6 +2277,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
     "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
+    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
@@ -2268,7 +2289,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
-    "json_metadata": (q_json_metadata, O_JSON_METADATA),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
@@ -2312,9 +2332,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # green r3 row — rotated out for the new text_scrub curation row.
     "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
     # (r4, late) functions/text.py byte-unchanged since its green r3
-    # rows — rotated out for the new join_bucketed and vec_pq_topk rows.
+    # rows — rotated out for the new join_bucketed, vec_pq_topk, and
+    # vec_ivfpq_topk rows.
     "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
     "extract_year": (q_extract_year, O_EXTRACT_YEAR),
+    "json_metadata": (q_json_metadata, O_JSON_METADATA),
     # (r4, late) breadth tail: the Q18 large-quantity screen and the
     # salted skew join under the gate — parity-verified at
     # sf0.01/sf0.1 + replicas (past the driver's 50-row window).

@@ -247,3 +247,13 @@ def test_pq_topk_plan_zero_exchange_two_heaps(spark):
     assert _shuffles(plan) == 0
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_plan_zero_exchange(spark):
+    """IVFADC composite: cluster assignment + IN filter + PQ folds +
+    two heaps fuse into one zero-exchange, join-free, Python-free plan."""
+    plan = _plan(spark, "vec_ivfpq_topk")
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert _shuffles(plan) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

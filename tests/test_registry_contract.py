@@ -39,7 +39,7 @@ WINDOW_REQUIRED = {
     # hold the never-driver-verified round-4 keys below)
     "vec_sim_topk", "vec_cosine_dist", "proj_sim_family",
     "filt_predicates",
-    "str_scalars", "agg_word_counts", "json_metadata", "emb_hash_embed",
+    "str_scalars", "agg_word_counts", "emb_hash_embed",
     "emb_generate", "filt_files",
     "sink_stdout", "chunk_docling", "chunk_enrich",
     "win_chunk_number", "stream_windows",
@@ -60,7 +60,8 @@ WINDOW_REQUIRED = {
     # room for text_scrub)
     "text_decontaminate", "text_scrub", "text_bm25_topk",
     "sample_stratified", "pack_sequences", "curate_corpus",
-    "vec_ivf_pruned", "vec_pq_topk", "join_bucketed", "tpch_q5",
+    "vec_ivf_pruned", "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
+    "tpch_q5",
 }
 
 

@@ -32,7 +32,7 @@ DEFAULT_KEYS = (
     "vec_sim_topk", "vec_knn_join", "rag_prompt_context",
     "upsert_source", "ins_chunk_txn",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "join_lineitem_orders",
-    "vec_ann_topk", "vec_pq_topk", "vec_ivf_topk", "cluster_kmeans", "join_asof",
+    "vec_ann_topk", "vec_pq_topk", "vec_ivfpq_topk", "vec_ivf_topk", "cluster_kmeans", "join_asof",
     "emb_hash_embed", "dedup_exact", "text_fingerprint", "text_quality",
     "text_repetition", "chunk_enrich", "chunk_bpe",
     "stream_window_counts", "stream_session_windows",
