@@ -96,6 +96,7 @@ BENCH_KEYS = (
     # round-4 curation family: decontamination, sparse retrieval,
     # stratified sampling, sequence packing
     "text_decontaminate",
+    "text_perplexity",
     "text_scrub",
     "text_bm25_topk",
     "sample_stratified",

@@ -387,3 +387,45 @@ def scrub_text(
         F.size(kept).alias("n_lines_kept"),
         F.size(lines).alias("n_lines_total"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality screen: score every document
+    by its mean unigram log-probability under a corpus LM (the
+    perplexity filter of Wenzek et al.'s CCNet, unigram instead of
+    KenLM 5-gram — the n-gram upgrade drops into the same broadcast
+    slot). Low-probability documents are gibberish/boilerplate
+    candidates; production pipelines threshold on this score.
+
+    Here the LM is self-trained on the input corpus in the same plan;
+    a production run passes a pre-trained LM table and skips stage 1.
+
+    Scale shape: stage 1 builds the LM — token explode + word groupBy
+    (map-side combined; the exchange carries one (word, count) row per
+    partition per distinct word, NOT the token stream) + a one-row
+    total. Stage 2 re-explodes and joins the LM BROADCAST (vocabulary
+    is types, not tokens — bounded and small relative to the corpus),
+    so the only corpus-sized exchange is the final per-document mean,
+    partial-combined to one row per doc. Output: (id, n_tokens,
+    avg_logp) with avg_logp rounded to 6dp for cross-engine parity.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("_c") / F.col("_n")).alias("_logp")
+    )
+    return (
+        toks.join(F.broadcast(lm), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_logp"), 6).alias("avg_logp"),
+        )
+    )

@@ -1783,3 +1783,19 @@ ex AS (
 SELECT vec_id, ROUND(adc, 6) AS adc_dist, ROUND(l2, 6) AS l2_dist
 FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
 """
+
+
+# CCNet-style unigram log-probability screen (operators/curation.py
+# unigram_logprob): the LM is self-trained on the corpus in-plan.
+O_TEXT_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+lm AS (
+  SELECT w, ln(COUNT(*) / (SELECT COUNT(*)::DOUBLE FROM toks)) AS logp
+  FROM toks GROUP BY w
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lm.logp), 6) AS avg_logp
+FROM toks t JOIN lm USING (w)
+GROUP BY t.doc_id
+"""

@@ -96,6 +96,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SAMPLE_STRATIFIED,
     O_TEXT_BM25,
     O_TEXT_DECONTAMINATE,
+    O_TEXT_PERPLEXITY,
     O_TEXT_SCRUB,
     O_TEXT_FINGERPRINT,
     O_TEXT_LANG_ID,
@@ -2171,6 +2172,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style mean unigram log-probability per document under a
+    corpus-trained LM (operators/curation.py unigram_logprob) — the
+    perplexity quality screen. LM broadcast; the only corpus-sized
+    exchange is the per-document mean."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.unigram_logprob(docs)
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking + C4-style line cleaning over the documents corpus.
     The synthetic corpus has no PII and no newlines, so the row
@@ -2342,6 +2353,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # sf0.01/sf0.1 + replicas (past the driver's 50-row window).
     "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
     "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
+    # (r4, late) CCNet-style perplexity screen — parity-verified at
+    # sf0.01/sf0.1 + replicas.
+    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
 }
 
 

@@ -307,3 +307,33 @@ def test_scrub_text_plan_is_scan_fused(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+    from collections import Counter
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a"), (4, "c c c c")]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+        for r in curation.unigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    toks = [w for _, t in rows for w in t.lower().split(" ")]
+    lm = {w: math.log(c / len(toks)) for w, c in Counter(toks).items()}
+    for i, t in rows:
+        ws = t.lower().split(" ")
+        want = (len(ws), round(sum(lm[w] for w in ws) / len(ws), 6))
+        assert got[i] == want, (i, got[i], want)
+    # the all-common-word doc scores higher (less surprising) than the rare-word doc
+    assert got[4][1] > got[2][1]
+
+
+def test_unigram_logprob_plan_broadcasts_lm(spark, sf_dir):
+    from demo_pgvector_spark import registry
+
+    df = registry.q_text_perplexity(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

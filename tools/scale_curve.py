@@ -49,7 +49,7 @@ DEFAULT_KEYS = (
     # (curate_corpus and sample_stratified are oracle-gated at every
     # scale but excluded here: exact-dedup keepers collapse replicated
     # corpora, so their replica curve measures output shrinkage.)
-    "text_decontaminate", "text_bm25_topk",
+    "text_decontaminate", "text_perplexity", "text_bm25_topk",
     # late round-4 additions: the scrub projection, the Q18 screen, the
     # salted skew join, and the bucketed-layout join (write+read; its
     # time is write-dominated by design — the curve shows the ingest
