@@ -208,10 +208,9 @@ def curate(
 
     docs = spark.read.parquet(docs_path)
     if scrub:
-        cleaned = curation.scrub_text(docs).select(
-            "doc_id", F.col("clean_text").alias("text")
-        )
-        docs = docs.drop("text").join(cleaned, "doc_id")
+        # in-place projection (curation.clean_text_col) — no self-join,
+        # the scrub stays scan-fused ahead of the cascade
+        docs = docs.withColumn("text", curation.clean_text_col(F.col("text")))
     out = curation.curate_corpus(
         docs,
         rates_per_mille or {},
@@ -220,4 +219,6 @@ def curate(
         min_tokens=min_tokens,
     )
     out.write.mode("overwrite").parquet(out_path)
-    return out
+    # serve the WRITTEN rows — returning the unexecuted cascade would
+    # recompute the whole pipeline on every downstream action
+    return spark.read.parquet(out_path)

@@ -345,6 +345,23 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+\d[\d()\- ]{6,}\d"
 
 
+def _masked_col(t):
+    masked = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    masked = F.regexp_replace(masked, PII_IPV4, "<IP>")
+    return F.regexp_replace(masked, PII_PHONE, "<PHONE>")
+
+
+def clean_text_col(t, min_line_words: int = 3):
+    """The scrub as a single Column expression (mask PII, drop short
+    lines, re-join) — for callers that want to scrub IN PLACE as a
+    projection (cli.curate) instead of the audited scrub_text output."""
+    kept = F.filter(
+        F.split(_masked_col(t), "\n"),
+        lambda x: F.size(F.split(F.trim(x), " +")) >= F.lit(min_line_words),
+    )
+    return F.array_join(kept, "\n")
+
+
 def scrub_text(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -370,10 +387,7 @@ def scrub_text(
     IP's remnants).
     """
     t = F.col(text_col)
-    masked = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    masked = F.regexp_replace(masked, PII_IPV4, "<IP>")
-    masked = F.regexp_replace(masked, PII_PHONE, "<PHONE>")
-    lines = F.split(masked, "\n")
+    lines = F.split(_masked_col(t), "\n")
     kept = F.filter(
         lines,
         lambda x: F.size(F.split(F.trim(x), " +")) >= F.lit(min_line_words),

@@ -1712,9 +1712,13 @@ codes AS (
   GROUP BY e.vec_id, sub.s
 ),
 adc AS (
+  -- s-ordered list fold, NOT a plain SUM: the Spark side chains the 8
+  -- subspace terms left-to-right in s order, and an unordered hash-agg
+  -- SUM could differ by an ulp on a run-dependent basis
   SELECT c.vec_id,
-         SUM(list_sum(list_transform(range(8),
-           i -> (q.qv[c.s * 8 + i + 1] - seeds.cv[c.s * 8 + i + 1]) ^ 2))) AS adc
+         list_sum(list(list_sum(list_transform(range(8),
+           i -> (q.qv[c.s * 8 + i + 1] - seeds.cv[c.s * 8 + i + 1]) ^ 2))
+           ORDER BY c.s)) AS adc
   FROM codes c JOIN seeds ON seeds.cid = c.code CROSS JOIN q
   GROUP BY c.vec_id
 ),
@@ -1750,27 +1754,28 @@ topc AS (
   ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
 ),
 cand0 AS (SELECT a.vec_id FROM assign a JOIN topc t ON a.cluster = t.cid),
-seeds AS (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < 16
-),
+-- 'c' doubles as the PQ codebook table: cents == codebooks is this
+-- row's deliberate contract (same 16 seed vectors in both roles)
 sub AS (SELECT unnest(range(8)) AS s),
 codes AS (
   SELECT e.vec_id, sub.s,
-         first(seeds.cid ORDER BY
+         first(c.cid ORDER BY
            list_sum(list_transform(range(8),
              i -> (CAST(e.embedding[sub.s * 8 + i + 1] AS DOUBLE)
-                   - seeds.cv[sub.s * 8 + i + 1]) ^ 2)) ASC,
-           seeds.cid ASC) AS code
+                   - c.cv[sub.s * 8 + i + 1]) ^ 2)) ASC,
+           c.cid ASC) AS code
   FROM embeddings e JOIN cand0 USING (vec_id)
-  CROSS JOIN sub CROSS JOIN seeds
+  CROSS JOIN sub CROSS JOIN c
   GROUP BY e.vec_id, sub.s
 ),
 adc AS (
+  -- s-ordered list fold to match Spark's fixed s=0..7 chain (see
+  -- O_VEC_PQ_TOPK)
   SELECT cd.vec_id,
-         SUM(list_sum(list_transform(range(8),
-           i -> (q.qv[cd.s * 8 + i + 1] - seeds.cv[cd.s * 8 + i + 1]) ^ 2))) AS adc
-  FROM codes cd JOIN seeds ON seeds.cid = cd.code CROSS JOIN q
+         list_sum(list(list_sum(list_transform(range(8),
+           i -> (q.qv[cd.s * 8 + i + 1] - c.cv[cd.s * 8 + i + 1]) ^ 2))
+           ORDER BY cd.s)) AS adc
+  FROM codes cd JOIN c ON c.cid = cd.code CROSS JOIN q
   GROUP BY cd.vec_id
 ),
 cand AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),

@@ -147,6 +147,24 @@ from demo_pgvector_spark.session import tune_session
 # cli/search_doc_chunks.py:69-76; here the deterministic equivalent is an
 # existing stored vector so the oracle can reference the same values).
 _QVEC_CACHE: dict[str, list[float]] = {}
+_SEEDS_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The 16 fixed seed embeddings (vec_id 0-15, id order) shared by
+    every coarse-quantizer/codebook row (vec_ivf_topk, vec_ivf_pruned,
+    vec_pq_topk, vec_ivfpq_topk) — ONE collection site so the seed
+    contract (count, ordering, dtype) cannot silently diverge per row."""
+    if sf_dir not in _SEEDS_CACHE:
+        rows = (
+            tables.load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        _SEEDS_CACHE[sf_dir] = [[float(x) for x in r["embedding"]] for r in rows]
+    return _SEEDS_CACHE[sf_dir]
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -838,14 +856,7 @@ def q_vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB corpus serves when full vectors don't fit hot storage."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    return ann_ops.pq_topk(emb, seeds, _query_vec(spark, sf_dir))
+    return ann_ops.pq_topk(emb, _seed_vectors(spark, sf_dir), _query_vec(spark, sf_dir))
 
 
 def q_vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,13 +866,7 @@ def q_vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ivf_topk assignment with the vec_pq_topk scorer)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
+    seeds = _seed_vectors(spark, sf_dir)
     return ann_ops.ivfpq_topk(
         spark, emb, seeds, seeds, _query_vec(spark, sf_dir)
     )
@@ -1763,14 +1768,7 @@ def q_vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (previously a broadcast crossJoin + full groupBy(vec_id) per probe)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    seed_rows = (
-        emb.filter(F.col("vec_id") < 16)
-        .select(F.col("vec_id").cast("int").alias("cid"), "embedding")
-        .collect()
-    )
-    cents: list[list[float]] = [None] * len(seed_rows)  # type: ignore[list-item]
-    for r in seed_rows:
-        cents[r["cid"]] = [float(x) for x in r["embedding"]]
+    cents = _seed_vectors(spark, sf_dir)
     out = ivf_ops.ivf_topk_inline(
         emb.select("vec_id", "embedding"),
         cents,
@@ -1860,12 +1858,20 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "ord"),
         )
         out = rel_ops.bucketed_revenue_join(spark, li_t, ord_t)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # Materialize JVM-side: the per-order result is millions of rows
+        # on replicas — a collect() + createDataFrame round-trip through
+        # Python would bottleneck (and could OOM) the driver. The small
+        # result parquet stays behind; only the big bucketed tables are
+        # reclaimed in finally.
+        res_path = os.path.join(work, "result")
+        out.write.mode("overwrite").parquet(res_path)
+        result = spark.read.parquet(res_path)
     finally:
         for t in (li_t, ord_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(work, ignore_errors=True)
-    return out
+        shutil.rmtree(os.path.join(work, "li"), ignore_errors=True)
+        shutil.rmtree(os.path.join(work, "ord"), ignore_errors=True)
+    return result
 
 
 def q_vec_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,13 +1887,7 @@ def q_vec_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
+    cents = _seed_vectors(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="spark_graft_ivf_")
     try:
         ivf_ops.ivf_write_clustered(emb, cents, work)

@@ -136,9 +136,14 @@ def list_versions(root: str) -> list[str]:
     except FileNotFoundError:
         return []
     return sorted(
-        n for n in names
-        if n.startswith("v") and n[1:].isdigit()
-        and os.path.isdir(os.path.join(root, n))
+        (
+            n for n in names
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.isdir(os.path.join(root, n))
+        ),
+        # numeric, not lexicographic: 'v1000000' would sort before
+        # 'v999999' and invert vacuum's older/newer classification
+        key=lambda n: int(n[1:]),
     )
 
 
@@ -164,6 +169,10 @@ def vacuum_versions(root: str, keep: int = 2) -> list[str]:
     if cur is None:
         return []
     versions = list_versions(root)
+    if cur not in versions:
+        # pointer names a missing/foreign directory — refuse to guess
+        # which versions are reclaimable rather than die mid-GC
+        return []
     cur_idx = versions.index(cur)
     cutoff = max(0, cur_idx - (keep - 1))
     doomed = versions[:cutoff]
