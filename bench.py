@@ -82,6 +82,7 @@ BENCH_KEYS = (
     "agg_pivot",
     "agg_percentiles",
     "agg_percentiles_approx",  # sketch path, bench-only (no oracle)
+    "agg_approx_distinct",  # HLL++ sketch path, bench-only (no oracle)
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",

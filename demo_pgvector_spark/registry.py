@@ -1301,6 +1301,27 @@ def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for distinct counts at 100 TB: HyperLogLog++
+    (``approx_count_distinct``) next to the exact count per group — each
+    task folds rows into a mergeable fixed-size sketch, one exchange
+    carries k sketches. Bench-only like ``q_agg_percentiles_approx``:
+    approximate answers have no cross-engine oracle (DuckDB's
+    approx_count_distinct uses a differently-seeded HLL); the exact
+    count_distinct inside ``join_lineitem_orders`` is the correctness
+    gate, this is the production shape."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 conversion — operators/convert.py
 # ---------------------------------------------------------------------------
