@@ -214,8 +214,9 @@ def chunk_bpe_real(
 
     Plan shape: scan → ArrowEvalPython (one batch-encode per text) →
     posexplode → the same single doc-keyed exchange as the proxy path.
-    The encoder memoizes per-executor by distinct piece, so cost is
-    bounded by vocabulary, not token count."""
+    The encoder memoizes per distinct piece for each TASK's lifetime
+    (closure-level dict, shared across the task's Arrow batches), so
+    encode cost is bounded by distinct vocabulary, not token count."""
     tok = bpe_costs_udf(merges=merges)
     t = docs.select(F.col(id_col), tok(F.col(text_col)).alias("_tc"))
     e = t.select(
@@ -242,8 +243,8 @@ def bpe_costs_udf(
     tests/test_chunking.py so the two paths cannot drift. With a merge
     table (since round 4) the slot runs a REAL BPE encoder
     (functions/bpe.py): cost = the piece's token count under the learned
-    merges, memoized per distinct piece so each executor encodes a piece
-    once per batch-run regardless of corpus frequency. A HuggingFace
+    merges, memoized per distinct piece for each task's lifetime
+    (every Arrow batch the task processes shares the memo). A HuggingFace
     tokenizer drops in the same way — replace the cost line with
     ``len(tokenizer.tokenize(piece))``; schema, batching, and the
     downstream packing contract stay identical."""
@@ -262,11 +263,12 @@ def bpe_costs_udf(
     # and then defines the contract on both sides.
     pat = _re.compile(r"\w+|[^\w\s]", _re.ASCII)
     ranks = _bpe.merge_ranks(merges) if merges is not None else None
+    # Closure-level, NOT inside _tok: the memo then lives for the whole
+    # task (every Arrow batch the task processes), not one batch.
+    memo: dict[str, int] = {}
 
     @pandas_udf("struct<pieces: array<string>, costs: array<long>>")
     def _tok(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, int] = {}
-
         def cost_of(p: str) -> int:
             c = memo.get(p)
             if c is None:

@@ -292,6 +292,8 @@ def bm25_topk(
     Scores are rounded to 4 decimals and ties broken by ascending id so
     the result set is deterministic across engines. See module scale
     notes for the two-scan zero-join plan shape."""
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
     # Project the token array once — the per-term filter lambdas would
     # otherwise re-split the text len(terms)+1 times per row (HOF lambdas
     # defeat codegen CSE; see _with_gram_hashes).

@@ -3,9 +3,10 @@ materialize the golden piece-cost parquet the DuckDB oracle joins.
 
 Reproducible build of two repo artifacts:
 
-- ``golden/bpe_merges.txt``  — 1024 merges learned (deterministically —
-  ties break lexicographically) from the pre-tokenized pieces of every
-  ``documents`` table the driver tests against (sf0.001/0.01/0.1).
+- ``golden/bpe_merges.txt``  — ``NUM_MERGES`` (32) merges learned
+  (deterministically — ties break lexicographically) from the
+  pre-tokenized pieces of every ``documents`` table the driver tests
+  against (sf0.001/0.01/0.1); see the NUM_MERGES comment for why 32.
 - ``golden/bpe_piece_costs.parquet`` — (piece, cost) for every DISTINCT
   piece across those corpora, cost = token count under the merge table.
   DuckDB cannot run the merge loop, so the oracle recomputes the piece
