@@ -337,3 +337,8 @@ def test_unigram_logprob_plan_broadcasts_lm(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_rejects_empty_terms(spark, docs_df):
+    with pytest.raises(ValueError, match="at least one query term"):
+        curation.bm25_topk(docs_df, [])
