@@ -19,6 +19,14 @@ and is irrelevant to the scale grade; it is still recorded per key under
 ceiling class of bug) stay visible. Rounds 1-3 reported single cold runs;
 r3-comparable numbers are the ``queries_cold`` dict.
 
+Output size (round 5 — VERDICT r4 #1): the driver keeps only the LAST
+2000 bytes of stdout, and r4's single line (steady + cold dicts, ~2.6 KB)
+overflowed it, leaving BENCH_r04 unparseable. The printed line now
+carries the headline + the steady-state ``queries`` dict only (values at
+2dp — comfortably under the cap; asserted before printing), and the full
+steady+cold 3dp detail is written to ``BENCH_DETAIL.json`` at the repo
+root (committed per round, path echoed in the printed line).
+
 The query set deliberately mixes the two workload families the engine
 serves: the reference's vector-retrieval path (flagship top-k, kNN join)
 and shuffle-heavy relational analytics over the biggest testdata table
@@ -133,15 +141,41 @@ def main() -> None:
         cold[key] = runs[0]
         timings[key] = min(runs)
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "queries_cold": cold,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+
+    # The driver captures only the last 2000 bytes of stdout: print a
+    # compact line (steady-state at 2dp, no cold dict) and hard-assert
+    # the budget so a future key-list growth fails HERE, not in the
+    # driver's record.
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "queries_cold": cold,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line.encode()) <= 1800, (
+        f"bench stdout line is {len(line.encode())} bytes — would overflow "
+        "the driver's 2000-byte tail capture; trim BENCH_KEYS reporting"
+    )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
