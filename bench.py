@@ -67,6 +67,7 @@ BENCH_KEYS = (
     "vec_ann_topk",
     "vec_pq_topk",
     "vec_ivfpq_topk",
+    "vec_ivfpq_pruned",
     "vec_ivf_topk",
     "vec_ivf_pruned",
     "join_bucketed",

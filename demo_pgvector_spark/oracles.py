@@ -1430,6 +1430,26 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# Tolerance-band gates for the sketch keys (VERDICT r4 #8): sketch
+# VALUES have no cross-engine replay, so the Spark side emits boolean
+# in-band verdicts (rank-guarantee check for percentile_approx, 5σ
+# relative-error check for HLL) and the oracle independently recomputes
+# the exact quantities and asserts the verdicts TRUE — a sketch straying
+# out of band flips a boolean and hash-mismatches.
+O_AGG_PERCENTILES_APPROX = """
+SELECT l_returnflag, COUNT(*) AS n,
+       TRUE AS p50_in_band, TRUE AS p90_in_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+O_AGG_APPROX_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- curation: decontamination + BM25 (operators/curation.py) --------------
 #
 # The Spark side joins on xxhash64 of the gram string (8-byte shuffle
@@ -1691,25 +1711,26 @@ ORDER BY e.event_type
 
 
 # Product-quantization top-k (operators/ann.py pq_topk): fully
-# data-driven replay — codebooks are the first-16 seed subvectors, codes
-# are per-subspace argmin-L2 (ties to lowest cid), ADC sums the
-# query-to-codeword subdistances, and the shortlist re-ranks by true L2.
+# data-driven replay against the TRAINED codebooks (tools/train_pq.py →
+# golden/pq_codebooks.parquet — per-subspace Lloyd k-means, the same
+# file the Spark query loads driver-side, so the doubles are
+# bit-identical). Codes are per-subspace argmin-L2 (ties to lowest cid),
+# ADC sums the query-to-codeword subdistances, and the shortlist
+# re-ranks by true L2.
 O_VEC_PQ_TOPK = """
-WITH seeds AS (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < 16
+WITH cb AS (
+  SELECT s, cid, cv FROM read_parquet('/root/repo/golden/pq_codebooks.parquet')
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-sub AS (SELECT unnest(range(8)) AS s),
 codes AS (
-  SELECT e.vec_id, sub.s,
-         first(seeds.cid ORDER BY
+  SELECT e.vec_id, cb.s,
+         first(cb.cid ORDER BY
            list_sum(list_transform(range(8),
-             i -> (CAST(e.embedding[sub.s * 8 + i + 1] AS DOUBLE)
-                   - seeds.cv[sub.s * 8 + i + 1]) ^ 2)) ASC,
-           seeds.cid ASC) AS code
-  FROM embeddings e CROSS JOIN sub CROSS JOIN seeds
-  GROUP BY e.vec_id, sub.s
+             i -> (CAST(e.embedding[cb.s * 8 + i + 1] AS DOUBLE)
+                   - cb.cv[i + 1]) ^ 2)) ASC,
+           cb.cid ASC) AS code
+  FROM embeddings e CROSS JOIN cb
+  GROUP BY e.vec_id, cb.s
 ),
 adc AS (
   -- s-ordered list fold, NOT a plain SUM: the Spark side chains the 8
@@ -1717,9 +1738,9 @@ adc AS (
   -- SUM could differ by an ulp on a run-dependent basis
   SELECT c.vec_id,
          list_sum(list(list_sum(list_transform(range(8),
-           i -> (q.qv[c.s * 8 + i + 1] - seeds.cv[c.s * 8 + i + 1]) ^ 2))
+           i -> (q.qv[c.s * 8 + i + 1] - cb.cv[i + 1]) ^ 2))
            ORDER BY c.s)) AS adc
-  FROM codes c JOIN seeds ON seeds.cid = c.code CROSS JOIN q
+  FROM codes c JOIN cb ON cb.s = c.s AND cb.cid = c.code CROSS JOIN q
   GROUP BY c.vec_id
 ),
 cand AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
@@ -1790,17 +1811,99 @@ FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
 """
 
 
-# CCNet-style unigram log-probability screen (operators/curation.py
-# unigram_logprob): the LM is self-trained on the corpus in-plan.
+# Pruned IVFADC (operators/ann.py ivfpq_write + ivfpq_topk_pruned):
+# same IVF prefix as O_VEC_IVFPQ_TOPK (seed centroids, argmax-cosine
+# assignment, top-4 probe cells), but the PQ suffix scores the TRAINED
+# golden codebooks — the storage path where codes are precomputed at
+# write time is a plan change only, so the oracle replays the logical
+# computation: assignment → probe filter → codes → ADC → exact re-rank.
+O_VEC_IVFPQ_PRUNED = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_ORACLE_QVEC}),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+topc AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
+),
+cand0 AS (SELECT a.vec_id FROM assign a JOIN topc t ON a.cluster = t.cid),
+cb AS (
+  SELECT s, cid, cv FROM read_parquet('/root/repo/golden/pq_codebooks.parquet')
+),
+codes AS (
+  SELECT e.vec_id, cb.s,
+         first(cb.cid ORDER BY
+           list_sum(list_transform(range(8),
+             i -> (CAST(e.embedding[cb.s * 8 + i + 1] AS DOUBLE)
+                   - cb.cv[i + 1]) ^ 2)) ASC,
+           cb.cid ASC) AS code
+  FROM embeddings e JOIN cand0 USING (vec_id) CROSS JOIN cb
+  GROUP BY e.vec_id, cb.s
+),
+adc AS (
+  -- s-ordered list fold to match Spark's fixed s=0..7 chain (see
+  -- O_VEC_PQ_TOPK)
+  SELECT cd.vec_id,
+         list_sum(list(list_sum(list_transform(range(8),
+           i -> (q.qv[cd.s * 8 + i + 1] - cb.cv[i + 1]) ^ 2))
+           ORDER BY cd.s)) AS adc
+  FROM codes cd JOIN cb ON cb.s = cd.s AND cb.cid = cd.code CROSS JOIN q
+  GROUP BY cd.vec_id
+),
+cand AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
+ex AS (
+  SELECT cand.vec_id, cand.adc,
+         list_sum(list_transform(range(64),
+           i -> (CAST(e.embedding[i + 1] AS DOUBLE) - q.qv[i + 1]) ^ 2)) AS l2
+  FROM cand JOIN embeddings e USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, ROUND(adc, 6) AS adc_dist, ROUND(l2, 6) AS l2_dist
+FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
+"""
+
+
+# CCNet-style INTERPOLATED-BIGRAM log-probability screen
+# (operators/curation.py bigram_logprob): LM self-trained in-plan;
+# λ=0.75 / 0.25 are exactly-representable literals on both engines, and
+# the per-document mean is an ORDERED fold over token position
+# (list_sum(list(logp ORDER BY pos)) here, aggregate over a
+# pos-array_sort'ed collect_list on the Spark side) — the same
+# left-to-right addend chain, so the doubles are bit-identical across
+# engines (the ADVICE r4 unordered-AVG flake class is closed).
 O_TEXT_PERPLEXITY = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
-lm AS (
-  SELECT w, ln(COUNT(*) / (SELECT COUNT(*)::DOUBLE FROM toks)) AS logp
-  FROM toks GROUP BY w
+pos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, t[u.i] AS w,
+         CASE WHEN u.i = 1 THEN NULL ELSE t[u.i - 1] END AS wp
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+),
+uni AS (SELECT w, COUNT(*) AS cw FROM pos GROUP BY w),
+tot AS (SELECT SUM(cw) AS n FROM uni),
+uni_lm AS (
+  SELECT w, CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS pu FROM uni CROSS JOIN tot
+),
+bi AS (SELECT wp, w, COUNT(*) AS cb FROM pos WHERE wp IS NOT NULL GROUP BY wp, w),
+ctx AS (SELECT wp, SUM(cb) AS cctx FROM bi GROUP BY wp),
+bi_lm AS (
+  SELECT b.wp, b.w, CAST(b.cb AS DOUBLE) / CAST(c.cctx AS DOUBLE) AS pb
+  FROM bi b JOIN ctx c USING (wp)
+),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN p.wp IS NULL THEN ln(u.pu)
+              ELSE ln(0.75 * COALESCE(b.pb, 0.0) + 0.25 * u.pu) END AS logp
+  FROM pos p JOIN uni_lm u USING (w)
+  LEFT JOIN bi_lm b ON b.wp = p.wp AND b.w = p.w
 )
-SELECT t.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lm.logp), 6) AS avg_logp
-FROM toks t JOIN lm USING (w)
-GROUP BY t.doc_id
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
 """

@@ -342,3 +342,47 @@ def test_unigram_logprob_plan_broadcasts_lm(spark, sf_dir):
 def test_bm25_rejects_empty_terms(spark, docs_df):
     with pytest.raises(ValueError, match="at least one query term"):
         curation.bm25_topk(docs_df, [])
+
+
+def test_bigram_logprob_matches_python(spark):
+    """Interpolated-bigram scores cross-checked against a direct Python
+    implementation: λ·P(w|wp) + (1−λ)·P(w) for pos ≥ 2, pure unigram
+    for the document-initial token, mean over position order."""
+    import math
+    from collections import Counter
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a"), (4, "a a b c")]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+        for r in curation.bigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    docs = {i: t.lower().split(" ") for i, t in rows}
+    toks = [w for ws in docs.values() for w in ws]
+    uni = {w: c / len(toks) for w, c in Counter(toks).items()}
+    pairs = [
+        (ws[i - 1], ws[i]) for ws in docs.values() for i in range(1, len(ws))
+    ]
+    bc = Counter(pairs)
+    ctx = Counter(wp for wp, _ in pairs)
+    for i, ws in docs.items():
+        logps = [math.log(uni[ws[0]])]
+        for j in range(1, len(ws)):
+            pb = bc[(ws[j - 1], ws[j])] / ctx[ws[j - 1]]
+            logps.append(math.log(0.75 * pb + 0.25 * uni[ws[j]]))
+        want = (len(ws), round(sum(logps) / len(ws), 6))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bigram_logprob_plan_broadcasts_both_lms(spark, sf_dir):
+    """Both LM joins broadcast; bigram pairs come from an array
+    expression, not a lag window or self-join — the corpus side is
+    never shuffled before the final per-document aggregation."""
+    from demo_pgvector_spark import registry
+
+    df = registry.q_text_perplexity(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -257,3 +257,43 @@ def test_ivfpq_plan_zero_exchange(spark):
     assert _shuffles(plan) == 0
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_pruned_probe_prunes_partitions_and_scans_stored_codes(
+    spark, tmp_path
+):
+    """The IVFADC serving layout (ann.ivfpq_write): the probe's cluster
+    predicate must be a PARTITION filter (nprobe of k directories read,
+    not a row filter over everything), and ADC scoring must read the
+    STORED code columns — constant-array lookups only; the only
+    zip_with fold left is the exact re-rank over the ≤shortlist rows
+    after the first TakeOrdered heap."""
+    from demo_pgvector_spark import tables
+    from demo_pgvector_spark.operators import ann as ann_ops
+
+    emb = tables.load(spark, SF, "embeddings")
+    cents_rows = emb.orderBy("vec_id").limit(16).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    books = ann_ops.train_pq_codebooks(emb, m=8, k=16, sample=256, iters=2)
+    q = [float(x) for x in cents_rows[0]["embedding"]]
+
+    path = str(tmp_path / "ivfpq")
+    ann_ops.ivfpq_write(emb, cents, books, path)
+    out = ann_ops.ivfpq_topk_pruned(spark, path, cents, books, q, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert plan.count("element_at") >= 8      # stored-code ADC lookups
+    # no per-row quantization folds over the scan: at most the single
+    # exact re-rank fold (post-TakeOrdered) may surface in the plan text
+    assert plan.count("zip_with") <= 1
+    assert _shuffles(plan) == 0
+    assert plan.count("TakeOrderedAndProject") == 2
+    # only nprobe of the 16 cluster directories are listed by the scan
+    import re
+
+    m = re.search(r"PartitionCount: (\d+)", plan)
+    if m:  # Spark prints it for file scans
+        assert int(m.group(1)) == 4
