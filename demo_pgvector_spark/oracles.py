@@ -1907,3 +1907,165 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS avg_logp
 FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 TPC-H plan-feature set (registry q_tpch_q4..q22). Same
+# adaptations as the Spark side: no partsupp/l_shipmode/l_commitdate in
+# the testdata, so Q4 keys lateness off shipdate-vs-orderdate, Q16
+# bridges part-supplier through observed lineitem pairs, and Q22's
+# "no recent orders" screen replaces the phone-prefix filter.
+# ---------------------------------------------------------------------------
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+O_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+O_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+# Both sums are exact DECIMALs, so casting each to DOUBLE and dividing
+# performs the identical pair of IEEE operations on both engines.
+O_TPCH_Q14 = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS promo_pct,
+       ROUND(CAST(promo AS DOUBLE), 2) AS promo_revenue,
+       ROUND(CAST(total AS DOUBLE), 2) AS total_revenue
+FROM agg
+"""
+
+
+O_TPCH_Q16 = """
+WITH bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT b.l_suppkey) AS supplier_cnt
+FROM bridge b
+JOIN part p ON b.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44)
+  AND b.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT 50
+"""
+
+
+# The 20%-of-average screen is phrased as qty * (10 * cnt) < 2 * sum —
+# DECIMAL/BIGINT arithmetic only, exact on both engines.
+O_TPCH_Q17 = """
+WITH j AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+stats AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         COUNT(*) AS cnt
+  FROM j GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(j.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM j JOIN stats s ON j.l_partkey = s.l_partkey
+WHERE CAST(j.l_quantity AS DECIMAL(18,2)) * (10 * s.cnt) < 2 * s.sq
+"""
+
+
+O_TPCH_Q19 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# Threshold compare in integer cents: c_cents * n_pos > sum_cents —
+# BIGINT on both engines, no double-summation-order sensitivity.
+O_TPCH_Q22 = """
+WITH pos AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+),
+wealthy AS (
+  SELECT c.c_mktsegment, c.c_acctbal
+  FROM customer c CROSS JOIN pos
+  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_cents
+    AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM wealthy GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

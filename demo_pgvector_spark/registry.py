@@ -105,8 +105,16 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_QUALITY,
     O_TEXT_REPETITION,
     O_TPCH_Q1,
+    O_TPCH_Q4,
     O_TPCH_Q5,
+    O_TPCH_Q7,
+    O_TPCH_Q10,
+    O_TPCH_Q14,
+    O_TPCH_Q16,
+    O_TPCH_Q17,
     O_TPCH_Q18,
+    O_TPCH_Q19,
+    O_TPCH_Q22,
     O_TPCH_Q3,
     O_TPCH_Q6,
     O_UPSERT_MODEL,
@@ -790,6 +798,334 @@ def q_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY M5 round-5 widening: the TPC-H plan-feature set. Each query
+# exercises ONE optimizer capability the earlier rows don't — semi-join
+# decorrelation (q4), multi-dim broadcast with derived columns (q7),
+# filtered-fact top-N (q10), conditional-aggregate ratio (q14),
+# bridge-table distinct count + anti-join (q16), correlated per-group
+# aggregate (q17), disjunctive cross-table pushdown (q19), integer-exact
+# scalar subquery + anti-join (q22). The testdata schema lacks partsupp
+# / l_shipmode / l_commitdate, so predicates are adapted to the columns
+# that exist; the DuckDB oracle runs the identically-adapted SQL.
+# ---------------------------------------------------------------------------
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking: orders in a date window
+    that have at least one LATE lineitem (shipped >60 days after the
+    order — the testdata has no commit/receipt dates), counted per
+    priority. The EXISTS is a LEFT SEMI join with the correlated
+    late-ship predicate in the join condition — lineitem is never
+    widened, duplicates never materialize, and the semi join
+    short-circuits per order. Both scans keep their pushed date
+    filters."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue between a nation PAIR
+    (supplier nation × customer nation, both directions) per ship year.
+    Both nation lookups are tiny broadcast dims joined to the fact chain
+    under different aliases; the pair filter collapses the supplier side
+    to ~2/25 of rows before the orders join. Year extraction is a plain
+    projection (no UDF); revenue sums run in DECIMAL."""
+    tune_session(spark)
+    nation = tables.load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: per-customer lost revenue
+    on RETURNED lineitems for one order quarter, top-20. The returnflag
+    and date filters are pushed to their scans before the joins; the
+    customer/nation enrichment broadcasts; the tail is
+    TakeOrderedAndProject with a custkey tiebreak."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: the share of one month's revenue
+    from PROMO-type parts, as a conditional aggregate over the li ⨝ part
+    join (part broadcasts). Both sums run in DECIMAL (exact, so the
+    double division below is bit-identical across engines); the ratio is
+    a single-row result."""
+    tune_session(spark)
+    part = tables.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = price * (one - disc)
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+                "_promo"
+            ),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.round(F.col("_promo").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("_total").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-part relationships: how many distinct
+    qualifying suppliers stock each (brand, type, size) combination. The
+    testdata has no partsupp, so the observed DISTINCT (l_partkey,
+    l_suppkey) bridge from lineitem stands in; suppliers in deficit
+    (s_acctbal < 0 — the complaints stand-in) are removed with a
+    broadcast ANTI join before counting. The bridge dedup partial-
+    aggregates before its one exchange; count_distinct rides the same
+    grouping."""
+    tune_session(spark)
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44))
+    )
+    bad_supp = tables.load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    bridge = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        bridge.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(50)
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one
+    brand's parts whose quantity is below 20% of that part's average
+    quantity. The correlated per-part average is a WINDOW average over
+    l_partkey — one exchange on the already-brand-filtered fact subset
+    (~1/25 of rows), each partition bounded by one part's lineitems; no
+    second lineitem scan, no driver-side loop. The quantity average and
+    the 0.2 threshold stay in DECIMAL so the comparison is exact on
+    both engines."""
+    tune_session(spark)
+    part = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    w = Window.partitionBy("l_partkey")
+    scored = j.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        (F.sum(qty).over(w) * F.lit(2)).alias("_five_avg_num"),
+        (F.count(F.lit(1)).over(w) * F.lit(10)).alias("_five_avg_den"),
+    )
+    small = scored.filter(
+        F.col("l_quantity").cast("decimal(18,2)") * F.col("_five_avg_den")
+        < F.col("_five_avg_num")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted revenue: three disjunctive
+    (brand, size-range, quantity-range) branches OR'd across the li ⨝
+    part join. Catalyst's constraint propagation derives the
+    per-side residual filters (p_brand IN (...) AND p_size <= 15 on the
+    part scan; l_quantity <= 30 on the lineitem scan) from the
+    disjunction, so both scans prune before the broadcast join — the
+    pushdown shape the plan test pins."""
+    tune_session(spark)
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity: above-average-balance
+    customers with NO recent orders, rolled up per market segment. The
+    average-balance threshold is computed in integer CENTS and compared
+    as c_cents * n > sum_cents — pure BIGINT arithmetic, so the
+    boundary is exact on both engines (no double-summation-order flake;
+    the ADVICE r4 class). The scalar aggregate is a 1-row broadcast
+    cross join; the inactivity screen is an ANTI join against the
+    distinct recent-buyer key set — unhinted, because that set scales
+    with |customer|: AQE's size-based choice (broadcast at test SF,
+    shuffle at 100 TB) is the right strategy."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("_sum_cents"),
+            F.count(F.lit(1)).alias("_n_pos"),
+        )
+    )
+    recent = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    wealthy = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("_n_pos") > F.col("_sum_cents"))
+        .join(
+            recent.distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        wealthy.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -2412,6 +2748,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
     "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
+    # Round-5 TPC-H plan-feature widening (new — must be in-window):
+    "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
+    "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
+    "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
@@ -2440,16 +2785,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
-    "text_quality": (q_text_quality, O_TEXT_QUALITY),
-    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
-    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
-    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
-    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
-    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
-    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
@@ -2483,10 +2820,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
     "extract_year": (q_extract_year, O_EXTRACT_YEAR),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
-    # Rotated out in round 5 to free the six block-1a slots: green r4
+    # Rotated out in round 5 to free the block-1a slots: green r4
     # driver rows whose modules (streaming/windows.py,
-    # functions/vector.py, functions/embedding.py) and q_* functions
-    # are byte-unchanged this round — verdicts carry.
+    # functions/vector.py, functions/embedding.py, functions/textstats.py,
+    # operators/write.py) and q_* functions are byte-unchanged this
+    # round — verdicts carry.
+    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
+    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
+    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
+    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
+    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "emb_generate": (q_emb_generate, O_EMB_GENERATE),

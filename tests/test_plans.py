@@ -297,3 +297,49 @@ def test_ivfpq_pruned_probe_prunes_partitions_and_scans_stored_codes(
     m = re.search(r"PartitionCount: (\d+)", plan)
     if m:  # Spark prints it for file scans
         assert int(m.group(1)) == 4
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """The EXISTS screen must plan as a LEFT SEMI join (never an inner
+    join + dedup, never a correlated per-row subquery), with the
+    correlated late-ship predicate inside the join condition and both
+    date filters pushed to their scans."""
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "INTERVAL '60' DAY" in plan
+    assert _shuffles(plan) == 2  # grouped count + output ORDER BY
+
+
+def test_tpch_q19_disjunction_pushes_per_side_residuals(spark):
+    """Catalyst must derive per-side residual filters from the OR'd
+    (brand, size, quantity) branches: the lineitem scan keeps a
+    quantity-range disjunction, the part scan a brand/size disjunction —
+    neither side scans rows no branch could accept."""
+    plan = _plan(spark, "tpch_q19")
+    # quantity bounds reached the lineitem side pre-join
+    assert "l_quantity" in plan.split("BroadcastHashJoin")[1]
+    scans = plan.split("FileScan parquet")
+    li_scan = next(s for s in scans[1:] if "l_quantity" in s[:400])
+    part_scan = next(s for s in scans[1:] if "p_brand" in s[:400])
+    assert "l_quantity" in li_scan[:400]
+    assert "Brand#" in part_scan[:600]
+    assert _shuffles(plan) == 1  # the single global-aggregate exchange
+
+
+def test_tpch_q17_correlated_avg_is_single_exchange_window(spark):
+    """The per-part average must be a window over the brand-filtered
+    subset — ONE hash exchange on l_partkey, no second lineitem scan,
+    no driver-side loop."""
+    plan = _plan(spark, "tpch_q17")
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 2  # lineitem once, part once
+    assert _shuffles(plan) == 2  # partkey window + global aggregate
+
+
+def test_tpch_q22_threshold_is_integer_cents(spark):
+    """The above-average screen must compare BIGINT cents (no double
+    summation-order sensitivity) via a 1-row broadcast, and the
+    inactivity screen must be an ANTI join."""
+    plan = _plan(spark, "tpch_q22")
+    assert "LeftAnti" in plan
+    assert "round" in plan and "as bigint" in plan
