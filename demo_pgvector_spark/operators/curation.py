@@ -539,3 +539,57 @@ def bigram_logprob(
             6,
         ).alias("avg_logp"),
     )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    weights: dict[str, int],
+    target_total: int,
+    salt: str = "r5",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Deterministic DOMAIN-MIXTURE sampling: draw ~``target_total``
+    documents whose domain composition follows integer ``weights``
+    (the DoReMi/Pile-style "mix 50% web, 20% code, ..." contract),
+    regardless of how skewed the source corpus is. Each domain's
+    acceptance rate is target_total·w_d / (W·n_d) where W = Σ weights
+    and n_d is the domain's observed count — computed and compared
+    ENTIRELY in integers: keep iff
+
+        ticket · W · n_d  <  target_total · w_d · 1000
+
+    with the same salted md5 ticket (0-999) as ``sample_stratified``,
+    so the decision is exact on Spark, DuckDB and Python alike (no
+    double rounding at the rate boundary) and append-stable per salt.
+    A domain absent from ``weights`` gets w=0 (dropped); a domain too
+    small for its target share saturates at full inclusion (the
+    condition is vacuously true for every ticket) and the total comes
+    up short — the caller rebalances weights, the sampler never
+    oversamples.
+
+    Two-pass plan: a partial-combined domain count (|domains| rows)
+    broadcast back onto the scan, then a scan-fused integer filter —
+    the only data-sized cost is the one count scan; no shuffle of the
+    corpus itself."""
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n_dom"))
+    w_total = sum(weights.values())
+    w_col = F.lit(0)
+    for d, w in sorted(weights.items()):
+        w_col = F.when(F.col(domain_col) == d, F.lit(w)).otherwise(w_col)
+    ticket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast("
+            f"{id_col} as string), ':{salt}')), 1, 8), 16, 10) as bigint)"
+        )
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(counts), domain_col)
+        .withColumn("ticket", ticket)
+        .filter(
+            F.col("ticket") * F.lit(w_total) * F.col("_n_dom")
+            < F.lit(target_total) * w_col * F.lit(1000)
+        )
+        .drop("_n_dom")
+    )

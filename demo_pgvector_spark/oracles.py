@@ -2069,3 +2069,59 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
          AS totacctbal
 FROM wealthy GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# EXACT n-gram-Jaccard pairs (registry q_dedup_ngram, operators/dedup.py
+# ngram_jaccard_pairs): deliberately NOT a replay of the prefix-filter
+# algorithm — this is the brute-force shared-gram pair enumeration with
+# exact Jaccard, so a prefix filter that lost a single true pair would
+# break row-count parity (completeness proof, not just agreement).
+# k=3 word grams, τ=0.3, round-then-filter on both sides.
+O_DEDUP_NGRAM = """
+WITH sh3 AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) < 3
+              THEN [lower(text)]
+              ELSE list_distinct(list_transform(
+                range(len(string_split(lower(text), ' ')) - 2),
+                i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + 3], ' ')
+              )) END AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh3),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN sh3 sa ON c.id_a = sa.doc_id
+  JOIN sh3 sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+"""
+
+
+# Domain-mixture sampling (registry q_sample_mixture,
+# operators/curation.py sample_mixture): integer-exact acceptance —
+# ticket·W·n_d < T·w_d·1000 with W=10, T=300 — over the same md5
+# ticket scheme as O_SAMPLE_STRATIFIED (salt ':r5').
+O_SAMPLE_MIXTURE = """
+WITH cnt AS (SELECT lang, COUNT(*) AS n_dom FROM documents GROUP BY lang),
+t AS (
+  SELECT d.doc_id, d.lang, d.source, c.n_dom,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':r5'), 1, 8))::UBIGINT
+              AS BIGINT) % 1000 AS ticket
+  FROM documents d JOIN cnt c USING (lang)
+)
+SELECT doc_id, lang, source, ticket
+FROM t
+WHERE ticket * 10 * n_dom <
+      300 * (CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                       WHEN 'fr' THEN 1 WHEN 'zh' THEN 1
+                       WHEN 'es' THEN 1 ELSE 0 END) * 1000
+"""

@@ -58,6 +58,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_MINHASH_PAIRS,
+    O_DEDUP_NGRAM,
     O_DEDUP_SIMHASH,
     O_EMB_GENERATE,
     O_EMB_HASH_EMBED,
@@ -95,6 +96,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STR_TOKENIZE,
     O_CURATE_CORPUS,
     O_PACK_SEQUENCES,
+    O_SAMPLE_MIXTURE,
     O_SAMPLE_STRATIFIED,
     O_TEXT_BM25,
     O_TEXT_DECONTAMINATE,
@@ -2293,6 +2295,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-Jaccard pairs via AllPairs prefix filtering
+    (operators/dedup.py ngram_jaccard_pairs; Bayardo 2007): word
+    3-grams, τ=0.3 — the deterministic counterpart to the LSH row. The
+    oracle is the BRUTE-FORCE shared-gram pair enumeration + exact
+    Jaccard, so it also PROVES the prefix filter dropped no pair (at
+    sf0.01 the naive join sees ~11.5k candidate pairs; the prefix join
+    prunes to a few dozen before verification)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3, k=3)
+
+
 # Bucketed-layout cache: the co-bucketed tables are a write-ONCE layout
 # (the whole point of bucketing — pay the shuffle at ingest, query
 # forever), so one process builds them once per sf_dir and every later
@@ -2648,6 +2663,29 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture weights for q_sample_mixture: ~50% en, 20% de, 10% each
+# fr/zh/es of a 300-doc draw (lang is the one genuinely uneven domain
+# column in the testdata). Integer weights — the acceptance test is
+# pure BIGINT arithmetic on both engines.
+MIXTURE_WEIGHTS = {"en": 5, "de": 2, "fr": 1, "zh": 1, "es": 1}
+MIXTURE_TARGET = 300
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-MIXTURE sampling (operators/curation.py sample_mixture):
+    rebalance the corpus to target language proportions with an
+    integer-exact per-domain acceptance test — ticket·W·n_d <
+    T·w_d·1000 — over the same salted md5 ticket as the stratified row.
+    Two-pass: broadcast domain counts back onto the scan, then a
+    scan-fused filter; the corpus itself never shuffles."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    out = curation_ops.sample_mixture(
+        docs, MIXTURE_WEIGHTS, MIXTURE_TARGET, domain_col="lang"
+    )
+    return out.select("doc_id", "lang", "source", "ticket")
+
+
 def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style mean INTERPOLATED-BIGRAM log-probability per document
     under a corpus-trained LM (operators/curation.py bigram_logprob —
@@ -2757,6 +2795,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
+    # Round-5 pillar widening (new — must be in-window): exact AllPairs
+    # n-gram Jaccard (the deterministic dedup path) and domain-mixture
+    # sampling (the DoReMi-style curation stage).
+    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
+    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
@@ -2770,8 +2813,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
-    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
-    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
     "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
@@ -2825,6 +2866,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # functions/vector.py, functions/embedding.py, functions/textstats.py,
     # operators/write.py) and q_* functions are byte-unchanged this
     # round — verdicts carry.
+    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
+    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),

@@ -386,3 +386,41 @@ def test_bigram_logprob_plan_broadcasts_both_lms(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_sample_mixture_composition_and_determinism(spark):
+    """The mixture sampler must (a) be idempotent, (b) land each
+    domain's draw near its target share, (c) drop unweighted domains,
+    and (d) saturate (not oversample) a domain too small for its
+    share."""
+    rows = [(i, "en" if i < 800 else ("de" if i < 950 else "fr")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 1, "de": 1}  # fr unweighted → dropped
+    out = curation.sample_mixture(df, weights, target_total=200, domain_col="lang")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert "fr" not in by
+    # en: rate 200·1/(2·800)=0.125 → ~100; de: 200·1/(2·150)=0.667 → ~100
+    assert 70 <= by.get("en", 0) <= 130
+    assert 70 <= by.get("de", 0) <= 130
+    again = curation.sample_mixture(df, weights, target_total=200, domain_col="lang")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # saturation: a domain whose target exceeds its size keeps ALL rows
+    sat = curation.sample_mixture(df, {"de": 1}, target_total=500, domain_col="lang")
+    assert sat.filter("lang = 'de'").count() == 150
+
+
+def test_sample_mixture_corpus_never_shuffles(spark, sf_dir):
+    """The only aggregation is the tiny domain count (broadcast back);
+    the corpus side must stay scan-fused — no hash exchange keyed on
+    anything corpus-sized, no sort-merge join."""
+    from demo_pgvector_spark import registry
+
+    plan = (
+        registry.q_sample_mixture(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -162,3 +162,50 @@ def test_dedup_assign_deep_chain_converges_logarithmically(spark):
            for r in dedup.dedup_assign(docs, pairs).collect()}
     assert all(k == 0 for k, _ in out.values())
     assert [i for i, (_, keep) in out.items() if keep] == [0]
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, corpus_df):
+    """The prefix-filtered pairs must equal the brute-force all-pairs
+    exact Jaccard at the same threshold — the AllPairs completeness
+    guarantee, checked in pure Python over the toy corpus."""
+    tau, k = 0.2, 3
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus_df, threshold=tau, k=k).collect()
+    }
+
+    def grams(text):
+        toks = text.lower().split(" ")
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    docs = {i: grams(t) for i, t in CORPUS}
+    expect = {}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                j = round(
+                    len(docs[a] & docs[b]) / len(docs[a] | docs[b]), 6
+                )
+                if j >= tau:
+                    expect[(a, b)] = j
+    assert out == expect
+    assert (0, 1) in out and out[(0, 1)] == 1.0  # verbatim copy
+    assert (0, 2) in out  # near-dup survives
+    assert not any(4 in p for p in out)  # unrelated never pairs
+
+
+def test_ngram_prefix_filter_prunes_candidates(spark):
+    """Docs sharing only COMMON grams (present in most documents) must
+    never meet in the prefix join when their true Jaccard is below
+    threshold — the hot-gram pruning that makes the operator safe on
+    boilerplate-heavy corpora."""
+    # 8 docs all share the same 3-word boilerplate prefix, bodies unique
+    rows = [
+        (i, f"shared legal header unique{i} body{i} words{i} tail{i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5, k=3).collect()
+    assert out == []  # no pair reaches τ; boilerplate alone never pairs

@@ -47,9 +47,11 @@ WINDOW_REQUIRED = {
     # byte-unchanged since their green r4 driver rows, so the judge's
     # carry rule applies; the freed slots hold the never-driver-verified
     # round-5 keys below)
+    # (chunk_docling/chunk_enrich rotated to the tail late in r5 —
+    # chunking.py byte-unchanged since their green r4 rows — to make
+    # room for dedup_ngram/sample_mixture)
     "vec_sim_topk", "proj_sim_family",
     "str_scalars", "emb_hash_embed",
-    "chunk_docling", "chunk_enrich",
     "win_chunk_number", "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
     # (mm_media carries all three modality pipelines since r4)
@@ -77,6 +79,8 @@ WINDOW_REQUIRED = {
     # round-5 TPC-H plan-feature widening (new → must be in-window)
     "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q22",
+    # round-5 pillar widening (new → must be in-window)
+    "dedup_ngram", "sample_mixture",
 }
 
 
