@@ -63,6 +63,15 @@ BENCH_KEYS = (
     "tpch_q18",
     "join_lineitem_orders",
     "join_skew_salted",
+    # round-5 TPC-H plan-feature set
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
     # LLM-pipeline extension surface
     "vec_ann_topk",
     "vec_pq_topk",
@@ -112,6 +121,9 @@ BENCH_KEYS = (
     "sample_stratified",
     "pack_sequences",
     "curate_corpus",
+    # round-5 pillar widening: exact n-gram Jaccard + mixture sampling
+    "dedup_ngram",
+    "sample_mixture",
 )
 
 

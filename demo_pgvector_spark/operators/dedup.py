@@ -400,11 +400,37 @@ def ngram_jaccard_pairs(
     grams only). All key volumes are corpus-vocabulary-bounded; none is
     |docs|².
 
+    Candidate generation runs on xxhash64'd grams — every join and
+    aggregation key is 8 bytes, never a gram string. Treating collided
+    grams as one pseudo-gram only MERGES set elements, which cannot
+    lower Jaccard (intersection can only grow, union only shrink), so
+    the prefix guarantee still holds and a collision at worst adds a
+    spurious candidate that exact verification removes. The gram
+    STRINGS appear only in the final full-array verify.
+
     The CORRECTNESS oracle is the BRUTE-FORCE all-shared-gram-pairs
     Jaccard in DuckDB — a strictly stronger check than replaying the
     algorithm: it proves the prefix filter lost no pair."""
-    grams = with_shingles(docs, text_col, k).select(id_col, "shingles")
-    ex = grams.select(F.col(id_col), F.explode("shingles").alias("g"))
+    spark = docs.sparkSession
+    src = docs.select(id_col, text_col)
+    # The gram arrays feed THREE plan branches (df/prefix candidates +
+    # both verify sides). Materialize them once — the AllPairs systems'
+    # standard "tokenize first" pass (at ingest scale this is a
+    # persisted gram column, like PQ codes) — instead of recomputing
+    # the shingle projection per branch. And if the scan has fewer
+    # splits than cores (one small local file), spread the raw text
+    # rows first: a narrow corpus-row exchange, a no-op on a real lake
+    # layout with thousands of splits.
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    grams = (
+        with_shingles(src, text_col, k)
+        .select(id_col, "shingles")
+        .localCheckpoint(eager=True)
+    )
+    ex = grams.select(
+        F.col(id_col), F.explode("shingles").alias("_gs")
+    ).select(F.col(id_col), F.xxhash64("_gs").alias("g"))
     df = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = ex.join(df, "g")
     per_doc = ranked.groupBy(id_col).agg(
@@ -414,16 +440,44 @@ def ngram_jaccard_pairs(
     # L = n − ⌈τ·n⌉ + 1 (⌈x⌉ via -floor(-x); τ·n exact in double)
     prefix = per_doc.select(
         F.col(id_col),
+        F.size("_ordered").alias("n"),
         F.expr(
             f"slice(_ordered, 1, size(_ordered)"
             f" + cast(floor(-{threshold} * size(_ordered)) as int) + 1)"
         ).alias("_prefix"),
     )
-    pg = prefix.select(F.col(id_col), F.explode("_prefix").alias("g"))
+    # PPJoin's two extra LOSSLESS filters ride the join condition, both
+    # with an epsilon-relaxed double bound so rounding can only
+    # UNDER-prune (a lost true pair would break the brute-force oracle):
+    # - length: J ≥ τ forces τ·max(n_a,n_b) ≤ min(n_a,n_b);
+    # - positional: for the pair's MINIMAL shared gram (which the
+    #   AllPairs theorem puts inside both prefixes), every earlier gram
+    #   on either side is unshared, so the overlap is capped by
+    #   min(remaining_a, remaining_b) — and J ≥ τ needs overlap
+    #   ≥ τ/(1+τ)·(n_a+n_b). Rows for non-minimal meetings may be
+    #   dropped freely: the minimal meeting always survives.
+    pg = prefix.select(
+        F.col(id_col),
+        "n",
+        F.posexplode("_prefix").alias("_pos0", "g"),
+    ).select(
+        F.col(id_col), "n", F.col("g"), (F.col("n") - F.col("_pos0")).alias("_rem")
+    )
+    eps = 1e-9
+    alpha = threshold / (1.0 + threshold)
     cand = (
         pg.alias("a")
-        .join(pg.alias("b"), "g")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .join(
+            pg.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n") >= F.col("b.n") * threshold - eps)
+            & (F.col("b.n") >= F.col("a.n") * threshold - eps)
+            & (
+                F.least(F.col("a._rem"), F.col("b._rem"))
+                >= (F.col("a.n") + F.col("b.n")) * alpha - eps
+            ),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
