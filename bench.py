@@ -122,8 +122,10 @@ BENCH_KEYS = (
     "pack_sequences",
     "curate_corpus",
     # round-5 pillar widening: exact n-gram Jaccard + mixture sampling
+    # + the real watermark/late-data stream
     "dedup_ngram",
     "sample_mixture",
+    "stream_late_data",
 )
 
 

@@ -2125,3 +2125,53 @@ WHERE ticket * 10 * n_dom <
                        WHEN 'fr' THEN 1 WHEN 'zh' THEN 1
                        WHEN 'es' THEN 1 ELSE 0 END) * 1000
 """
+
+
+# Watermark-gated late-data stream (registry q_stream_late_data,
+# streaming/late.py): replay of the empirically-pinned batch-wise
+# watermark cascade. Semantics (probed on Spark 4.1, boundaries
+# included): the LATE filter in batch n drops rows with
+# window_end <= wm computed from data through batch n−2; append
+# EVICTION at batch n emits windows with window_end <= wm from data
+# through n−1; availableNow then runs a trailing NO-DATA batch whose
+# eviction applies the watermark from ALL data, so the final emitted
+# set is exactly { windows with end <= wm(all data) } and each emitted
+# window counts every filter-surviving row (a row for an
+# already-evicted window can never pass the filter — eviction at n
+# implies end <= filter_wm(n+1)). Watermarks are ms-truncated max
+# event time minus the 2-day delay, exactly as Spark computes them.
+O_STREAM_LATE_DATA = """
+WITH ev AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' AND event_id % 2 = 0 THEN 0
+              WHEN ts >= TIMESTAMP '2024-01-08'
+                   AND ts < TIMESTAMP '2024-01-15' THEN 1
+              WHEN ts >= TIMESTAMP '2024-01-15'
+                   AND ts < TIMESTAMP '2024-01-22' THEN 2
+              ELSE 3 END AS b
+  FROM events
+),
+batch_max AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+fw AS (
+  SELECT e.b,
+         date_trunc('milliseconds', MAX(m.mx)) - INTERVAL 2 DAY AS filter_wm
+  FROM (SELECT DISTINCT b FROM ev) e
+  LEFT JOIN batch_max m ON m.b <= e.b - 2
+  GROUP BY e.b
+),
+kept AS (
+  SELECT ev.event_id, ev.event_type, date_trunc('day', ev.ts) AS wstart
+  FROM ev JOIN fw USING (b)
+  WHERE fw.filter_wm IS NULL
+     OR date_trunc('day', ev.ts) + INTERVAL 1 DAY > fw.filter_wm
+),
+final_wm AS (
+  SELECT date_trunc('milliseconds', MAX(mx)) - INTERVAL 2 DAY AS wm
+  FROM batch_max
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM kept CROSS JOIN final_wm
+WHERE wstart + INTERVAL 1 DAY <= final_wm.wm
+GROUP BY wstart, event_type
+"""

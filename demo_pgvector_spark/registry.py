@@ -90,6 +90,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SRC_ROUTE,
     O_STREAM_DEDUP,
     O_STREAM_INGEST,
+    O_STREAM_LATE_DATA,
     O_STREAM_SESSION_WINDOWS,
     O_STREAM_WINDOWS,
     O_STR_SCALARS,
@@ -152,6 +153,7 @@ from demo_pgvector_spark.operators import skew as skew_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
+from demo_pgvector_spark.streaming import late as stream_late_ops
 from demo_pgvector_spark.streaming import windows as stream_ops
 from demo_pgvector_spark.session import tune_session
 
@@ -2023,6 +2025,57 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-gated late-data handling under the correctness gate
+    (streaming/late.py): events staged as FOUR mtime-ordered batch
+    files — a week of early data (even ids only), two weeks advancing
+    event time, then a final batch mixing the week-1 stragglers (odd
+    ids — now LATE: their windows sit behind the watermark) with the
+    freshest events. The real readStream → withWatermark("2 days") →
+    1-day tumbling window → APPEND pipeline drops every straggler,
+    emits only watermark-finalized windows, and holds the last ~2 days
+    in state (never emitted under availableNow). The oracle replays the
+    empirically-pinned batch-wise watermark cascade — filter uses the
+    watermark from data through batch n−2, eviction through n−1, both
+    with ``window_end <= wm`` predicates — so the early-day windows
+    hash-check that late ODD ids are missing while on-time EVEN ids
+    count. Aggregates are count + sum(event_id): BIGINT-exact, no
+    float summation order."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="spark_graft_late_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    batches = [
+        "ts < TIMESTAMP '2024-01-08' AND event_id % 2 = 0",
+        "ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'",
+        "ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'",
+        "(ts < TIMESTAMP '2024-01-08' AND event_id % 2 = 1)"
+        " OR ts >= TIMESTAMP '2024-01-22'",
+    ]
+    for b, cond in enumerate(batches):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        duckdb.sql(
+            f"COPY (SELECT event_id, ts, event_type"
+            f" FROM '{sf_dir}/events.parquet'"
+            f" WHERE {cond} ORDER BY event_id)"
+            f" TO '{path}' (FORMAT parquet)"
+        )
+        os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
+    result = stream_late_ops.run_late_data_stream(
+        spark,
+        landing,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        schema_ddl="event_id long, ts timestamp, event_type string",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (LLM-pipeline pillar 4) — functions/textstats.py
 # ---------------------------------------------------------------------------
@@ -2800,6 +2853,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # sampling (the DoReMi-style curation stage).
     "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
     "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
+    # Round-5: the REAL watermark/late-data streaming contract (new —
+    # must be in-window).
+    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
@@ -2813,7 +2869,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
-    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
     "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
     "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
@@ -2868,6 +2923,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # round — verdicts carry.
     "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
+    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),

@@ -1,0 +1,105 @@
+"""Watermark-gated late-data handling — the real event-time contract.
+
+The reference has no streaming surface (SURVEY §2.9 scopes the extension);
+`streaming/windows.py` proves the window AGGREGATION semantics in batch
+mode. This module runs the actual Structured Streaming machinery:
+``readStream`` → ``withWatermark`` → tumbling-window aggregate → APPEND
+mode, with ``maxFilesPerTrigger=1`` turning a staged directory of files
+into a deterministic sequence of micro-batches, so the watermark's
+late-row DROP and the append-mode window EMISSION are both exercised and
+oracle-replayable.
+
+Empirically pinned Spark semantics (probed on 4.1, boundary cases
+included; the oracle in ``oracles.O_STREAM_LATE_DATA`` replays exactly
+this):
+
+- the watermark COMMITTED after batch ``n`` is
+  ``max(event time over batches ≤ n−1) − delay`` (ms-truncated max);
+  i.e. a batch's own data takes effect one batch later;
+- the LATE filter in batch ``n`` uses the watermark in effect at batch
+  start — the one committed after batch ``n−1``, hence computed from
+  data through batch ``n−2`` — and drops rows whose window END is ``<=``
+  that watermark;
+- append-mode EVICTION at the end of batch ``n`` emits (and removes)
+  state windows whose end is ``<=`` the watermark committed after batch
+  ``n`` (data through ``n−1``);
+- ``Trigger.AvailableNow`` runs one trailing NO-DATA batch after the
+  last file (``noDataMicroBatches``), whose eviction applies the
+  watermark computed from ALL data — so the final emitted set is
+  ``end <= max(all event time) − delay``; only the last ``delay`` of
+  windows stays in state (they would emit when the stream resumes).
+
+A row for an already-evicted window can never re-create state: eviction
+at batch ``n`` implies end ≤ wm(data ≤ n−1), and every later batch's
+filter watermark is at least that — the row is dropped before the store.
+That is the exactly-once guarantee append mode buys with watermarks, and
+the oracle's count-by-filter formulation relies on it.
+
+At scale this plan is the canonical streaming shape: per-batch partial
+aggregation into a keyed state store, state bounded by (watermark window
+span × key cardinality), shuffle keyed on (window, key) only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUERY_ID = itertools.count()
+
+
+def run_late_data_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    delay: str = "2 days",
+    window: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Drain a staged landing directory (one micro-batch per file, mtime
+    order) through a watermarked tumbling-window aggregate in APPEND
+    mode; return the emitted (finalized) windows as a batch DataFrame.
+
+    Aggregates are count + sum of the BIGINT id column — exact,
+    summation-order-free values, so the oracle replay hash-matches
+    without float tolerance."""
+    name = f"late_data_sink_{os.getpid()}_{next(_QUERY_ID)}"
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(id_col).alias("sum_ids"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(key_col),
+        "n",
+        "sum_ids",
+    )
+    # Materialize: the memory-sink temp view is session state tied to
+    # this query name; hand back a standalone frame and drop the view.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result

@@ -47,12 +47,12 @@ WINDOW_REQUIRED = {
     # byte-unchanged since their green r4 driver rows, so the judge's
     # carry rule applies; the freed slots hold the never-driver-verified
     # round-5 keys below)
-    # (chunk_docling/chunk_enrich rotated to the tail late in r5 —
-    # chunking.py byte-unchanged since their green r4 rows — to make
-    # room for dedup_ngram/sample_mixture)
+    # (chunk_docling/chunk_enrich/win_chunk_number rotated to the tail
+    # late in r5 — chunking.py byte-unchanged since their green r4 rows
+    # — to make room for dedup_ngram/sample_mixture/stream_late_data)
     "vec_sim_topk", "proj_sim_family",
     "str_scalars", "emb_hash_embed",
-    "win_chunk_number", "stream_ingest",
+    "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
     # (mm_media carries all three modality pipelines since r4)
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
@@ -80,7 +80,7 @@ WINDOW_REQUIRED = {
     "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
-    "dedup_ngram", "sample_mixture",
+    "dedup_ngram", "sample_mixture", "stream_late_data",
 }
 
 

@@ -212,3 +212,60 @@ def test_run_to_memory_infers_append_for_non_aggregating_stream(spark):
     n_stream = spark.table("dedup_infer_test").count()
     n_batch = tables.load(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
     assert n_stream == n_batch
+
+
+def test_late_data_drop_and_holdback(spark, tmp_path):
+    """The watermark contract on a hand-built stream: batch-2 stragglers
+    behind the watermark are DROPPED, on-time peers in earlier batches
+    count, and windows newer than (max event time − delay) are held in
+    state, not emitted."""
+    import os
+
+    import duckdb
+
+    from demo_pgvector_spark.streaming import late
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        # b0: two on-time rows in the 00:00 window, one in 00:10
+        [(1, "2024-01-01 00:01:00", "a"), (2, "2024-01-01 00:02:00", "a"),
+         (3, "2024-01-01 00:11:00", "a")],
+        # b1: jump far ahead — watermark (10 min delay) passes 00:10/00:20
+        [(4, "2024-01-01 01:00:00", "a")],
+        # b2: a straggler for the 00:00 window (filter wm = 00:11−10m =
+        # 00:01 < its end 00:10?? end 00:10 > 00:01 → KEPT in state…
+        # but the window was already EVICTED in b1? No: evict wm at b1
+        # is 00:01 too. The straggler lands before eviction and counts.
+        # A second straggler probes the DROP: filter wm for b2 comes
+        # from data ≤ b0 (00:11−10m = 00:01); only windows ending
+        # ≤ 00:01 drop — use 23:50 previous-day row.
+        [(5, "2024-01-01 00:05:00", "a"), (6, "2023-12-31 23:55:00", "a")],
+    ]
+    con = duckdb.connect()
+    for b, rows in enumerate(batches):
+        vals = ", ".join(
+            f"({i}, TIMESTAMP '{t}', '{k}')" for i, t, k in rows
+        )
+        p = str(landing / f"b{b}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) t(event_id, ts, event_type))"
+            f" TO '{p}' (FORMAT parquet)"
+        )
+        os.utime(p, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
+    out = late.run_late_data_stream(
+        spark,
+        str(landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, event_type string",
+        delay="10 minutes",
+        window="10 minutes",
+    )
+    got = {r.window_start: (r.n, r.sum_ids) for r in out.collect()}
+    # final wm = 01:00 − 10m = 00:50 → the 01:00 window is HELD
+    assert "2024-01-01 01:00:00" not in got
+    # the 00:00 window emits with the batch-2 straggler INCLUDED (it
+    # beat eviction) and the previous-day straggler DROPPED
+    assert got["2024-01-01 00:00:00"] == (3, 8)  # ids 1+2+5
+    assert got["2024-01-01 00:10:00"] == (1, 3)
+    assert "2023-12-31 23:50:00" not in got
