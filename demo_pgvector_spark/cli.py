@@ -222,3 +222,28 @@ def curate(
     # serve the WRITTEN rows — returning the unexecuted cascade would
     # recompute the whole pipeline on every downstream action
     return spark.read.parquet(out_path)
+
+
+def mix(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    weights: dict[str, int],
+    target_total: int,
+    domain_col: str = "lang",
+    salt: str = "r5",
+) -> DataFrame:
+    """Engine extension verb (no reference counterpart): rebalance a
+    documents parquet directory to target domain proportions
+    (operators/curation.py sample_mixture — integer-exact acceptance,
+    append-stable per salt) and write the drawn sample back as parquet.
+    Composes with ``curate``: mix first to set the domain diet, then
+    curate the mixed corpus."""
+    from demo_pgvector_spark.operators import curation
+
+    docs = spark.read.parquet(docs_path)
+    out = curation.sample_mixture(
+        docs, weights, target_total, salt=salt, domain_col=domain_col
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

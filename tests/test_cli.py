@@ -147,3 +147,27 @@ def test_curate_writes_pack_assignments(spark, tmp_path):
     # scrubbed path runs end-to-end too
     got2 = cli.curate(spark, src, out, scrub=True, default_per_mille=1000)
     assert got2.count() > 0
+
+
+def test_mix_verb_rebalances_domains(spark, tmp_path):
+    """mix writes a domain-rebalanced sample; rerunning is idempotent."""
+    from demo_pgvector_spark import cli
+
+    rows = [(i, f"text {i}", "en" if i < 160 else "de", "s", 7)
+            for i in range(200)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "mixed")
+    got = cli.mix(spark, src, out, weights={"en": 1, "de": 1}, target_total=80)
+    first_ids = sorted(r.doc_id for r in got.collect())
+    by = {r.lang: r["count"] for r in got.groupBy("lang").count().collect()}
+    # en rate 80/(2·160)=0.25 → ~40; de rate 80/(2·40)=1.0 → all 40
+    assert by.get("de") == 40
+    assert 25 <= by.get("en", 0) <= 55
+    # idempotent rerun (fresh output dir: the first read's file listing
+    # must not be reused across the overwrite)
+    out2 = str(tmp_path / "mixed2")
+    again = cli.mix(spark, src, out2, weights={"en": 1, "de": 1}, target_total=80)
+    assert sorted(r.doc_id for r in again.collect()) == first_ids
