@@ -55,6 +55,12 @@ DEFAULT_KEYS = (
     # time is write-dominated by design — the curve shows the ingest
     # cost scaling linearly while the join stays exchange-free).
     "text_scrub", "tpch_q18", "join_skew_salted", "join_bucketed",
+    # round-5 additions: the TPC-H plan-feature set, mixture sampling
+    # and the watermark stream. dedup_ngram is excluded like the other
+    # pair rows — replicated corpora multiply its RESULT quadratically.
+    "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q22", "sample_mixture",
+    "stream_late_data",
 )
 
 
