@@ -64,6 +64,7 @@ BENCH_KEYS = (
     "join_lineitem_orders",
     "join_skew_salted",
     # round-5 TPC-H plan-feature set
+    "tpch_q2",
     "tpch_q4",
     "tpch_q7",
     "tpch_q10",

@@ -2175,3 +2175,31 @@ FROM kept CROSS JOIN final_wm
 WHERE wstart + INTERVAL 1 DAY <= final_wm.wm
 GROUP BY wstart, event_type
 """
+
+
+# TPC-H Q2-style minimum-cost supplier (registry q_tpch_q2): observed
+# MIN(l_extendedprice) per (partkey, suppkey) stands in for partsupp;
+# the correlated MIN decorrelates as aggregate + rejoin on
+# (part, cost = min). DECIMAL cost so the equality is exact.
+O_TPCH_Q2 = """
+WITH costs AS (
+  SELECT l.l_partkey AS p_partkey, s.s_name, s.s_acctbal, n.n_name,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD' AND p.p_size <= 10
+  GROUP BY l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+),
+mins AS (
+  SELECT p_partkey, MIN(cost) AS min_cost FROM costs GROUP BY p_partkey
+)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey,
+       CAST(c.cost AS DOUBLE) AS cost
+FROM costs c JOIN mins m
+  ON c.p_partkey = m.p_partkey AND c.cost = m.min_cost
+ORDER BY c.s_acctbal DESC, c.n_name ASC, c.s_name ASC, c.p_partkey ASC
+LIMIT 100
+"""

@@ -108,6 +108,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_QUALITY,
     O_TEXT_REPETITION,
     O_TPCH_Q1,
+    O_TPCH_Q2,
     O_TPCH_Q4,
     O_TPCH_Q5,
     O_TPCH_Q7,
@@ -1085,6 +1086,65 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(branch).agg(
         F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each STANDARD-type part
+    of one size band, the ASIA-region supplier(s) offering the minimum
+    observed price (the testdata has no partsupp, so MIN(l_extendedprice)
+    per observed (partkey, suppkey) lineitem pair stands in for
+    ps_supplycost). The correlated MIN subquery is decorrelated the
+    third way (q4 = semi join, q17 = window): aggregate per part, then
+    REJOIN on (partkey, cost = min_cost) — the shape Catalyst produces
+    for scalar-subquery-in-WHERE, written explicitly. The
+    supplier/nation/region chain broadcasts; the bridge partial-combines
+    per (part, supp) before its one exchange; cost equality is exact
+    DECIMAL."""
+    tune_session(spark)
+    region = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = tables.load(spark, sf_dir, "nation")
+    supp = tables.load(spark, sf_dir, "supplier")
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        )
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost")
+        )
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = costs.groupBy(F.col("p_partkey").alias("_mk")).agg(
+        F.min("cost").alias("_min_cost")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (costs["p_partkey"] == min_cost["_mk"])
+            & (costs["cost"] == min_cost["_min_cost"]),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
     )
 
 
@@ -2840,6 +2900,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
     # Round-5 TPC-H plan-feature widening (new — must be in-window):
+    "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
     "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
@@ -2882,7 +2943,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
-    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
@@ -2932,6 +2992,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
+    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "emb_generate": (q_emb_generate, O_EMB_GENERATE),

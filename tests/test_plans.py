@@ -343,3 +343,15 @@ def test_tpch_q22_threshold_is_integer_cents(spark):
     plan = _plan(spark, "tpch_q22")
     assert "LeftAnti" in plan
     assert "round" in plan and "as bigint" in plan
+
+
+def test_tpch_q2_min_rejoin_broadcasts_dims(spark):
+    """The decorrelated MIN rejoin: the bridge aggregate partial-combines
+    before its exchange, the supplier/nation/region chain broadcasts
+    (never a fact-side shuffle for dimensions), and the per-part min
+    joins back by key+cost equality — no window over the fact side."""
+    plan = _plan(spark, "tpch_q2")
+    assert "partial_min" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+    assert "= ASIA" in plan.replace("ASIA)", "ASIA) ")

@@ -59,8 +59,9 @@ WINDOW_REQUIRED = {
     "dedup_embedding", "dedup_assign", "vec_ann_topk", "vec_ann_join",
     "vec_ivf_topk", "cluster_kmeans", "chunk_bpe", "mm_media",
     "text_repetition",
-    # TPC-H family (VERDICT r2: needs green rows)
-    "tpch_q1", "tpch_q3",
+    # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
+    # their green r4 rows — q_* functions byte-unchanged)
+    "tpch_q1",
     # r3 tail analytics rotated in per VERDICT r3 (never driver-verified)
     "win_running_total", "agg_pivot", "agg_percentiles",
     # round-4 additions (never driver-verified → must be in-window;
@@ -77,7 +78,7 @@ WINDOW_REQUIRED = {
     "tpch_q18", "join_skew_salted", "text_perplexity",
     "vec_ivfpq_pruned", "agg_percentiles_approx", "agg_approx_distinct",
     # round-5 TPC-H plan-feature widening (new → must be in-window)
-    "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data",
