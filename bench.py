@@ -122,6 +122,7 @@ BENCH_KEYS = (
     "sample_stratified",
     "pack_sequences",
     "curate_corpus",
+    "curate_fuzzy",
     # round-5 pillar widening: exact n-gram Jaccard + mixture sampling
     # + the real watermark/late-data stream
     "dedup_ngram",

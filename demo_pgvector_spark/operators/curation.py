@@ -593,3 +593,66 @@ def sample_mixture(
         )
         .drop("_n_dom")
     )
+
+
+def curate_corpus_fuzzy(
+    docs: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int = 500,
+    min_tokens: int = 15,
+    pack_budget: int = 256,
+    n: int = DECON_N,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """``curate_corpus`` with NEAR-duplicate pruning: the dedup stage is
+    minhash-LSH pair generation → jaccard screen → connected-component
+    keeper assignment (operators/dedup.py minhash_pairs + dedup_assign),
+    so boilerplate-variant duplicates — not just byte-identical copies —
+    collapse to one representative before screening/sampling/packing.
+    This is the production fuzzy-dedup shape (the Gopher/RefinedWeb
+    recipe): exact dedup alone leaves every near-copy in the corpus.
+
+    The jaccard screen compares the 6dp-ROUNDED score (both engines
+    compute the identical single division, and the oracle's recursive-CTE
+    replay filters the same rounded value, so the 0.8 boundary cannot
+    flake). The CC resolution is iterative (driver-bounded rounds,
+    operators/dedup.py); everything downstream of the keeper set is one
+    composed plan identical to ``curate_corpus``'s tail."""
+    from demo_pgvector_spark.operators import dedup as dedup_ops
+
+    pairs = dedup_ops.minhash_pairs(docs, id_col, text_col).filter(
+        F.round("jaccard", 6) >= jaccard_threshold
+    )
+    assign = dedup_ops.dedup_assign(docs, pairs, id_col=id_col)
+    keepers = assign.filter(F.col("is_keeper")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = docs.join(keepers, id_col, "left_semi")
+    longd = kept.filter(
+        F.expr(f"size(split(lower({text_col}), ' '))") >= min_tokens
+    )
+    split = F.col(id_col) % 41 == 0
+    train = longd.filter(~split)
+    decon = decontaminate(
+        train, docs.filter(split), n=n, id_col=id_col, text_col=text_col
+    )
+    clean = train.join(
+        decon.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+    sampled = sample_stratified(
+        clean,
+        rates_per_mille,
+        default_per_mille=default_per_mille,
+        id_col=id_col,
+        stratum_col=stratum_col,
+    ).drop("ticket")
+    return pack_sequences(
+        sampled,
+        budget=pack_budget,
+        id_col=id_col,
+        text_col=text_col,
+        stratum_col=stratum_col,
+    )

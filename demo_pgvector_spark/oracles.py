@@ -2203,3 +2203,75 @@ FROM costs c JOIN mins m
 ORDER BY c.s_acctbal DESC, c.n_name ASC, c.s_name ASC, c.p_partkey ASC
 LIMIT 100
 """
+
+
+# Fuzzy-dedup curation cascade (registry q_curate_fuzzy,
+# operators/curation.py curate_corpus_fuzzy): the minhash-pair →
+# jaccard ≥ 0.8 screen → recursive-CTE connected components replaces
+# O_CURATE_CORPUS's exact-dedup keeper stage; everything downstream is
+# the identical screen/sample/pack cascade (same literals as
+# O_CURATE_CORPUS: min 15 tokens, doc_id % 41 eval split, ':r4' salt,
+# src0 800 / src1 300 / else 500 per-mille, 256-token packs).
+O_CURATE_FUZZY = f"""
+WITH RECURSIVE pairs AS ({O_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.8
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.8
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+),
+keep AS (
+  SELECT id AS doc_id FROM (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
+  WHERE k = id
+),
+longd AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+  WHERE len(string_split(lower(d.text), ' ')) >= 15
+),
+toks13 AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams13 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 13 THEN []
+              ELSE list_distinct(list_transform(
+                range(len(w) - 12),
+                i -> array_to_string(w[i + 1:i + 13], ' ')
+              )) END AS g
+  FROM toks13
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams13 WHERE doc_id % 41 = 0
+),
+train AS (
+  SELECT * FROM longd WHERE doc_id % 41 <> 0
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT g2.doc_id, unnest(g2.g) AS gram
+        FROM grams13 g2 JOIN train USING (doc_id)) t
+  JOIN eg USING (gram)
+),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8))::UBIGINT
+             AS BIGINT) % 1000
+        < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 500 END
+),
+st AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM sampled
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM st
+"""

@@ -96,6 +96,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STR_SCALARS,
     O_STR_TOKENIZE,
     O_CURATE_CORPUS,
+    O_CURATE_FUZZY,
     O_PACK_SEQUENCES,
     O_SAMPLE_MIXTURE,
     O_SAMPLE_STRATIFIED,
@@ -2848,6 +2849,21 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cascade with NEAR-duplicate pruning: minhash-LSH
+    pairs → jaccard ≥ 0.8 → connected-component keepers replace the
+    exact-dedup stage (operators/curation.py curate_corpus_fuzzy) —
+    the Gopher/RefinedWeb-style fuzzy-dedup training-data job. The
+    oracle composes the full minhash replay, a recursive-CTE CC
+    resolution, and the screen/sample/pack cascade in one statement."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.curate_corpus_fuzzy(
+        docs, SAMPLE_RATES, default_per_mille=SAMPLE_DEFAULT,
+        pack_budget=PACK_BUDGET,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing over the documents corpus: stratum
     prefix-sum → pack assignment (chunk-then-concat contract). One
@@ -2914,15 +2930,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # sampling (the DoReMi-style curation stage).
     "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
     "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
-    # Round-5: the REAL watermark/late-data streaming contract (new —
-    # must be in-window).
+    # Round-5: the REAL watermark/late-data streaming contract + the
+    # fuzzy-dedup curation cascade (new — must be in-window).
     "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
-    "mm_media": (q_mm_media, O_MM_MEDIA),
     "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
@@ -2984,6 +3000,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
+    "mm_media": (q_mm_media, O_MM_MEDIA),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),

@@ -57,7 +57,9 @@ WINDOW_REQUIRED = {
     # (mm_media carries all three modality pipelines since r4)
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_embedding", "dedup_assign", "vec_ann_topk", "vec_ann_join",
-    "vec_ivf_topk", "cluster_kmeans", "chunk_bpe", "mm_media",
+    # (mm_media rotated to the tail late in r5 — multimodal.py
+    # byte-unchanged since its green r4 row — for curate_fuzzy)
+    "vec_ivf_topk", "cluster_kmeans", "chunk_bpe",
     "text_repetition",
     # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
     # their green r4 rows — q_* functions byte-unchanged)
@@ -81,7 +83,7 @@ WINDOW_REQUIRED = {
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
-    "dedup_ngram", "sample_mixture", "stream_late_data",
+    "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
 }
 
 
