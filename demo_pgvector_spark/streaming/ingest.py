@@ -179,3 +179,54 @@ def vacuum_versions(root: str, keep: int = 2) -> list[str]:
     for v in doomed:
         shutil.rmtree(os.path.join(root, v), ignore_errors=True)
     return doomed
+
+
+def read_table_at(
+    spark: SparkSession, root: str, schema_ddl: str, version: str
+) -> DataFrame:
+    """Time-travel read: the table as of a specific committed version
+    (any directory still retained by ``vacuum_versions``). Versions are
+    immutable once the pointer has moved past them, so this is a
+    consistent snapshot — the rollback/debug/reproducibility half of
+    the versioned-table contract (Delta/Iceberg ``VERSION AS OF``)."""
+    if version not in list_versions(root):
+        raise ValueError(
+            f"version {version!r} not present under {root}; "
+            f"have {list_versions(root)}"
+        )
+    return spark.read.parquet(os.path.join(root, version))
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    schema_ddl: str,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[str, int]:
+    """Table maintenance: rewrite the current version into
+    ``ceil(rows / target_rows_per_file)`` files and commit it as a NEW
+    version (content byte-for-byte identical — the oracle-checkable
+    contract). Every micro-batch epoch adds at least one file per
+    partition, so a long-running ingest stream accretes small files
+    until scan planning (footer reads, task scheduling) dominates query
+    time; periodic compaction + ``vacuum_versions`` is the standard
+    Delta/Iceberg OPTIMIZE pairing. Readers are never disturbed: the
+    rewrite lands in a fresh version directory and the pointer swap is
+    atomic.
+
+    Returns (new version name, file count). The repartition is the
+    compaction's intrinsic exchange — at scale, rows-per-file targets
+    row-group/scan-split sizing (SCALE.md lesson 1), and a production
+    variant would partition-align instead of round-robin."""
+    import math
+
+    df = read_table(spark, root, schema_ddl)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    v = commit_table(df.repartition(files), root)
+    n_files = sum(
+        1
+        for f in os.listdir(os.path.join(root, v))
+        if f.endswith(".parquet")
+    )
+    return v, n_files

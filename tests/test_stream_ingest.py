@@ -194,3 +194,35 @@ def test_vacuum_spares_versions_newer_than_pointer(spark, tmp_path):
     deleted = ingest.vacuum_versions(root, keep=1)
     assert deleted == ["v000001"]
     assert ingest.list_versions(root) == ["v000002", "v000003"]
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    """Version N stays readable after later commits (time travel);
+    compaction rewrites the current version into the target file count
+    with IDENTICAL content and commits it as a new version; vacuum then
+    reclaims the fragmented history."""
+    from demo_pgvector_spark.streaming import ingest
+
+    root = str(tmp_path / "tbl")
+    ddl = "id long, k string"
+    v1 = ingest.commit_table(
+        spark.createDataFrame([(1, "a")], ddl).repartition(8), root
+    )
+    v2 = ingest.commit_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], ddl).repartition(8), root
+    )
+    old = ingest.read_table_at(spark, root, ddl, v1)
+    assert [tuple(r) for r in old.collect()] == [(1, "a")]
+    v3, n_files = ingest.compact_table(spark, root, ddl, target_rows_per_file=10)
+    assert n_files == 1
+    assert ingest.current_version(root) == v3
+    now = ingest.read_table(spark, root, ddl)
+    assert sorted(tuple(r) for r in now.collect()) == [(1, "a"), (2, "b")]
+    # history: v1 v2 v3; vacuum to the current + 1 predecessor
+    doomed = ingest.vacuum_versions(root, keep=2)
+    assert doomed == [v1]
+    assert ingest.read_table_at(spark, root, ddl, v2) is not None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ingest.read_table_at(spark, root, ddl, v1)
