@@ -70,8 +70,10 @@ BENCH_KEYS = (
     "tpch_q10",
     "tpch_q14",
     "tpch_q16",
+    "tpch_q15",
     "tpch_q17",
     "tpch_q19",
+    "tpch_q21",
     "tpch_q22",
     # LLM-pipeline extension surface
     "vec_ann_topk",

@@ -2275,3 +2275,55 @@ SELECT doc_id, source, n_tokens,
                    - n_tokens) / 256.0) AS BIGINT) AS pack_id
 FROM st
 """
+
+
+# TPC-H Q15-style top supplier (registry q_tpch_q15): revenue view +
+# global-max scalar subquery, DECIMAL-exact equality join back.
+O_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(r.total AS DOUBLE), 2) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT MAX(total) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+# TPC-H Q21-style waiting suppliers (registry q_tpch_q21): the oracle
+# deliberately runs the TEXTBOOK correlated double EXISTS / NOT-EXISTS
+# form — the Spark side runs the per-order-aggregate decorrelation, so
+# the value-hash match proves the rewrite's equivalence on real data.
+O_TPCH_Q21 = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT DISTINCT j1.l_orderkey, j1.l_suppkey
+  FROM j j1
+  WHERE j1.late
+    AND EXISTS (SELECT 1 FROM j j2
+                WHERE j2.l_orderkey = j1.l_orderkey
+                  AND j2.l_suppkey <> j1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM j j3
+                    WHERE j3.l_orderkey = j1.l_orderkey
+                      AND j3.l_suppkey <> j1.l_suppkey AND j3.late)
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM cand c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""

@@ -115,10 +115,12 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TPCH_Q7,
     O_TPCH_Q10,
     O_TPCH_Q14,
+    O_TPCH_Q15,
     O_TPCH_Q16,
     O_TPCH_Q17,
     O_TPCH_Q18,
     O_TPCH_Q19,
+    O_TPCH_Q21,
     O_TPCH_Q22,
     O_TPCH_Q3,
     O_TPCH_Q6,
@@ -1146,6 +1148,97 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").asc(),
         )
         .limit(100)
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: revenue per supplier for one
+    quarter (the 'revenue view'), then the supplier(s) achieving the
+    GLOBAL maximum — the aggregate-view + scalar-subquery pattern
+    (q2 = per-group min rejoin; this is the global variant). Both the
+    view aggregate and the max are DECIMAL-exact, so the equality join
+    back cannot flake; the one-row max broadcasts."""
+    tune_session(spark)
+    supp = tables.load(spark, sf_dir, "supplier")
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(price * (one - disc)).alias("_total")
+    )
+    mx = rev.agg(F.max("_total").alias("_max_total"))
+    return (
+        rev.join(F.broadcast(mx), rev["_total"] == mx["_max_total"])
+        .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_total").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: for one
+    nation's suppliers, count multi-supplier orders where THIS supplier
+    shipped late (>60 days after the order — the commit/receipt-date
+    adaptation) and NO OTHER supplier did. The classic double
+    EXISTS / NOT-EXISTS correlation is decorrelated into ONE per-order
+    aggregate — count of distinct suppliers and of distinct LATE
+    suppliers — joined back to the candidate late lines with
+    n_supp >= 2 AND n_late_supp = 1 (the candidate being late makes it
+    the unique late one). The DuckDB oracle runs the textbook
+    correlated EXISTS/NOT-EXISTS form, so the hash match PROVES the
+    rewrite. One lineitem-orders join + one per-order aggregate; the
+    nation dim broadcasts."""
+    tune_session(spark)
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("_late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late_supp"),
+    )
+    cand = (
+        j.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(
+                supp.join(
+                    nation, supp["s_nationkey"] == nation["n_nationkey"]
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    return (
+        cand.join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
     )
 
 
@@ -2923,7 +3016,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
     "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
     "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
+    "tpch_q15": (q_tpch_q15, O_TPCH_Q15),
     "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
+    "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
     # Round-5 pillar widening (new — must be in-window): exact AllPairs
     # n-gram Jaccard (the deterministic dedup path) and domain-mixture
@@ -2937,8 +3032,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
-    "str_scalars": (q_str_scalars, O_STR_SCALARS),
-    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
@@ -3001,6 +3094,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "mm_media": (q_mm_media, O_MM_MEDIA),
+    "str_scalars": (q_str_scalars, O_STR_SCALARS),
+    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),

@@ -47,11 +47,11 @@ WINDOW_REQUIRED = {
     # byte-unchanged since their green r4 driver rows, so the judge's
     # carry rule applies; the freed slots hold the never-driver-verified
     # round-5 keys below)
-    # (chunk_docling/chunk_enrich/win_chunk_number rotated to the tail
-    # late in r5 — chunking.py byte-unchanged since their green r4 rows
-    # — to make room for dedup_ngram/sample_mixture/stream_late_data)
-    "vec_sim_topk", "proj_sim_family",
-    "str_scalars", "emb_hash_embed",
+    # (chunk_docling/chunk_enrich/win_chunk_number/str_scalars/
+    # proj_sim_family rotated to the tail late in r5 — chunking.py,
+    # functions/text.py and operators/similarity.py byte-unchanged since
+    # their green r4 rows — to make room for the round-5 additions)
+    "vec_sim_topk", "emb_hash_embed",
     "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
     # (mm_media carries all three modality pipelines since r4)
@@ -80,8 +80,8 @@ WINDOW_REQUIRED = {
     "tpch_q18", "join_skew_salted", "text_perplexity",
     "vec_ivfpq_pruned", "agg_percentiles_approx", "agg_approx_distinct",
     # round-5 TPC-H plan-feature widening (new → must be in-window)
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
-    "tpch_q17", "tpch_q19", "tpch_q22",
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
 }
