@@ -130,6 +130,7 @@ BENCH_KEYS = (
     "dedup_ngram",
     "sample_mixture",
     "stream_late_data",
+    "text_keywords",
 )
 
 

@@ -656,3 +656,52 @@ def curate_corpus_fuzzy(
         text_col=text_col,
         stratum_col=stratum_col,
     )
+
+
+def keyword_tfidf(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf — the classic corpus
+    feature-extraction pass (document tagging, topic seeding, index
+    term selection). (id, term, tf, df, tfidf, rank), rank 1..k per doc.
+
+    tfidf = tf · ln(N / df) with tf/df/N all integers, the division
+    done in double then ln — one identical IEEE sequence on both
+    engines (same determinism contract as the perplexity rows' ln).
+    Ties break by term ASC, so the top-k set is stable.
+
+    Scale shape: token explode → per-(doc, term) count (ONE exchange,
+    partial-combined), doc-frequency aggregate over the tf rows
+    (second exchange — carries TYPES, not tokens), a term-keyed join
+    back (the df table scales with vocabulary — never broadcast), and
+    a per-document rank window whose partitions are bounded by
+    document length. Nothing is |corpus|-keyed except the two
+    partial-combined aggregates."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "_tfidf",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("_tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )

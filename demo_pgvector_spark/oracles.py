@@ -2327,3 +2327,36 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name ASC
 LIMIT 20
 """
+
+
+# Top-k tf-idf keywords per document (registry q_text_keywords,
+# operators/curation.py keyword_tfidf): tf/df/N integers, division in
+# double then ln — the same cross-engine ln determinism contract as the
+# perplexity rows; ties break by term ASC.
+O_TEXT_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf_raw
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf_raw,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(tfidf_raw, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""

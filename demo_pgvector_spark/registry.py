@@ -105,6 +105,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_PERPLEXITY,
     O_TEXT_SCRUB,
     O_TEXT_FINGERPRINT,
+    O_TEXT_KEYWORDS,
     O_TEXT_LANG_ID,
     O_TEXT_QUALITY,
     O_TEXT_REPETITION,
@@ -2235,6 +2236,17 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document (operators/curation.py
+    keyword_tfidf): token explode → partial-combined tf/df aggregates →
+    vocabulary-keyed join (never broadcast — df scales with vocabulary)
+    → per-doc rank window over length-bounded partitions. The ln
+    determinism contract matches the perplexity rows."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.keyword_tfidf(docs, k=5)
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: per-language marker-hit counts and
     the argmax prediction (alphabetical tie-break, 'unknown' on zero)."""
@@ -3029,11 +3041,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # fuzzy-dedup curation cascade (new — must be in-window).
     "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
     "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
+    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
     "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
@@ -3094,6 +3106,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "mm_media": (q_mm_media, O_MM_MEDIA),
+    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),

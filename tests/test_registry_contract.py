@@ -64,8 +64,10 @@ WINDOW_REQUIRED = {
     # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
     # their green r4 rows — q_* functions byte-unchanged)
     "tpch_q1",
-    # r3 tail analytics rotated in per VERDICT r3 (never driver-verified)
-    "win_running_total", "agg_pivot", "agg_percentiles",
+    # r3 tail analytics rotated in per VERDICT r3 (never driver-verified;
+    # win_running_total rotated back out late in r5 under the carry rule
+    # — its q_* function is byte-unchanged since its green r4 row)
+    "agg_pivot", "agg_percentiles",
     # round-4 additions (never driver-verified → must be in-window;
     # src_convert_epub rotated to the tail under the carry rule to make
     # room for text_scrub)
@@ -84,6 +86,7 @@ WINDOW_REQUIRED = {
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
+    "text_keywords",
 }
 
 
