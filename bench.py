@@ -111,6 +111,7 @@ BENCH_KEYS = (
     "set_except",
     "win_rank_topn",
     "win_running_total",
+    "win_range_frame",
     "join_range",
     # round-4 new rows: pair-graph resolution + the streaming write path
     "dedup_assign",

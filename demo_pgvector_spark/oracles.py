@@ -2360,3 +2360,18 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        ROUND(tfidf_raw, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+# Time-RANGE window frame (registry q_win_range_frame): DuckDB's native
+# RANGE INTERVAL frame vs Spark's epoch-seconds rangeBetween — identical
+# peer semantics (RANGE includes all order-date ties); DECIMAL sums.
+O_WIN_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+         AS rev_30d,
+       COUNT(*) OVER w AS n_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""

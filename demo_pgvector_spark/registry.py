@@ -137,6 +137,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_PQ_TOPK,
     O_VEC_SIM_TOPK,
     O_WIN_CHUNK_NUMBER,
+    O_WIN_RANGE_FRAME,
     O_WIN_RANK_TOPN,
     O_WIN_RUNNING_TOTAL,
 )
@@ -1149,6 +1150,36 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").asc(),
         )
         .limit(100)
+    )
+
+
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-30-day order
+    revenue — RANGE BETWEEN (ts − 30d) AND ts, the event-time moving
+    aggregate ROWS frames cannot express (irregular order spacing means
+    a fixed row count is wrong). Spark's rangeBetween needs a numeric
+    ORDER BY, so the frame runs over epoch seconds; DuckDB uses the
+    native RANGE INTERVAL form — identical peer/boundary semantics
+    (RANGE includes all ties), DECIMAL sums so peer order can't flake.
+    One hash exchange on the customer key; frames are bounded by a
+    customer's 30-day order density."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    # NTZ → timestamp → epoch seconds (a fixed offset cancels inside
+    # the 30-day difference frame)
+    sec = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum(price).over(w).cast("double"), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
     )
 
 
@@ -3042,13 +3073,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
     "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
     "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
+    "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
     "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
-    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
@@ -3106,6 +3137,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
     "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
     "mm_media": (q_mm_media, O_MM_MEDIA),
+    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),

@@ -91,3 +91,67 @@ def test_udf_costs_match_driver_encoder(spark):
         pieces = PAT.findall(t)
         assert list(r["tc"]["pieces"]) == pieces
         assert list(r["tc"]["costs"]) == [bpe.n_tokens(p, ranks) for p in pieces]
+
+
+def test_encoder_at_pretrained_vocabulary_scale():
+    """The merge-table slot must behave at REAL tokenizer scale (tens of
+    thousands of ranks), not just the 32-merge corpus table: encoding
+    stays rank-greedy-correct with a large table, lookup cost is
+    rank-dict-bounded (no scan over the table per pair), and a piece
+    touching no merge is a no-op. Builds a ~10k-rank synthetic merge
+    table (valid by construction: each merge joins two previously
+    producible symbols) rather than training one, since training an
+    open vocabulary is the slow path the artifact build intentionally
+    avoids."""
+    import itertools
+    import time
+
+    from demo_pgvector_spark.functions import bpe
+
+    # chain merges over a 26-letter alphabet: a+b, ab+c, abc+d ... plus
+    # pair merges (x+y for many x,y) — every left symbol is producible.
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    merges = []
+    acc = "a"
+    for c in itertools.islice(itertools.cycle(letters), 1, 400):
+        merges.append((acc, c))
+        acc += c
+    # all 676 character pairs, then ~9k (pair, char) extensions — every
+    # left symbol producible by an earlier rank
+    pairs = list(itertools.product(letters, repeat=2))
+    merges.extend(pairs)
+    merges.extend(
+        (x + y, z)
+        for (x, y), z in itertools.islice(
+            itertools.product(pairs, letters), 9000
+        )
+    )
+    # dedupe while preserving first-rank-wins order (real tables are
+    # rank-unique)
+    seen, table = set(), []
+    for m in merges:
+        if m not in seen:
+            seen.add(m)
+            table.append(m)
+    assert len(table) > 9500
+    ranks = bpe.merge_ranks(table)
+
+    # greedy correctness: 'ab' merges at its chain rank before the pair
+    # table's later (x, y) ranks
+    assert bpe.encode("ab", ranks) == ["ab"]
+    assert bpe.encode("abc", ranks) == ["abc"]  # chain rank 2 wins
+    # an all-consonant piece outside every merge stays character-split
+    assert bpe.n_tokens("zzz", ranks) == 2  # ('z','z') IS in the pair table
+    assert bpe.encode("q0q", ranks) == ["q", "0", "q"]  # digits: no merges
+
+    # scale: ten thousand distinct pieces through the big table, fast —
+    # per-piece cost depends on piece length and dict lookups only
+    t0 = time.time()
+    total = sum(
+        bpe.n_tokens(f"{a}{b}{c}x{a}", ranks)
+        for a, b, c in itertools.islice(
+            itertools.product(letters, repeat=3), 10_000
+        )
+    )
+    assert total > 0
+    assert time.time() - t0 < 10.0

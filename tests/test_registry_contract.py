@@ -51,7 +51,9 @@ WINDOW_REQUIRED = {
     # proj_sim_family rotated to the tail late in r5 — chunking.py,
     # functions/text.py and operators/similarity.py byte-unchanged since
     # their green r4 rows — to make room for the round-5 additions)
-    "vec_sim_topk", "emb_hash_embed",
+    # (emb_hash_embed rotated out in the final r5 pass —
+    # functions/embedding.py byte-unchanged since its green r4 row)
+    "vec_sim_topk",
     "stream_ingest",
     # pillars: dedup / similarity-search / multimodal / text analysis
     # (mm_media carries all three modality pipelines since r4)
@@ -86,7 +88,7 @@ WINDOW_REQUIRED = {
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
-    "text_keywords",
+    "text_keywords", "win_range_frame",
 }
 
 
