@@ -676,7 +676,9 @@ def keyword_tfidf(
     Scale shape: token explode → per-(doc, term) count (ONE exchange,
     partial-combined), doc-frequency aggregate over the tf rows
     (second exchange — carries TYPES, not tokens), a term-keyed join
-    back (the df table scales with vocabulary — never broadcast), and
+    back — deliberately UNHINTED: the df table scales with vocabulary,
+    so AQE's size-based choice (broadcast on a small vocabulary,
+    shuffle join at open-vocabulary scale) is the right strategy — and
     a per-document rank window whose partitions are bounded by
     document length. Nothing is |corpus|-keyed except the two
     partial-combined aggregates."""

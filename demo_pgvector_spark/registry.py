@@ -2270,9 +2270,10 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf keywords per document (operators/curation.py
     keyword_tfidf): token explode → partial-combined tf/df aggregates →
-    vocabulary-keyed join (never broadcast — df scales with vocabulary)
-    → per-doc rank window over length-bounded partitions. The ln
-    determinism contract matches the perplexity rows."""
+    vocabulary-keyed join (unhinted — AQE broadcasts a small vocabulary,
+    shuffles an open one) → per-doc rank window over length-bounded
+    partitions. The ln determinism contract matches the perplexity
+    rows."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
     return curation_ops.keyword_tfidf(docs, k=5)
