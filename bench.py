@@ -70,6 +70,8 @@ BENCH_KEYS = (
     "tpch_q10",
     "tpch_q14",
     "tpch_q16",
+    "tpch_q11",
+    "tpch_q13",
     "tpch_q15",
     "tpch_q17",
     "tpch_q19",
@@ -132,6 +134,7 @@ BENCH_KEYS = (
     "sample_mixture",
     "stream_late_data",
     "text_keywords",
+    "seq_funnel",
 )
 
 

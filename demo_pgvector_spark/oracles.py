@@ -2375,3 +2375,61 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
 """
+
+
+# TPC-H Q13-style order-count distribution (registry q_tpch_q13):
+# LEFT OUTER join keeps zero-order customers; two-level aggregate.
+O_TPCH_Q13 = """
+WITH counts AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM counts GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# TPC-H Q11-style important stock (registry q_tpch_q11): HAVING
+# against a scalar subquery — 1.5× the average per-part value,
+# compared in exact DECIMAL/BIGINT via value·2·n_parts > total·3.
+O_TPCH_Q11 = """
+WITH value AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(CAST(v AS DOUBLE), 2) AS value
+FROM value CROSS JOIN (SELECT SUM(v) AS total, COUNT(*) AS n_parts FROM value) t
+WHERE v * 2 * t.n_parts > t.total * 3
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+# Event-sequence funnel (registry q_seq_funnel): first 'view', first
+# 'click' strictly after it, converted iff within 24 hours.
+O_SEQ_FUNNEL = """
+WITH fa AS (
+  SELECT user_id, MIN(ts) AS ts_a FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fb AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_b
+  FROM events e JOIN fa ON e.user_id = fa.user_id
+  WHERE e.event_type = 'click' AND e.ts > fa.ts_a
+  GROUP BY e.user_id
+)
+SELECT fa.user_id,
+       strftime(fa.ts_a, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(fb.ts_b, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+       COALESCE(fb.ts_b <= fa.ts_a + INTERVAL 24 HOUR, FALSE) AS converted
+FROM fa LEFT JOIN fb ON fa.user_id = fb.user_id
+ORDER BY fa.user_id
+"""

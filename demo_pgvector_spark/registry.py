@@ -83,6 +83,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_PROJ_SIM_FAMILY,
     O_PROJ_SIMILARITY,
     O_RAG_PROMPTS,
+    O_SEQ_FUNNEL,
     O_SET_EXCEPT,
     O_SET_INTERSECT,
     O_SINK_STDOUT,
@@ -115,6 +116,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TPCH_Q5,
     O_TPCH_Q7,
     O_TPCH_Q10,
+    O_TPCH_Q11,
+    O_TPCH_Q13,
     O_TPCH_Q14,
     O_TPCH_Q15,
     O_TPCH_Q16,
@@ -1150,6 +1153,116 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").asc(),
         )
         .limit(100)
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    join (customers with ZERO qualifying orders must appear with
+    c_count = 0) with the order screen INSIDE the join's right side,
+    then a second-level aggregate — the distribution of distributions.
+    Both aggregates partial-combine; the first one's grouping rides the
+    join's custkey partitioning."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    counts = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part value of one nation's
+    suppliers, kept only where the part's value exceeds a FRACTION of
+    the nation's total — HAVING against a scalar subquery. The cut is
+    1.5× the average per-part value, with the part COUNT carried in
+    the same one-row scalar aggregate (the observed part universe
+    grows with SF, so a fixed fraction of total would empty the row at
+    scale); the comparison multiplies through to exact
+    DECIMAL/BIGINT — value·2·n_parts > total·3 — so it cannot flake.
+    The one-row total broadcasts; the per-part aggregate
+    partial-combines (no partsupp in the testdata — observed lineitem
+    value per (part, nation-supplier) stands in)."""
+    tune_session(spark)
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    n5 = F.broadcast(
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).select(
+            "s_suppkey"
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    value = (
+        li.join(n5, li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(price).alias("_value"))
+    )
+    total = value.agg(
+        F.sum("_value").alias("_total"),
+        F.count(F.lit(1)).alias("_n_parts"),
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value") * F.lit(2) * F.col("_n_parts")
+            > F.col("_total") * F.lit(3)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("_value").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q_seq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel over the events stream table: per user,
+    the first 'view' and the first 'click' AFTER it; converted iff the
+    click lands within 24 hours. The ordered-event pattern without a
+    per-user sort window: two partial-combined MIN aggregates and one
+    user-keyed join — the decorrelated form of \"first B after first
+    A\" that scales to billions of events (state per user, not per
+    event). Timestamps are formatted and the conversion flag is
+    null-safe, so users who never click still appear."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    fa = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_ts_a"))
+    )
+    fb = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fa, "user_id")
+        .filter(F.col("ts") > F.col("_ts_a"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_ts_b"))
+    )
+    return (
+        fa.join(fb, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("_ts_a", _TS_FMT).alias("first_view"),
+            F.date_format("_ts_b", _TS_FMT).alias("first_click_after"),
+            F.coalesce(
+                F.col("_ts_b")
+                <= F.col("_ts_a") + F.expr("INTERVAL 24 HOURS"),
+                F.lit(False),
+            ).alias("converted"),
+        )
+        .orderBy("user_id")
     )
 
 
@@ -3075,11 +3188,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
     "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
     "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
+    "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
+    "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
+    "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
-    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
     "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
@@ -3090,7 +3204,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
@@ -3140,6 +3253,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm_media": (q_mm_media, O_MM_MEDIA),
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
+    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),

@@ -62,21 +62,20 @@ WINDOW_REQUIRED = {
     # (mm_media rotated to the tail late in r5 — multimodal.py
     # byte-unchanged since its green r4 row — for curate_fuzzy)
     "vec_ivf_topk", "cluster_kmeans", "chunk_bpe",
-    "text_repetition",
     # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
     # their green r4 rows — q_* functions byte-unchanged)
     "tpch_q1",
     # r3 tail analytics rotated in per VERDICT r3 (never driver-verified;
-    # win_running_total rotated back out late in r5 under the carry rule
-    # — its q_* function is byte-unchanged since its green r4 row)
-    "agg_pivot", "agg_percentiles",
+    # win_running_total/agg_pivot — and text_repetition/tpch_q5 — rotated
+    # back out late in r5 under the carry rule: their q_* functions and
+    # modules are byte-unchanged since their green r4 rows)
+    "agg_percentiles",
     # round-4 additions (never driver-verified → must be in-window;
     # src_convert_epub rotated to the tail under the carry rule to make
     # room for text_scrub)
     "text_decontaminate", "text_scrub", "text_bm25_topk",
     "sample_stratified", "pack_sequences", "curate_corpus",
     "vec_ivf_pruned", "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
-    "tpch_q5",
     # round-5 additions/rotations (VERDICT r4 #2/#3/#4/#5/#7/#8): the
     # three never-driver-verified r4 tail keys rotate in; the pruned
     # IVFADC path, the band-gated sketch rows, trained-codebook PQ and
@@ -88,7 +87,8 @@ WINDOW_REQUIRED = {
     "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
-    "text_keywords", "win_range_frame",
+    "text_keywords", "win_range_frame", "tpch_q11", "tpch_q13",
+    "seq_funnel",
 }
 
 
