@@ -61,6 +61,10 @@ DEFAULT_KEYS = (
     "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q22", "sample_mixture",
     "stream_late_data",
+    # final round-5 pass (curate_fuzzy excluded like curate_corpus:
+    # replica dedup shrinks its output, measuring shrinkage not scaling)
+    "tpch_q2", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q21",
+    "text_keywords", "win_range_frame", "seq_funnel",
 )
 
 
