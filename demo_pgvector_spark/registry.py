@@ -2665,8 +2665,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams, τ=0.3 — the deterministic counterpart to the LSH row. The
     oracle is the BRUTE-FORCE shared-gram pair enumeration + exact
     Jaccard, so it also PROVES the prefix filter dropped no pair (at
-    sf0.01 the naive join sees ~11.5k candidate pairs; the prefix join
-    prunes to a few dozen before verification)."""
+    sf0.01 the naive join sees ~11.5k candidate pairs; the
+    prefix+PPJoin filters cut that to 780 before verification, 25
+    true)."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
     return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3, k=3)
