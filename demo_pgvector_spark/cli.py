@@ -247,3 +247,29 @@ def mix(
     )
     out.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def maintain(
+    spark: SparkSession,
+    warehouse: str,
+    target_rows_per_file: int = 1_000_000,
+    keep_versions: int = 2,
+) -> dict[str, tuple[str, int, list[str]]]:
+    """Engine extension verb (no reference counterpart; Postgres
+    VACUUM/CLUSTER's analog for the parquet warehouse): compact every
+    engine table to the target file size and garbage-collect version
+    history beyond ``keep_versions``. Returns per-table
+    (new version, file count, deleted versions). Safe while readers
+    run — compaction commits a fresh version atomically and vacuum
+    only removes versions strictly older than the retained window."""
+    out: dict[str, tuple[str, int, list[str]]] = {}
+    for name, schema in _TABLE_SCHEMAS.items():
+        root = os.path.join(warehouse, name)
+        if ingest.current_version(root) is None:
+            continue
+        v, n_files = ingest.compact_table(
+            spark, root, schema, target_rows_per_file=target_rows_per_file
+        )
+        doomed = ingest.vacuum_versions(root, keep=keep_versions)
+        out[name] = (v, n_files, doomed)
+    return out

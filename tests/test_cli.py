@@ -171,3 +171,30 @@ def test_mix_verb_rebalances_domains(spark, tmp_path):
     out2 = str(tmp_path / "mixed2")
     again = cli.mix(spark, src, out2, weights={"en": 1, "de": 1}, target_total=80)
     assert sorted(r.doc_id for r in again.collect()) == first_ids
+
+
+def test_maintain_verb_compacts_and_vacuums(spark, tmp_path):
+    """After two imports the warehouse holds multiple versions per
+    table; maintain compacts each to one file and prunes history,
+    leaving query results unchanged."""
+    from demo_pgvector_spark import cli
+    from demo_pgvector_spark.streaming import ingest
+
+    books = sorted(glob.glob(f"{EXAMPLES}/*.epub"))
+    wh = str(tmp_path / "wh")
+    cli.import_doc(spark, wh, books[:1])
+    cli.import_doc(spark, wh, books[1:2])
+    before = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cli.load_state(spark, wh).items()
+    }
+    report = cli.maintain(spark, wh, target_rows_per_file=100_000)
+    assert set(report) == set(before)
+    for name, (v, n_files, _doomed) in report.items():
+        assert n_files == 1
+        assert ingest.current_version(f"{wh}/{name}") == v
+    after = {
+        n: sorted(tuple(r) for r in df.collect())
+        for n, df in cli.load_state(spark, wh).items()
+    }
+    assert after == before
