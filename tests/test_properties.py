@@ -310,3 +310,58 @@ def test_scrub_text_matches_python_re_reference(spark):
         assert r["n_ips"] == len(_re.findall(PII_IPV4, text))
         assert r["n_phones"] == len(_re.findall(PII_PHONE, text))
         assert (r["n_lines_kept"], r["n_lines_total"]) == (len(kept), len(lines))
+
+
+def test_ngram_jaccard_completeness_on_random_corpora(spark):
+    """The AllPairs+PPJoin filter chain must return EXACTLY the
+    brute-force pair set on randomized corpora — the completeness
+    theorem exercised beyond the fixed testdata: random word soups with
+    deliberately shared boilerplate spans, several thresholds and gram
+    sizes, all checked against a pure-Python all-pairs reference in one
+    Spark job per config."""
+    import itertools
+    import random
+
+    from demo_pgvector_spark.operators import dedup
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "the quick shared header of every generated document"
+
+    def make_doc(i):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(6, 30))]
+        if i % 3 == 0:
+            words = boiler.split() + words  # shared boilerplate run
+        if i % 7 == 0 and i > 0:
+            return i, None  # near-dup of doc i-1 handled below
+        return i, " ".join(words)
+
+    docs = []
+    for i in range(60):
+        j, text = make_doc(i)
+        if text is None:
+            prev = docs[i - 1][1].split()
+            k = rng.randrange(len(prev))
+            prev = prev[:k] + ["altered"] + prev[k + 1:]
+            text = " ".join(prev)
+        docs.append((j, text))
+
+    def grams_of(text, k):
+        toks = text.lower().split(" ")
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tau, k in [(0.2, 3), (0.5, 3), (0.3, 2), (0.7, 4)]:
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, threshold=tau, k=k).collect()
+        }
+        gsets = {i: grams_of(t, k) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(range(60), 2):
+            j = round(len(gsets[a] & gsets[b]) / len(gsets[a] | gsets[b]), 6)
+            if j >= tau:
+                want[(a, b)] = j
+        assert got == want, (tau, k)
