@@ -133,6 +133,7 @@ BENCH_KEYS = (
     "dedup_ngram",
     "sample_mixture",
     "stream_late_data",
+    "stream_late_update",
     "text_keywords",
     "seq_funnel",
 )

@@ -2433,3 +2433,49 @@ SELECT fa.user_id,
 FROM fa LEFT JOIN fb ON fa.user_id = fb.user_id
 ORDER BY fa.user_id
 """
+
+
+# UPDATE-mode watermarked windows (registry q_stream_late_update,
+# streaming/late.py run_late_data_stream_update): per batch, every
+# (window, type) group with ≥1 filter-surviving row emits its
+# CUMULATIVE count/sum through that batch — the changelog multiset.
+# Same empirically-pinned filter cascade as O_STREAM_LATE_DATA
+# (filter watermark = ms-truncated max event time through batch n−2,
+# minus 2 days; drop iff window_end <= wm); eviction drops state
+# silently and emits nothing, and a no-data trailing batch emits
+# nothing.
+O_STREAM_LATE_UPDATE = """
+WITH ev AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_id % 2 = 0 THEN 0
+              WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+              ELSE 2 END AS b
+  FROM events
+),
+batch_max AS (SELECT b, MAX(ts) AS mx FROM ev GROUP BY b),
+fw AS (
+  SELECT e.b,
+         date_trunc('milliseconds', MAX(m.mx)) - INTERVAL 2 DAY AS filter_wm
+  FROM (SELECT DISTINCT b FROM ev) e
+  LEFT JOIN batch_max m ON m.b <= e.b - 2
+  GROUP BY e.b
+),
+kept AS (
+  SELECT ev.event_id, ev.event_type, ev.b,
+         date_trunc('day', ev.ts) AS wstart
+  FROM ev JOIN fw USING (b)
+  WHERE fw.filter_wm IS NULL
+     OR date_trunc('day', ev.ts) + INTERVAL 1 DAY > fw.filter_wm
+),
+per_batch AS (
+  SELECT wstart, event_type, b,
+         COUNT(*) AS nb, SUM(event_id) AS sb
+  FROM kept GROUP BY wstart, event_type, b
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       CAST(SUM(nb) OVER (PARTITION BY wstart, event_type ORDER BY b) AS BIGINT)
+         AS n,
+       CAST(SUM(sb) OVER (PARTITION BY wstart, event_type ORDER BY b) AS BIGINT)
+         AS sum_ids
+FROM per_batch
+"""

@@ -92,6 +92,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_DEDUP,
     O_STREAM_INGEST,
     O_STREAM_LATE_DATA,
+    O_STREAM_LATE_UPDATE,
     O_STREAM_SESSION_WINDOWS,
     O_STREAM_WINDOWS,
     O_STR_SCALARS,
@@ -2324,6 +2325,50 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode watermarked windows (streaming/late.py
+    run_late_data_stream_update): the changelog contract. Three staged
+    batches — all EVEN ids, then the EARLY odd ids (their windows get a
+    SECOND emission with the cumulative count), then the LATE odd ids
+    (mostly dropped: the first batch carried the whole month, so the
+    watermark already passed their windows). The result is the full
+    multiset of per-batch deltas — each (window, type) appears once per
+    batch that touched it, with the then-running count — which the
+    oracle replays from the same filter cascade as the append row.
+    BIGINT aggregates only."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="spark_graft_lateu_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    batches = [
+        "event_id % 2 = 0",
+        "event_id % 2 = 1 AND ts < TIMESTAMP '2024-01-15'",
+        "event_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-15'",
+    ]
+    for b, cond in enumerate(batches):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        duckdb.sql(
+            f"COPY (SELECT event_id, ts, event_type"
+            f" FROM '{sf_dir}/events.parquet'"
+            f" WHERE {cond} ORDER BY event_id)"
+            f" TO '{path}' (FORMAT parquet)"
+        )
+        os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
+    result = stream_late_ops.run_late_data_stream_update(
+        spark,
+        landing,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        schema_ddl="event_id long, ts timestamp, event_type string",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-gated late-data handling under the correctness gate
     (streaming/late.py): events staged as FOUR mtime-ordered batch
@@ -3192,11 +3237,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
     "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
     "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
+    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
     # -- block 1b: r4-green rows re-verified every round ----------------
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
-    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
     "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
     "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
@@ -3268,6 +3313,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
+    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "emb_generate": (q_emb_generate, O_EMB_GENERATE),

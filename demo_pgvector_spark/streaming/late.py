@@ -103,3 +103,59 @@ def run_late_data_stream(
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
     return result
+
+
+def run_late_data_stream_update(
+    spark: SparkSession,
+    landing: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    delay: str = "2 days",
+    window: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The UPDATE-mode counterpart to ``run_late_data_stream``: every
+    micro-batch emits the CURRENT running aggregate of each (window,
+    key) group that received surviving rows in that batch — the
+    changelog a downstream upsert sink (the versioned warehouse's
+    ``foreachBatch`` upsert, or a KV store) consumes. The memory sink
+    accumulates all deltas, so one (window, key) appears once per batch
+    that touched it, each time with the then-cumulative count — a
+    deterministic MULTISET under file-ordered triggers, which is what
+    the oracle replays (same late-drop filter cascade as append mode;
+    eviction past the watermark drops state silently, emitting
+    nothing)."""
+    name = f"late_update_sink_{os.getpid()}_{next(_QUERY_ID)}"
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(id_col).alias("sum_ids"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(key_col),
+        "n",
+        "sum_ids",
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result

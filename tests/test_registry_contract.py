@@ -59,9 +59,10 @@ WINDOW_REQUIRED = {
     # (mm_media carries all three modality pipelines since r4)
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_embedding", "dedup_assign", "vec_ann_topk", "vec_ann_join",
-    # (mm_media rotated to the tail late in r5 — multimodal.py
-    # byte-unchanged since its green r4 row — for curate_fuzzy)
-    "vec_ivf_topk", "cluster_kmeans", "chunk_bpe",
+    # (mm_media — and, in the final pass, cluster_kmeans — rotated to
+    # the tail late in r5: multimodal.py and ivf.py byte-unchanged
+    # since their green r4 rows — for curate_fuzzy/stream_late_update)
+    "vec_ivf_topk", "chunk_bpe",
     # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
     # their green r4 rows — q_* functions byte-unchanged)
     "tpch_q1",
@@ -88,7 +89,7 @@ WINDOW_REQUIRED = {
     # round-5 pillar widening (new → must be in-window)
     "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
     "text_keywords", "win_range_frame", "tpch_q11", "tpch_q13",
-    "seq_funnel",
+    "seq_funnel", "stream_late_update",
 }
 
 
