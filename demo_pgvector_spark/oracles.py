@@ -1703,7 +1703,7 @@ WITH dim AS (
   SELECT event_type, MIN(event_id) AS type_min_id FROM events GROUP BY event_type
 )
 SELECT e.event_type, d.type_min_id,
-       COUNT(*) AS n_events, SUM(e.event_id) AS sum_ids
+       COUNT(*) AS n_events, CAST(SUM(e.event_id) AS BIGINT) AS sum_ids
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type, d.type_min_id
 ORDER BY e.event_type

@@ -22,9 +22,60 @@ from decimal import Decimal
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 from demo_pgvector_spark import registry, tables  # noqa: E402
 from demo_pgvector_spark.session import get_session  # noqa: E402
+
+
+def _arrow_kind(t) -> str:
+    """Collapse an Arrow type to the kind class the driver's value hash
+    distinguishes. Decimal is deliberately NOT folded into int/float:
+    DuckDB surfaces HUGEINT (uncast integer SUM) as decimal128, which
+    hash-mismatches a Spark BIGINT even when every value is equal — the
+    exact failure class that shipped red in round 5 (join_skew_salted)."""
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "boolean": "bool",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp", "date": "date",
+    "string": "str", "binary": "binary", "void": "null",
+}
+
+
+def _spark_kind(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array<"):
+        return f"list<{_spark_kind(dt[6:-1])}>"
+    if dt.startswith("struct<") or dt.startswith("map<"):
+        return "struct"
+    return _SPARK_KIND.get(dt, dt)
 
 
 def _norm_val(v):
@@ -64,15 +115,26 @@ def compare_key(spark, con, key: str, sf_dir: str, verbose: bool = True):
         return len(s_rows) >= 0
 
     t0 = time.time()
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = tbl.column_names
+    d_kinds = {n: _arrow_kind(f.type) for n, f in zip(d_cols, tbl.schema)}
+    d_rows = [tuple(r.values()) for r in tbl.to_pylist()]
     t_duck = time.time() - t0
 
     ok = True
     if sorted(s_cols) != sorted(d_cols):
         print(f"  {key}: COLUMN MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}")
         ok = False
+    else:
+        s_kinds = {n: _spark_kind(dt) for n, dt in sdf.dtypes}
+        kind_diffs = {
+            n: (s_kinds[n], d_kinds[n]) for n in s_kinds if s_kinds[n] != d_kinds[n]
+        }
+        if kind_diffs:
+            # Type-strict gate: value equality after coercion is NOT enough —
+            # the driver hashes typed values, so a kind mismatch ships red.
+            print(f"  {key}: TYPE MISMATCH (spark, duck) per column: {kind_diffs}")
+            ok = False
     if len(s_rows) != len(d_rows):
         print(f"  {key}: ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}")
         ok = False
