@@ -2071,6 +2071,108 @@ FROM wealthy GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# Round-6 TPC-H completions (VERDICT r5 #4): q8 two-level market-share
+# ratio, q9 LIKE-filtered profit, q12 CASE-counted derived ship modes,
+# q20 nested IN + correlated scalar aggregate. Same schema adaptations
+# as the rest of the set (no partsupp / l_shipmode / l_*date triplet);
+# every integer CASE sum is CAST AS BIGINT (the r5 HUGEINT lesson) and
+# every money/quantity sum runs in DECIMAL before one double cast.
+
+O_TPCH_Q8 = """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+vols AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         n.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND o.o_custkey IN (SELECT c_custkey FROM asia_cust)
+),
+agg AS (
+  SELECT o_year,
+         SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_vol,
+         SUM(vol) AS total_vol
+  FROM vols GROUP BY o_year
+)
+SELECT o_year,
+       ROUND(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6)
+         AS mkt_share,
+       ROUND(CAST(nation_vol AS DOUBLE), 2) AS nation_volume,
+       ROUND(CAST(total_vol AS DOUBLE), 2) AS total_volume
+FROM agg ORDER BY o_year
+"""
+
+
+O_TPCH_Q9 = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+         - CAST(p.p_retailprice AS DECIMAL(18,2))
+           * CAST(0.10 AS DECIMAL(18,2))
+           * CAST(l.l_quantity AS DECIMAL(18,2))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+O_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+            THEN 'FAST' ELSE 'SLOW' END AS ship_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY ship_mode ORDER BY ship_mode
+"""
+
+
+O_TPCH_Q20 = """
+SELECT s_name, s_acctbal FROM supplier
+WHERE s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+         > CAST(0.5 AS DECIMAL(18,2)) * (
+      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+)
+ORDER BY s_name
+"""
+
+
 # EXACT n-gram-Jaccard pairs (registry q_dedup_ngram, operators/dedup.py
 # ngram_jaccard_pairs): deliberately NOT a replay of the prefix-filter
 # algorithm — this is the brute-force shared-gram pair enumeration with

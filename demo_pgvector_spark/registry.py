@@ -116,6 +116,10 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TPCH_Q4,
     O_TPCH_Q5,
     O_TPCH_Q7,
+    O_TPCH_Q8,
+    O_TPCH_Q9,
+    O_TPCH_Q12,
+    O_TPCH_Q20,
     O_TPCH_Q10,
     O_TPCH_Q11,
     O_TPCH_Q13,
@@ -1430,6 +1434,189 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: within the ASIA region's
+    customer market for STANDARD parts over two order years, what share
+    of revenue does NATION_7's suppliers take per year — the TWO-LEVEL
+    ratio aggregate (a conditional sum divided by the full sum of the
+    SAME grouped aggregation, not a join of two aggregates). The
+    region→nation lookup chain collapses to a broadcast semi-filter on
+    the customer side before the fact join; part's type filter
+    broadcasts; both sums run in DECIMAL so the final double division
+    is the only inexact step and is bit-identical across engines."""
+    tune_session(spark)
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = tables.load(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = price * (one - disc)
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"], "left_semi")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)
+        ).alias("_nation_vol"),
+        F.sum(vol).alias("_total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_nation_vol").cast("double") / F.col("_total_vol").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.col("_nation_vol").cast("double"), 2).alias("nation_volume"),
+        F.round(F.col("_total_vol").cast("double"), 2).alias("total_volume"),
+    ).orderBy("o_year")
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: per supplier nation per order
+    year, profit on parts whose name matches a LIKE pattern. The
+    testdata has no partsupp, so standing cost is 10% of p_retailprice
+    per unit (the ps_supplycost stand-in); profit =
+    rev − retail·0.10·qty, all DECIMAL. The '%bolt%' LIKE cannot be
+    pushed as a range, so it gates the broadcast dim BEFORE the fact
+    join — the join-order property Q9 exists to pin (the 5-table chain
+    starts from the filtered part, never fact×fact first;
+    tests/test_plans.py pins part as a broadcast build side)."""
+    tune_session(spark)
+    part = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    supp = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    retail = F.col("p_retailprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rate = F.lit("0.10").cast("decimal(18,2)")
+    profit = price * (one - disc) - retail * rate * qty
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-mode priority counts: per derived ship
+    mode (FAST = shipped ≤30 days after order, else SLOW — the testdata
+    has no l_shipmode/l_commitdate/l_receiptdate), how many lineitems
+    belong to critical- vs non-critical-priority orders, as CASE-counted
+    conditional sums in one grouped aggregation over the li ⨝ orders
+    join (no pivot, no second scan). Counts stay in BIGINT end to end —
+    the oracle casts its CASE sums, the r5 HUGEINT lesson."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    mode = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+    ).otherwise("SLOW")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style part-promotion supplier screen: suppliers who
+    shipped MORE THAN HALF of a 'small%'-named part's total 1996 volume
+    (the ps_availqty > 0.5·SUM(l_quantity) stand-in — no partsupp in
+    the testdata, so the dominance test runs against the observed
+    volume). Expressed as SQL with the NESTED IN + CORRELATED scalar
+    aggregate exactly as the reference user would write it — the point
+    is Catalyst's decorrelation: the correlated SUM becomes a grouped
+    aggregate joined back on l_partkey, the INs become left-semi joins,
+    and NO per-row subquery survives in the physical plan
+    (tests/test_plans.py pins zero InSubquery/ScalarSubquery nodes).
+    Quantities compare in DECIMAL so the 0.5·total boundary is exact."""
+    tune_session(spark)
+    tables.load(spark, sf_dir, "supplier").createOrReplaceTempView("_q20_supp")
+    tables.load(spark, sf_dir, "part").createOrReplaceTempView("_q20_part")
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20_li")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal FROM _q20_supp
+        WHERE s_suppkey IN (
+          SELECT l.l_suppkey FROM _q20_li l
+          WHERE l.l_partkey IN (
+                  SELECT p_partkey FROM _q20_part WHERE p_name LIKE 'small%'
+                )
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                 > CAST(0.5 AS DECIMAL(18,2)) * (
+              SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+              FROM _q20_li l2
+              WHERE l2.l_partkey = l.l_partkey
+                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+            )
+        )
+        ORDER BY s_name
+        """
     )
 
 
@@ -3239,6 +3426,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
     "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
+    # Round-6 TPC-H completions (VERDICT r5 #4 — new, must be in-window):
+    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
+    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
+    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
     # Round-5 TPC-H plan-feature widening (new — must be in-window):
     "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, O_TPCH_Q4),

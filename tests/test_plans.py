@@ -358,3 +358,29 @@ def test_tpch_q2_min_rejoin_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Window" not in plan
     assert "= ASIA" in plan.replace("ASIA)", "ASIA) ")
+
+
+def test_tpch_q9_dims_broadcast_before_fact(spark):
+    """Q9's join-order property: the LIKE-filtered part dim and the
+    supplier/nation chain must all be BROADCAST build sides against the
+    single lineitem scan — never a fact-side shuffle for a dimension,
+    never fact×fact first. Only the grouped aggregate and the output
+    sort may exchange."""
+    plan = _plan(spark, "tpch_q9")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 2  # (nation, year) agg + output sort
+
+
+def test_tpch_q20_decorrelates_fully(spark):
+    """Q20 is written as SQL with a nested IN and a CORRELATED scalar
+    aggregate; Catalyst must decorrelate both — the correlated SUM
+    becomes a grouped aggregate joined back on l_partkey and the INs
+    become semi joins. NO per-row subquery may survive physical
+    planning."""
+    plan = _plan(spark, "tpch_q20")
+    assert "Subquery" not in plan and "InSubquery" not in plan
+    assert "LeftSemi" in plan
+    # the dominance test joins the per-(supp,part) sums to the per-part
+    # totals as an aggregate-vs-aggregate join, not a re-scan per row
+    assert plan.count("HashAggregate") >= 4
