@@ -76,6 +76,81 @@ def train_bpe(
     return merges
 
 
+def train_bpe_fast(
+    word_freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """``train_bpe`` with incremental pair-count maintenance — identical
+    output (same merges in the same order; pytest-pinned equivalence),
+    but each step touches only the words that CONTAIN the merged pair
+    instead of rescanning the whole vocabulary. This is the standard
+    efficient formulation (Sennrich et al. 2016 release notes); it makes
+    pretrained-scale tables (10k+ merges, tools/train_bpe_pretrained.py)
+    tractable where the didactic loop is O(merges × vocabulary)."""
+    words: dict[int, list] = {}  # wid -> [symbols, freq]
+    merged_keys: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        if not w:
+            continue
+        key = tuple(w)
+        wid = merged_keys.get(key)
+        if wid is None:
+            wid = len(words)
+            merged_keys[key] = wid
+            words[wid] = [list(key), 0]
+        words[wid][1] += f
+
+    pair_counts: Counter[tuple[str, str]] = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, (sym, freq) in words.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_counts[p] += freq
+            pair_words.setdefault(p, set()).add(wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for wid in list(pair_words.get(best, ())):
+            sym, freq = words[wid]
+            # retract this word's current pair contributions
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] -= freq
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wid)
+                    if not ws:
+                        del pair_words[p]
+            # rewrite with the merge applied (leftmost-first, as train_bpe)
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[wid][0] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += freq
+                pair_words.setdefault(p, set()).add(wid)
+    return merges
+
+
 def merge_ranks(merges: Iterable[tuple[str, str]]) -> dict[tuple[str, str], int]:
     """Pair → priority (lower = earlier-learned = applied first)."""
     return {pair: rank for rank, pair in enumerate(merges)}

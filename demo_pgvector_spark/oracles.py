@@ -878,8 +878,12 @@ FROM c
 # materializes token counts under golden/bpe_merges.txt — DuckDB cannot
 # run the BPE merge loop itself). The golden covers every distinct piece
 # of the sf0.001/0.01/0.1 corpora, so the inner join is total at every
-# driver SF.
-O_CHUNK_BPE = rf"""
+# driver SF. The pretrained variant differs ONLY in its cost table
+# (golden/bpe_pretrained_piece_costs.parquet — 10k merges trained on an
+# open synthetic corpus by tools/train_bpe_pretrained.py, the
+# HF-pretrained-tokenizer contract of reference src/lib/documents.py).
+def _o_chunk_bpe(cost_parquet: str) -> str:
+    return rf"""
 WITH p AS (
   SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS ps FROM documents
 ),
@@ -892,7 +896,7 @@ e0 AS (
 ),
 e AS (
   SELECT e0.doc_id, e0.pos, e0.piece, g.cost
-  FROM e0 JOIN read_parquet('/root/repo/golden/bpe_piece_costs.parquet') g
+  FROM e0 JOIN read_parquet('/root/repo/golden/{cost_parquet}') g
     ON e0.piece = g.piece
 ),
 c AS (
@@ -909,6 +913,10 @@ SELECT doc_id,
 FROM c
 GROUP BY doc_id, CAST(FLOOR((cum - cost) / {_BPE_CHUNK_TOKENS}.0) AS INT)
 """
+
+
+O_CHUNK_BPE = _o_chunk_bpe("bpe_piece_costs.parquet")
+O_CHUNK_BPE_PRETRAINED = _o_chunk_bpe("bpe_pretrained_piece_costs.parquet")
 
 
 O_VEC_IVF_TOPK = f"""

@@ -155,3 +155,53 @@ def test_encoder_at_pretrained_vocabulary_scale():
     )
     assert total > 0
     assert time.time() - t0 < 10.0
+
+
+def test_fast_trainer_matches_didactic_trainer():
+    """train_bpe_fast (incremental pair counts — the pretrained-scale
+    path) must produce the IDENTICAL merge list as the didactic
+    rescan-everything trainer, including lexicographic tie-breaks and
+    the hapax stop rule."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        words: dict[str, int] = {}
+        for _ in range(250):
+            w = "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 9)))
+            words[w] = words.get(w, 0) + rng.randint(1, 25)
+        assert bpe.train_bpe_fast(dict(words), 60) == bpe.train_bpe(
+            dict(words), 60
+        ), seed
+
+
+PRETRAINED_MERGES_PATH = os.path.join(
+    REPO, "golden", "bpe_pretrained_merges.txt"
+)
+PRETRAINED_COSTS_PATH = os.path.join(
+    REPO, "golden", "bpe_pretrained_piece_costs.parquet"
+)
+
+
+def test_pretrained_artifacts_are_consistent_and_at_scale():
+    """The committed pretrained table must be ≥10k ranks, every rank's
+    left/right symbol producible (chars or an earlier merge's output),
+    and the golden cost parquet must equal n_tokens under the table for
+    every corpus piece — with a non-collapsed cost spread (the
+    applied-to-unseen-corpus property the 32-merge row can't show)."""
+    merges = bpe.load_merges(PRETRAINED_MERGES_PATH)
+    assert len(merges) >= 10_000
+    producible = set()
+    for a, b in merges:
+        assert len(a) == 1 or a in producible, a
+        assert len(b) == 1 or b in producible, b
+        producible.add(a + b)
+    ranks = bpe.merge_ranks(merges)
+    rows = duckdb.sql(
+        f"SELECT piece, cost FROM '{PRETRAINED_COSTS_PATH}'"
+    ).fetchall()
+    assert rows
+    for piece, cost in rows:
+        assert bpe.n_tokens(piece, ranks) == cost, piece
+    spread = {c for _, c in rows}
+    assert len(spread) >= 3  # costs 1..4 observed — not memorized flat
