@@ -692,8 +692,13 @@ def keyword_tfidf(
         "_tfidf",
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
     )
+    # Rank on the 6dp-ROUNDED score — the same value that's emitted.
+    # JVM Math.log and libm log can differ by ULPs, so ranking on the
+    # raw double could rank-flip near-equal terms across engines before
+    # the term tiebreak applies (ADVICE r5); rounding first makes the
+    # ranking key cross-engine-stable.
     w = Window.partitionBy(id_col).orderBy(
-        F.col("_tfidf").desc(), F.col("term").asc()
+        F.round(F.col("_tfidf"), 6).desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -437,13 +437,17 @@ def ngram_jaccard_pairs(
         F.expr("transform(array_sort(collect_list(struct(df, g))), s -> s.g)")
         .alias("_ordered")
     )
-    # L = n − ⌈τ·n⌉ + 1 (⌈x⌉ via -floor(-x); τ·n exact in double)
+    # L = n − ⌈τ·n⌉ + 1 (⌈x⌉ via -floor(-x)). The 1e-9 epsilon matches
+    # the under-prune-only convention of the two PPJoin bounds below: if
+    # τ·n lands ULP-above an integer boundary in double, floor(-x+ε) can
+    # only LENGTHEN the prefix — a short prefix could drop a true pair
+    # (completeness break, ADVICE r5), a long one just costs a candidate.
     prefix = per_doc.select(
         F.col(id_col),
         F.size("_ordered").alias("n"),
         F.expr(
             f"slice(_ordered, 1, size(_ordered)"
-            f" + cast(floor(-{threshold} * size(_ordered)) as int) + 1)"
+            f" + cast(floor(-{threshold} * size(_ordered) + 1e-9) as int) + 1)"
         ).alias("_prefix"),
     )
     # PPJoin's two extra LOSSLESS filters ride the join condition, both

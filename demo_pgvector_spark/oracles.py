@@ -2463,7 +2463,7 @@ scored AS (
 ranked AS (
   SELECT doc_id, term, tf, df, tfidf_raw,
          ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY tfidf_raw DESC, term ASC) AS rank
+                            ORDER BY ROUND(tfidf_raw, 6) DESC, term ASC) AS rank
   FROM scored
 )
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,

@@ -51,6 +51,22 @@ from pyspark.sql import functions as F
 _QUERY_ID = itertools.count()
 
 
+def _require_split_watermark(spark: SparkSession) -> None:
+    """The semantics pinned in the module docstring (late filter uses
+    the watermark from data through batch n−2, eviction through n−1)
+    hold only on Spark ≥ 3.4, where late-event filtering and state
+    eviction read SEPARATE watermarks (SPARK-39931's
+    watermarkForLateEvents/watermarkForEviction split). On a downlevel
+    runtime both phases share one watermark and the oracle replay would
+    silently diverge — fail loudly instead (ADVICE r5)."""
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    if (major, minor) < (3, 4):
+        raise RuntimeError(
+            f"streaming late-data semantics require Spark >= 3.4 "
+            f"(split late-filter/eviction watermarks); running {spark.version}"
+        )
+
+
 def run_late_data_stream(
     spark: SparkSession,
     landing: str,
@@ -69,6 +85,7 @@ def run_late_data_stream(
     Aggregates are count + sum of the BIGINT id column — exact,
     summation-order-free values, so the oracle replay hash-matches
     without float tolerance."""
+    _require_split_watermark(spark)
     name = f"late_data_sink_{os.getpid()}_{next(_QUERY_ID)}"
     stream = (
         spark.readStream.schema(schema_ddl)
@@ -127,6 +144,7 @@ def run_late_data_stream_update(
     the oracle replays (same late-drop filter cascade as append mode;
     eviction past the watermark drops state silently, emitting
     nothing)."""
+    _require_split_watermark(spark)
     name = f"late_update_sink_{os.getpid()}_{next(_QUERY_ID)}"
     stream = (
         spark.readStream.schema(schema_ddl)
