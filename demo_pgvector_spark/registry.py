@@ -2489,27 +2489,22 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import duckdb
-
     tune_session(spark)
     # Staging is harness scaffolding (a real deployment's landing files
     # already exist); DuckDB writes the three batch files straight from
     # the source parquet without routing 10k-10M rows through the Spark
-    # driver. Batch rounding happens at staging so the staged stream and
-    # the oracle replay see bit-identical doubles.
-    work = tempfile.mkdtemp(prefix="spark_graft_ingest_")
-    landing = os.path.join(work, "landing")
-    os.makedirs(landing)
-    for b in range(3):
-        path = os.path.join(landing, f"batch-{b}.parquet")
-        duckdb.sql(
-            f"COPY (SELECT event_id, user_id, event_type,"
-            f" ROUND(value, 6) AS value"
-            f" FROM '{sf_dir}/events.parquet'"
-            f" WHERE event_id % 3 = {b} ORDER BY event_id)"
-            f" TO '{path}' (FORMAT parquet)"
-        )
-        os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
+    # driver, and the landing dir is cached per process (the
+    # join_bucketed precedent) so steady-state prices the STREAM. Batch
+    # rounding happens at staging so the staged stream and the oracle
+    # replay see bit-identical doubles. Table + checkpoint stay
+    # per-call: the upsert drain itself always reprocesses.
+    _, landing = _stage_late_batches(
+        "ingest",
+        sf_dir,
+        [f"event_id % 3 = {b}" for b in range(3)],
+        select="event_id, user_id, event_type, ROUND(value, 6) AS value",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_ingest_run_")
     schema_ddl = (
         "id long, event_id long, user_id long, event_type string, value double"
     )
@@ -2547,7 +2542,10 @@ _LATE_LANDING_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _stage_late_batches(
-    tag: str, sf_dir: str, batch_conds: list[str]
+    tag: str,
+    sf_dir: str,
+    batch_conds: list[str],
+    select: str = "event_id, ts, event_type",
 ) -> tuple[str, str]:
     """Return (work_dir, landing_dir) with the batch files staged,
     caching per (tag, sf_dir) for process lifetime."""
@@ -2567,7 +2565,7 @@ def _stage_late_batches(
     for b, cond in enumerate(batch_conds):
         path = os.path.join(landing, f"batch-{b}.parquet")
         duckdb.sql(
-            f"COPY (SELECT event_id, ts, event_type"
+            f"COPY (SELECT {select}"
             f" FROM '{sf_dir}/events.parquet'"
             f" WHERE {cond} ORDER BY event_id)"
             f" TO '{path}' (FORMAT parquet)"

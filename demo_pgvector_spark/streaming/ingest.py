@@ -113,20 +113,33 @@ def run_upsert_stream(
     checkpoint_dir: str,
     id_col: str = "id",
     batch_order: Sequence[str] | None = None,
+    batch_shuffle_partitions: int | None = 4,
 ) -> None:
     """Drain ``stream_df`` through the upsert sink with an availableNow
     trigger (process everything staged, then stop — the batch-friendly
     trigger; a production deployment drops the trigger and runs
-    continuously against the landing directory)."""
-    q = (
-        stream_df.writeStream.foreachBatch(
-            upsert_sink(root, keys, schema_ddl, id_col, batch_order)
+    continuously against the landing directory).
+
+    ``batch_shuffle_partitions`` scopes the shuffle width of the
+    per-epoch upsert jobs (window + anti-join over ONE micro-batch's
+    keys): each epoch's jobs otherwise inherit the session's 32-wide
+    batch setting and schedule mostly-empty tasks. Sized to the
+    per-batch key volume, not the table's — the committed table read
+    side is a plain parquet scan and unaffected."""
+    from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(
+        stream_df.sparkSession, batch_shuffle_partitions
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                upsert_sink(root, keys, schema_ddl, id_col, batch_order)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def list_versions(root: str) -> list[str]:

@@ -51,6 +51,29 @@ from pyspark.sql import functions as F
 _QUERY_ID = itertools.count()
 
 
+class _scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for one stream drain and
+    restore the previous value. The conf is read at the stream's FIRST
+    micro-batch and frozen into the checkpoint, so scoping it here pins
+    the state-partition count per query without leaking into the
+    session's batch plans. Registry rows run sequentially, so the
+    session-global set/restore cannot race another query."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+        self._prev: str | None = None
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def _require_split_watermark(spark: SparkSession) -> None:
     """The semantics pinned in the module docstring (late filter uses
     the watermark from data through batch n−2, eviction through n−1)
@@ -77,10 +100,21 @@ def run_late_data_stream(
     ts_col: str = "ts",
     key_col: str = "event_type",
     id_col: str = "event_id",
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drain a staged landing directory (one micro-batch per file, mtime
     order) through a watermarked tumbling-window aggregate in APPEND
     mode; return the emitted (finalized) windows as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful shuffle (state-store
+    partition count — fixed at the first checkpoint, so it's a
+    per-query sizing decision, not a global): every micro-batch
+    schedules one task per state partition regardless of data volume,
+    so it should track the stream's KEY cardinality, not the session's
+    batch-shuffle width. Here state is (day-window × event_type) — a
+    handful of keys — and 32 session-default partitions would pay 8×
+    the per-batch scheduling for empty state stores; a 100 TB
+    deployment with millions of keys sizes it up accordingly.
 
     Aggregates are count + sum of the BIGINT id column — exact,
     summation-order-free values, so the oracle replay hash-matches
@@ -100,15 +134,16 @@ def run_late_data_stream(
             F.sum(id_col).alias("sum_ids"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col(key_col),
@@ -132,6 +167,7 @@ def run_late_data_stream_update(
     ts_col: str = "ts",
     key_col: str = "event_type",
     id_col: str = "event_id",
+    state_partitions: int = 4,
 ) -> DataFrame:
     """The UPDATE-mode counterpart to ``run_late_data_stream``: every
     micro-batch emits the CURRENT running aggregate of each (window,
@@ -159,15 +195,16 @@ def run_late_data_stream_update(
             F.sum(id_col).alias("sum_ids"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col(key_col),
