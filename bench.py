@@ -136,6 +136,15 @@ BENCH_KEYS = (
     "stream_late_update",
     "text_keywords",
     "seq_funnel",
+    # round-6: TPC-H completions, pretrained BPE, containment dedup,
+    # numeric RANGE frame
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q20",
+    "chunk_bpe_pretrained",
+    "dedup_containment",
+    "win_range_numeric",
 )
 
 
@@ -187,11 +196,13 @@ def main() -> None:
     # compact line (steady-state at 2dp, no cold dict) and hard-assert
     # the budget so a future key-list growth fails HERE, not in the
     # driver's record.
+    # 1dp in the printed line (84 keys at 2dp would brush the 2000-byte
+    # tail cap); BENCH_DETAIL.json carries the 3dp steady+cold detail.
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }

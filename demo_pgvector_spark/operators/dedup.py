@@ -502,3 +502,110 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: every ORDERED pair (a, b) with
+    C(a, b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — the
+    asymmetric "a is mostly inside b" contract of suffix-array-style
+    training-data dedup (subset/quote detection, where Jaccard misses a
+    short document embedded in a long one).
+
+    Same machinery as ``ngram_jaccard_pairs`` (global rarity order,
+    xxhash64 8-byte keys, brute-force oracle proving zero lost pairs),
+    with the prefix rule adapted to the asymmetric bound. Overlap must
+    reach t = ⌈τ·n_a⌉, so:
+
+    - the CONTAINED side explodes only its first n_a − ⌈τ·n_a⌉ + 1
+      grams (pigeonhole: some shared gram sits in that prefix);
+    - the CONTAINING side explodes ALL its grams — τ bounds nothing
+      about n_b from above, and the minimal shared gram can sit
+      anywhere in b (key volume = corpus gram volume, the same bound
+      as the df aggregation — never |docs|²);
+    - positional filter: at the pair's minimal shared gram every
+      earlier gram on either side is unshared, so overlap ≤
+      min(rem_a, rem_b), and the pair needs overlap ≥ τ·n_a;
+    - length filter: overlap ≤ n_b forces n_b ≥ τ·n_a.
+
+    Hash-collision safety is one-directional here: collisions merge set
+    elements, so hashed intersection only grows and hashed n_a only
+    shrinks — hashed containment ≥ true containment, every true pair
+    still generates a candidate, and exact verification on the gram
+    STRINGS removes any impostor. All epsilons under-prune only."""
+    spark = docs.sparkSession
+    src = docs.select(id_col, text_col)
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    grams = (
+        with_shingles(src, text_col, k)
+        .select(id_col, "shingles")
+        .localCheckpoint(eager=True)
+    )
+    ex = grams.select(
+        F.col(id_col), F.explode("shingles").alias("_gs")
+    ).select(F.col(id_col), F.xxhash64("_gs").alias("g"))
+    df = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(df, "g")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, g))), s -> s.g)"
+            ).alias("_ordered")
+        )
+    )
+    contained = per_doc.select(
+        F.col(id_col),
+        F.size("_ordered").alias("n"),
+        F.expr(
+            f"slice(_ordered, 1, size(_ordered)"
+            f" + cast(floor(-{threshold} * size(_ordered) + 1e-9) as int) + 1)"
+        ).alias("_prefix"),
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.posexplode("_prefix").alias("_pos0", "g"),
+    ).select(
+        "id_a", "n_a", "g", (F.col("n_a") - F.col("_pos0")).alias("_rem_a")
+    )
+    containing = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.size("_ordered").alias("n_b"),
+        F.posexplode("_ordered").alias("_pos0", "g"),
+    ).select(
+        "id_b", "n_b", "g", (F.col("n_b") - F.col("_pos0")).alias("_rem_b")
+    )
+    eps = 1e-9
+    cand = (
+        contained.join(
+            containing,
+            (contained["g"] == containing["g"])
+            & (contained["id_a"] != containing["id_b"])
+            & (F.col("n_b") >= F.col("n_a") * threshold - eps)
+            & (
+                F.least(F.col("_rem_a"), F.col("_rem_b"))
+                >= F.col("n_a") * threshold - eps
+            ),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

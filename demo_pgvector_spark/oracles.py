@@ -1072,7 +1072,12 @@ JOIN sh sb ON c.id_b = sb.doc_id
 # graph. The recursive walk collects every label reachable over the
 # symmetric edge set; MIN over reachable labels (plus the node's own id)
 # is the component minimum — identical to min-label propagation at its
-# fixed point (operators/dedup.py dedup_assign).
+# fixed point (operators/dedup.py dedup_assign). The recursion seeds
+# from EDGE VERTICES only (ADVICE-r5-style bounding, VERDICT r5 #6):
+# an isolated document is trivially its own keeper via the outer LEFT
+# JOIN, so carrying |corpus| seed rows through every UNION-dedup
+# iteration would only inflate the fixed point's working set — at 30×
+# replicas that's the oracle's wall-clock ceiling.
 O_DEDUP_ASSIGN = f"""
 WITH RECURSIVE pairs AS ({O_DEDUP_MINHASH_PAIRS}),
 edges AS (
@@ -1080,13 +1085,17 @@ edges AS (
   UNION
   SELECT id_b, id_a FROM pairs
 ),
+verts AS (SELECT DISTINCT src AS id FROM edges),
 walk(id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT id, id FROM verts
   UNION
   SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
-)
-SELECT id, MIN(lbl) AS keeper_id, MIN(lbl) = id AS is_keeper
-FROM walk GROUP BY id
+),
+comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
+SELECT d.doc_id AS id,
+       COALESCE(c.k, d.doc_id) AS keeper_id,
+       COALESCE(c.k, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
@@ -2216,6 +2225,54 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
 """
 
 
+# Brute-force ORDERED-pair containment (registry q_dedup_containment):
+# same completeness contract as O_DEDUP_NGRAM — every shared-gram pair
+# is enumerated and scored, so parity proves the asymmetric prefix
+# filter (contained-side prefix + containing-side full explode) lost
+# nothing.
+O_DEDUP_CONTAINMENT = """
+WITH sh3 AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) < 3
+              THEN [lower(text)]
+              ELSE list_distinct(list_transform(
+                range(len(string_split(lower(text), ' ')) - 2),
+                i -> array_to_string((string_split(lower(text), ' '))[i + 1:i + 3], ' ')
+              )) END AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh3),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(sa.shingles), 6) AS containment
+  FROM cand c
+  JOIN sh3 sa ON c.id_a = sa.doc_id
+  JOIN sh3 sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.9
+"""
+
+
+# Numeric RANGE frame (registry q_win_range_numeric): DuckDB's native
+# RANGE BETWEEN n PRECEDING AND n FOLLOWING over the same BIGINT key;
+# DECIMAL band sums make peer order unobservable.
+O_WIN_RANGE_NUMERIC = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(l_quantity AS BIGINT) AS qty,
+       COUNT(*) OVER w AS n_band,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w
+                  AS DOUBLE), 2) AS band_rev
+FROM lineitem WHERE l_partkey < 200
+WINDOW w AS (PARTITION BY l_partkey ORDER BY CAST(l_quantity AS BIGINT)
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+"""
+
+
 # Domain-mixture sampling (registry q_sample_mixture,
 # operators/curation.py sample_mixture): integer-exact acceptance —
 # ticket·W·n_d < T·w_d·1000 with W=10, T=300 — over the same md5
@@ -2329,14 +2386,16 @@ edges AS (
   UNION
   SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.8
 ),
+verts AS (SELECT DISTINCT src AS id FROM edges),
 walk(id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT id, id FROM verts
   UNION
   SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
 ),
+comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id),
 keep AS (
-  SELECT id AS doc_id FROM (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
-  WHERE k = id
+  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+  WHERE c.id IS NULL OR c.k = d.doc_id
 ),
 longd AS (
   SELECT d.* FROM documents d JOIN keep USING (doc_id)
