@@ -22,74 +22,40 @@ from demo_pgvector_spark import registry
 
 SF = "/root/testdata/sf0.001"
 
-# Keys that MUST sit inside the driver's 50-row correctness window:
-# the full SURVEY §2 surface (after the round-3/4 consolidation mapping
-# documented in SURVEY.md §2) + all four LLM-pipeline pillars.
+# Keys that MUST sit inside the driver's 50-row correctness window this
+# round: the current rotation plan (new keys, diff-invalidated carries,
+# then the oldest green rows re-anchoring) — SURVEY §2 preamble and the
+# registry.py block comments state the same contract. §2-surface keys
+# not listed here carry green rows ≤ 2 rounds old under the
+# unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # reference surface (filt_predicates carries filt_model_eq +
-    # filt_nullsafe; rag_prompts both template branches; stream_windows
-    # tumbling + sliding; vec_cosine_dist also carries math_norm;
-    # str_scalars carries str_tokenize + hash_sha256/md5 since r4;
-    # proj_sim_family carries proj_similarity + filt_threshold +
-    # join_chunk_data since r4)
-    # (upsert_model/upsert_source/ins_chunk_txn/agg_context_concat/
-    # rag_prompts/src_route/meta_sidecar rotated to the tail in r4:
-    # their operator modules are byte-unchanged since their green r3
-    # driver rows, so the judge's carry rule applies; the freed slots
-    # hold the never-driver-verified round-4 keys below)
-    # (stream_dedup/vec_cosine_dist/emb_generate/agg_word_counts/
-    # filt_files/sink_stdout — and, in the second r5 rotation,
-    # text_lang_id/text_quality/text_fingerprint/stream_windows/
-    # stream_session_windows/filt_predicates/join_lineitem_orders/
-    # tpch_q6 — rotated to the tail in r5: their modules
-    # (streaming/windows.py, functions/vector.py, functions/embedding.py,
-    # functions/textstats.py, operators/write.py) and q_* functions are
-    # byte-unchanged since their green r4 driver rows, so the judge's
-    # carry rule applies; the freed slots hold the never-driver-verified
-    # round-5 keys below)
-    # (chunk_docling/chunk_enrich/win_chunk_number/str_scalars/
-    # proj_sim_family rotated to the tail late in r5 — chunking.py,
-    # functions/text.py and operators/similarity.py byte-unchanged since
-    # their green r4 rows — to make room for the round-5 additions)
-    # (emb_hash_embed rotated out in the final r5 pass —
-    # functions/embedding.py byte-unchanged since its green r4 row)
-    "vec_sim_topk",
-    "stream_ingest",
-    # pillars: dedup / similarity-search / multimodal / text analysis
-    # (mm_media carries all three modality pipelines since r4)
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "dedup_assign", "vec_ann_topk", "vec_ann_join",
-    # (mm_media — and, in the final pass, cluster_kmeans — rotated to
-    # the tail late in r5: multimodal.py and ivf.py byte-unchanged
-    # since their green r4 rows — for curate_fuzzy/stream_late_update)
-    "vec_ivf_topk", "chunk_bpe",
-    # TPC-H family (VERDICT r2: needs green rows; q3/q6 carry from
-    # their green r4 rows — q_* functions byte-unchanged)
-    "tpch_q1",
-    # r3 tail analytics rotated in per VERDICT r3 (never driver-verified;
-    # win_running_total/agg_pivot — and text_repetition/tpch_q5 — rotated
-    # back out late in r5 under the carry rule: their q_* functions and
-    # modules are byte-unchanged since their green r4 rows)
-    "agg_percentiles",
-    # round-4 additions (never driver-verified → must be in-window;
-    # src_convert_epub rotated to the tail under the carry rule to make
-    # room for text_scrub)
-    "text_decontaminate", "text_scrub", "text_bm25_topk",
-    "sample_stratified", "pack_sequences", "curate_corpus",
-    "vec_ivf_pruned", "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
-    # round-5 additions/rotations (VERDICT r4 #2/#3/#4/#5/#7/#8): the
-    # three never-driver-verified r4 tail keys rotate in; the pruned
-    # IVFADC path, the band-gated sketch rows, trained-codebook PQ and
-    # the cached-layout bucketed join are new or output-changed
-    "tpch_q18", "join_skew_salted", "text_perplexity",
-    "vec_ivfpq_pruned", "agg_percentiles_approx", "agg_approx_distinct",
-    # round-5 TPC-H plan-feature widening (new → must be in-window)
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
-    # round-5 pillar widening (new → must be in-window)
-    "dedup_ngram", "sample_mixture", "stream_late_data", "curate_fuzzy",
-    "text_keywords", "win_range_frame", "tpch_q11", "tpch_q13",
-    "seq_funnel", "stream_late_update",
+    # -- round-6 plan (SURVEY §2 preamble "Round-6 window rotation";
+    # registry.py block comments are the same contract) --
+    # new this round (never driver-verified):
+    "dedup_containment", "win_range_numeric", "chunk_bpe_pretrained",
+    "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
+    # implementation or oracle changed this round — green r5 rows do
+    # not carry across a diff (includes every key depending on the
+    # touched modules: operators/dedup.py, operators/curation.py,
+    # streaming/late.py, streaming/ingest.py, plus the registry-level
+    # layout-cache and oracle changes):
+    "join_skew_salted", "vec_ivfpq_pruned", "vec_ivf_pruned",
+    "stream_late_data", "stream_late_update", "stream_ingest",
+    "dedup_ngram", "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_embedding", "dedup_assign", "curate_fuzzy", "text_keywords",
+    "text_perplexity", "text_scrub", "text_bm25_topk",
+    "text_decontaminate", "sample_stratified", "sample_mixture",
+    "pack_sequences", "curate_corpus", "chunk_bpe",
+    # oldest carries re-anchoring (green r3 rows, byte-unchanged since —
+    # 3 rounds old this round, so they take the free slots first):
+    "upsert_model", "upsert_source", "ins_chunk_txn",
+    "agg_context_concat", "rag_prompts", "src_route", "meta_sidecar",
+    "src_convert_epub", "classify_source_type", "extract_year",
+    "json_metadata",
+    # r4-green carries at the two-round boundary:
+    "chunk_docling", "chunk_enrich", "win_chunk_number", "mm_media",
+    "emb_hash_embed", "win_running_total", "text_repetition",
+    "agg_pivot", "tpch_q5",
 }
 
 
