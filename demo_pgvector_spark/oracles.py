@@ -1072,14 +1072,22 @@ JOIN sh sb ON c.id_b = sb.doc_id
 # graph. The recursive walk collects every label reachable over the
 # symmetric edge set; MIN over reachable labels (plus the node's own id)
 # is the component minimum — identical to min-label propagation at its
-# fixed point (operators/dedup.py dedup_assign). The recursion seeds
-# from EDGE VERTICES only (ADVICE-r5-style bounding, VERDICT r5 #6):
-# an isolated document is trivially its own keeper via the outer LEFT
-# JOIN, so carrying |corpus| seed rows through every UNION-dedup
-# iteration would only inflate the fixed point's working set — at 30×
-# replicas that's the oracle's wall-clock ceiling.
+# fixed point (operators/dedup.py dedup_assign). Three replica-scale
+# bounds (VERDICT r5 #6, measured 1297 s → 20 s at 30×):
+# - ``pairs`` is MATERIALIZED: DuckDB 1.0 inlines CTEs per reference,
+#   and ``edges`` reads pairs twice — without the hint the whole
+#   minhash + 2.4M-pair jaccard replay runs TWICE;
+# - the recursion seeds from EDGE VERTICES only — an isolated document
+#   is trivially its own keeper via the outer LEFT JOIN;
+# - the recursive step propagates the grouped MIN per node instead of
+#   every reachable label: on replica corpora components are
+#   near-complete graphs, and enumerating all (node, label) pairs costs
+#   |component|² rows × degree joins per iteration, while min-label
+#   propagation converges to the same fixed point (same invariant as
+#   the Spark operator's pointer-doubling) touching one row per node
+#   per improvement.
 O_DEDUP_ASSIGN = f"""
-WITH RECURSIVE pairs AS ({O_DEDUP_MINHASH_PAIRS}),
+WITH RECURSIVE pairs AS MATERIALIZED ({O_DEDUP_MINHASH_PAIRS}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1089,7 +1097,8 @@ verts AS (SELECT DISTINCT src AS id FROM edges),
 walk(id, lbl) AS (
   SELECT id, id FROM verts
   UNION
-  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+  SELECT e.src, MIN(w.lbl) FROM edges e JOIN walk w ON w.id = e.dst
+  GROUP BY e.src
 ),
 comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
 SELECT d.doc_id AS id,
@@ -2380,7 +2389,7 @@ LIMIT 100
 # O_CURATE_CORPUS: min 15 tokens, doc_id % 41 eval split, ':r4' salt,
 # src0 800 / src1 300 / else 500 per-mille, 256-token packs).
 O_CURATE_FUZZY = f"""
-WITH RECURSIVE pairs AS ({O_DEDUP_MINHASH_PAIRS}),
+WITH RECURSIVE pairs AS MATERIALIZED ({O_DEDUP_MINHASH_PAIRS}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.8
   UNION
@@ -2390,7 +2399,8 @@ verts AS (SELECT DISTINCT src AS id FROM edges),
 walk(id, lbl) AS (
   SELECT id, id FROM verts
   UNION
-  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+  SELECT e.src, MIN(w.lbl) FROM edges e JOIN walk w ON w.id = e.dst
+  GROUP BY e.src
 ),
 comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id),
 keep AS (
