@@ -113,19 +113,21 @@ def run_upsert_stream(
     checkpoint_dir: str,
     id_col: str = "id",
     batch_order: Sequence[str] | None = None,
-    batch_shuffle_partitions: int | None = 4,
+    batch_shuffle_partitions: int | None = None,
 ) -> None:
     """Drain ``stream_df`` through the upsert sink with an availableNow
     trigger (process everything staged, then stop — the batch-friendly
     trigger; a production deployment drops the trigger and runs
     continuously against the landing directory).
 
-    ``batch_shuffle_partitions`` scopes the shuffle width of the
-    per-epoch upsert jobs (window + anti-join over ONE micro-batch's
-    keys): each epoch's jobs otherwise inherit the session's 32-wide
-    batch setting and schedule mostly-empty tasks. Sized to the
-    per-batch key volume, not the table's — the committed table read
-    side is a plain parquet scan and unaffected."""
+    ``batch_shuffle_partitions`` optionally scopes the shuffle width of
+    the per-epoch upsert jobs. Unlike the late-data rows' state stores
+    (whose per-batch task count is pure overhead at small key
+    cardinality), an ingest epoch shuffles the WHOLE micro-batch through
+    its dedup window — volume that scales with the stream — so the
+    default inherits the session width; pass a value only when epochs
+    are known-tiny (measured at sf0.1: 4-wide costs ~15% over 32-wide
+    on 200k-row epochs, the inverse of the late-data rows)."""
     from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
 
     with _scoped_shuffle_partitions(
