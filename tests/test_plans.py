@@ -384,3 +384,24 @@ def test_tpch_q20_decorrelates_fully(spark):
     # the dominance test joins the per-(supp,part) sums to the per-part
     # totals as an aggregate-vs-aggregate join, not a re-scan per row
     assert plan.count("HashAggregate") >= 4
+
+
+def test_dedup_containment_never_goes_quadratic(spark):
+    """The asymmetric AllPairs join must stay an equi-join on gram keys —
+    no cartesian/nested-loop pair enumeration — and its aggregates must
+    partial-combine."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_win_range_numeric_single_partition_exchange(spark):
+    """The numeric RANGE frame: exactly one hash exchange (the part
+    key), a Window with a RANGE frame spec, and the partkey filter
+    pushed to the scan."""
+    plan = _plan(spark, "win_range_numeric")
+    assert "Window" in plan
+    assert _shuffles(plan) == 1
+    assert "RangeFrame, -5, 5" in plan
+    assert "LessThan(l_partkey,200)" in plan.replace(" ", "")
