@@ -2141,23 +2141,35 @@ FROM agg ORDER BY o_year
 """
 
 
+# Profit in integer TEN-THOUSANDTHS (the q22 cents convention): a
+# triple DECIMAL product overflows the 38-digit cap with
+# engine-specific scale reduction, and a double ROUND can land exactly
+# on a half-cent (both caught by the 10×/30× replica probes); BIGINT e4
+# units + integer HALF-UP-to-cents (// truncates toward zero on both
+# engines; operands kept positive) are exact everywhere, with cents/100
+# as the only float op.
 O_TPCH_Q9 = """
-SELECT n.n_name AS nation,
-       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-       ROUND(CAST(SUM(
-         CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-         - CAST(p.p_retailprice AS DECIMAL(18,2))
-           * CAST(0.10 AS DECIMAL(18,2))
-           * CAST(l.l_quantity AS DECIMAL(18,2))
-       ) AS DOUBLE), 2) AS sum_profit
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY nation, o_year
-ORDER BY nation ASC, o_year DESC
+WITH g AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         SUM(
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           - CAST(round(p.p_retailprice * 10) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT) * 100
+         ) AS s
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY nation, o_year
+)
+SELECT nation, o_year,
+       CAST(CASE WHEN s >= 0 THEN (s + 50) // 100
+                 ELSE -((-s + 50) // 100) END AS DOUBLE) / 100.0
+         AS sum_profit
+FROM g ORDER BY nation ASC, o_year DESC
 """
 
 

@@ -1515,7 +1515,20 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed as a range, so it gates the broadcast dim BEFORE the fact
     join — the join-order property Q9 exists to pin (the 5-table chain
     starts from the filtered part, never fact×fact first;
-    tests/test_plans.py pins part as a broadcast build side)."""
+    tests/test_plans.py pins part as a broadcast build side).
+
+    Arithmetic runs in integer TEN-THOUSANDTHS (the q22 cents
+    convention): a triple DECIMAL product (price·disc·qty class) hits
+    the 38-digit precision cap with engine-specific scale reduction —
+    the 10× replica probe caught a 0.01 divergence on exactly one
+    (nation, year) — while price/discount are exact in cents, retail in
+    tenths, and quantity integral, so profit_e4 =
+    price_c·(100−disc_c) − retail_t·qty·100 is exact BIGINT on both
+    engines. Even the final ROUND stays integer: a per-group sum can
+    land exactly on a half-cent (…221.045 — the 10×/30× probes hit
+    one), where double ROUND is engine-dependent; HALF-UP to cents is
+    done with BIGINT div (sign-symmetric, both engines truncate toward
+    zero) and the only float op is the exact cents/100 emission."""
     tune_session(spark)
     part = tables.load(spark, sf_dir, "part").filter(
         F.col("p_name").like("%bolt%")
@@ -1531,13 +1544,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_discount", "l_quantity",
     )
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    retail = F.col("p_retailprice").cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
-    rate = F.lit("0.10").cast("decimal(18,2)")
-    profit = price * (one - disc) - retail * rate * qty
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    qty_l = F.col("l_quantity").cast("long")
+    retail_t = F.round(F.col("p_retailprice") * 10).cast("long")
+    profit_e4 = price_c * (F.lit(100) - disc_c) - retail_t * qty_l * F.lit(100)
     j = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
@@ -1546,7 +1557,18 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .agg(F.sum(profit_e4).alias("_s"))
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.expr(
+                    "CASE WHEN _s >= 0 THEN (_s + 50) div 100"
+                    " ELSE -((-_s + 50) div 100) END"
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_profit"),
+        )
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
