@@ -167,7 +167,18 @@ def main():
         )
 
     print(f"parity @ {args.sf}: {len(keys)} keys")
-    failures = [k for k in keys if not compare_key(spark, con, k, args.sf)]
+    failures = []
+    for k in keys:
+        if not compare_key(spark, con, k, args.sf):
+            failures.append(k)
+        # Long single-session sweeps accumulate localCheckpoint blocks
+        # (the dedup/CC keys checkpoint replica-scale gram arrays) that
+        # only free once the Python DataFrame refs are collected and the
+        # ContextCleaner runs; force the Python side so a 100-key replica
+        # sweep can't OOM the shared local-mode heap.
+        import gc
+
+        gc.collect()
     if failures:
         print(f"FAILED: {failures}")
         sys.exit(1)

@@ -65,6 +65,12 @@ DEFAULT_KEYS = (
     # replica dedup shrinks its output, measuring shrinkage not scaling)
     "tpch_q2", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q21",
     "text_keywords", "win_range_frame", "seq_funnel",
+    # round-6 additions: the TPC-H completions, the pretrained-vocab BPE
+    # row, the numeric RANGE frame, and the UPDATE-mode stream
+    # (dedup_containment is excluded like dedup_ngram — replicated
+    # corpora multiply its ORDERED-pair result quadratically).
+    "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
+    "chunk_bpe_pretrained", "win_range_numeric", "stream_late_update",
 )
 
 
