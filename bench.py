@@ -145,6 +145,8 @@ BENCH_KEYS = (
     "chunk_bpe_pretrained",
     "dedup_containment",
     "win_range_numeric",
+    "dedup_semantic",
+    "text_quality_model",
 )
 
 

@@ -712,3 +712,83 @@ def keyword_tfidf(
             "rank",
         )
     )
+
+
+def quality_model_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter — the CCNet §4.4 / GPT-3 appendix A /
+    DCLM method: a PRETRAINED linear domain classifier (fastText-style
+    bag of unigram+bigram features, trained offline by
+    tools/train_quality_model.py) scores every document; downstream
+    stages keep by score. This is the model-based sibling of the
+    heuristic ``text_quality`` row, and the single most load-bearing
+    filter class a 100 TB pretraining pipeline runs.
+
+    Score: ``z = bias + (Σ_matched w_f) / n_feats`` (fastText's
+    feature-mean — out-of-vocabulary features contribute only to the
+    denominator), ``score = σ(z)``, ``keep = z >= 0``.
+
+    Scale shape (the decontaminate/perplexity shape): the weight table
+    BROADCASTS (vocabulary-bounded); features join it on xxhash64 8-byte
+    keys (the oracle joins the STRINGS, so the gate's hash-match doubles
+    as a collision check); the only corpus-sized exchange is the final
+    per-document aggregation. Cross-engine float determinism: the
+    matched-weight sum is an ORDERED position fold on both engines (the
+    bigram_logprob convention), and ``z`` is therefore bit-identical —
+    division is IEEE-rounded and every addend arrives in the same order.
+    Output: (id, n_feats, score @6dp, keep).
+    """
+    t = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), t.alias("_toks")).select(
+        F.col(id_col),
+        F.col("_toks"),
+        (F.lit(2) * F.size("_toks") - F.lit(1)).alias("n_feats"),
+    )
+    # unigrams at pos 0..n-1, bigrams at pos n..2n-2 — any order works as
+    # long as BOTH engines fold the matched weights in the same order.
+    feat_structs = F.expr(
+        "concat("
+        " transform(_toks, (w, i) -> struct(i as pos, w as term)),"
+        " CASE WHEN size(_toks) > 1 THEN"
+        "   transform(sequence(1, size(_toks) - 1), i -> struct("
+        "     size(_toks) + i - 1 as pos,"
+        "     concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))"
+        "       as term))"
+        " ELSE array() END)"
+    )
+    feats = base.select(
+        F.col(id_col), F.col("n_feats"), F.explode(feat_structs).alias("f")
+    ).select(
+        id_col, "n_feats", F.col("f.pos").alias("pos"),
+        F.xxhash64("f.term").alias("_h"),
+    )
+    wt = weights.select(F.xxhash64("term").alias("_h"), "weight")
+    # LEFT join so every feature row survives: unmatched features fold a
+    # 0.0 (exact under IEEE addition, so the sum is bit-identical to the
+    # oracle's matched-only fold) and every doc reaches the aggregation —
+    # the per-doc groupBy is then the plan's ONLY corpus-sized exchange
+    # (an inner join would need a second docs-sized join to resurrect
+    # zero-match documents).
+    scored = (
+        feats.join(F.broadcast(wt), "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_feats").alias("n_feats"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, weight))),"
+                " 0D, (a, x) -> a + coalesce(x.weight, 0D))"
+            ).alias("_wsum"),
+        )
+    )
+    z = F.lit(float(bias)) + F.col("_wsum") / F.col("n_feats").cast("double")
+    return scored.select(
+        F.col(id_col),
+        "n_feats",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= F.lit(0.0)).alias("keep"),
+    )

@@ -1108,6 +1108,105 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+# SemDeDup replay (operators/dedup.py semdedup): the 16-seed argmax-cosine
+# assignment (byte-identical convention to O_VEC_IVF_TOPK's assign CTE,
+# ties to the lowest cid), brute-force within-cluster pairwise cosine at τ
+# (the Spark side's BLAS matmul candidates must match this EXACT set —
+# row parity proves the cluster-bounded enumeration lost no pair), the
+# bounded grouped-min CC recursion (the curate_fuzzy convention), then the
+# SemDeDup keep rule: per component, keeper = min (ROUND(cent_cos,6), id)
+# — both engines rank on the identical rounded double (keyword_tfidf
+# convention).
+O_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         first(c.cid ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+               c.cid ASC) AS cluster,
+         max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cent_cos
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, v
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {dedup_ops.SEMDEDUP_TAU}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e2.src, MIN(w.lbl) FROM edges e2 JOIN walk w ON w.id = e2.dst
+  GROUP BY e2.src
+),
+comp AS (SELECT id, MIN(lbl) AS comp_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT a.vec_id, a.cluster, ROUND(a.cent_cos, 6) AS cent_cos,
+         COALESCE(cm.comp_id, a.vec_id) AS component
+  FROM assign a LEFT JOIN comp cm ON a.vec_id = cm.id
+),
+keep AS (
+  SELECT component, first(vec_id ORDER BY cent_cos ASC, vec_id ASC) AS keeper_id
+  FROM labeled GROUP BY component
+)
+SELECT l.vec_id, l.cluster, l.component, k.keeper_id,
+       l.vec_id = k.keeper_id AS is_keeper, l.cent_cos
+FROM labeled l JOIN keep k USING (component)
+"""
+
+
+# Model-based quality filter replay (operators/curation.py
+# quality_model_score): unigram+bigram features with 0-based positions
+# (unigrams 0..n-1, bigrams n..2n-2 — the Spark side's order), joined to
+# the golden weight table by TERM STRING (Spark joins xxhash64 of the
+# same strings — the hash-match doubles as a collision check, the
+# decontaminate convention), matched weights summed by the ORDERED
+# position fold (list_sum over list(... ORDER BY pos) — serial
+# left-to-right, the same addend order as Spark's aggregate(array_sort(
+# collect_list))), z = bias + wsum/n_feats bit-identical across engines.
+O_TEXT_QUALITY_MODEL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, t[u.i] AS term
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+  UNION ALL
+  SELECT doc_id, CAST(len(t) + u.i - 1 AS INT) AS pos,
+         t[u.i] || ' ' || t[u.i + 1] AS term
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+),
+m AS (
+  SELECT f.doc_id, f.pos, g.weight
+  FROM feats f
+  JOIN read_parquet('/root/repo/golden/quality_model.parquet') g USING (term)
+),
+s AS (
+  SELECT doc_id, list_sum(list(weight ORDER BY pos)) AS wsum
+  FROM m GROUP BY doc_id
+),
+meta AS (
+  SELECT bias FROM read_parquet('/root/repo/golden/quality_model_meta.parquet')
+),
+base AS (
+  SELECT doc_id, CAST(2 * len(t) - 1 AS INT) AS n_feats FROM toks
+)
+SELECT b.doc_id, b.n_feats,
+       ROUND(1.0 / (1.0 + EXP(-(meta.bias + COALESCE(s.wsum, 0.0) / b.n_feats))), 6)
+         AS score,
+       (meta.bias + COALESCE(s.wsum, 0.0) / b.n_feats) >= 0 AS keep
+FROM base b LEFT JOIN s USING (doc_id) CROSS JOIN meta
+"""
+
+
 # Streaming ingest replay: three micro-batches (event_id % 3, processed
 # in batch order), each applying the write-path upsert — within-batch
 # first-event-wins dedup (batch_order = event_id), novel-keys-only across

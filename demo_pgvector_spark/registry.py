@@ -56,6 +56,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_CLASSIFY_SOURCE_TYPE,
     O_CLUSTER_KMEANS,
     O_DEDUP_ASSIGN,
+    O_DEDUP_SEMANTIC,
+    O_TEXT_QUALITY_MODEL,
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_CONTAINMENT,
@@ -2992,6 +2994,68 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3, k=3)
 
 
+_QMODEL_BIAS_CACHE: float | None = None
+
+
+def _quality_model_bias() -> float:
+    global _QMODEL_BIAS_CACHE
+    if _QMODEL_BIAS_CACHE is None:
+        import pyarrow.parquet as papq
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "golden",
+            "quality_model_meta.parquet",
+        )
+        _QMODEL_BIAS_CACHE = float(papq.read_table(path).to_pylist()[0]["bias"])
+    return _QMODEL_BIAS_CACHE
+
+
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/curation.py
+    quality_model_score) — the CCNet §4.4 / GPT-3 / DCLM method: a
+    PRETRAINED fastText-style linear domain classifier (golden weights
+    from tools/train_quality_model.py: full-batch float64 GD separating
+    the curated src0-src4 fifth of the corpus) scores every document;
+    keep = z >= 0. Weight table broadcast, xxhash64 8-byte join keys
+    (the oracle joins term STRINGS — collision check built in), matched
+    weights summed by an ORDERED position fold so z is bit-identical
+    across engines; keep-boundary margin min|z| ≥ 6.2e-5 (measured,
+    printed by the trainer). The model-based sibling of the heuristic
+    text_quality row."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden"
+    )
+    weights = spark.read.parquet(os.path.join(golden, "quality_model.parquet"))
+    return curation_ops.quality_model_score(
+        docs, weights, _quality_model_bias()
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semdedup; Abbas et al. 2023,
+    arXiv:2303.09540) — embedding-space semantic dedup, the method
+    DataComp-scale pipelines run where lexical dedup can't see
+    paraphrases: 16-seed centroid assignment (the shared `_seed_vectors`
+    contract, zero-shuffle inlined projection), within-cluster exact
+    cosine pairs at τ=0.35 via ONE Arrow/BLAS matmul per cluster (the
+    pair stage is cluster-bounded — Σ C(n_i,2), never |corpus|²),
+    min-label connected components, and the paper's keep rule (lowest
+    cosine-to-centroid per component, rounded-6dp rank key, id
+    tiebreak). The oracle brute-forces the within-cluster pairwise set,
+    so row parity proves the matmul enumeration lost no pair. One row
+    per vector: (vec_id, cluster, component, keeper_id, is_keeper,
+    cent_cos)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = _seed_vectors(spark, sf_dir)
+    return dedup_ops.semdedup(
+        emb.select("vec_id", "embedding"), cents, threshold=dedup_ops.SEMDEDUP_TAU
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram CONTAINMENT pairs (operators/dedup.py
     ngram_containment_pairs): ordered (a, b) with
@@ -3499,6 +3563,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
+    # dedup_semantic / text_quality_model landed late in round 6; their two
+    # slots displace the two r4-green boundary carries agg_pivot/tpch_q5
+    # (still ≤2 rounds old this round — they MUST rotate in at round 7).
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
+    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
@@ -3558,10 +3627,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
     "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
     "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     # ---- position 51+ (carry under the unchanged-code rule; r5-green
     # unless noted; tools/parity.py re-verifies ALL keys locally each round)
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
     "agg_percentiles_approx": (q_agg_percentiles_approx, O_AGG_PERCENTILES_APPROX),
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),

@@ -68,3 +68,29 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # conf locked down — proceed with session defaults
     return spark
+
+
+class scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for a bounded scope and
+    restore the previous value on exit. Two consumers: streaming drains
+    (the conf is read at a stream's FIRST micro-batch and frozen into
+    its checkpoint, so scoping pins the state-partition count per query
+    — see streaming/late.py) and small-graph iterative loops (the CC
+    rounds in ``dedup.semdedup`` exchange few-hundred-row label tables;
+    32-wide exchanges there schedule mostly-empty tasks every round).
+    Registry rows run sequentially, so the session-global set/restore
+    cannot race another query; ``n=None`` is a no-op."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+        self._prev: str | None = None
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False

@@ -48,30 +48,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from demo_pgvector_spark.session import (  # noqa: F401  (re-export)
+    scoped_shuffle_partitions as _scoped_shuffle_partitions,
+)
+
 _QUERY_ID = itertools.count()
-
-
-class _scoped_shuffle_partitions:
-    """Set ``spark.sql.shuffle.partitions`` for one stream drain and
-    restore the previous value. The conf is read at the stream's FIRST
-    micro-batch and frozen into the checkpoint, so scoping it here pins
-    the state-partition count per query without leaking into the
-    session's batch plans. Registry rows run sequentially, so the
-    session-global set/restore cannot race another query."""
-
-    def __init__(self, spark: SparkSession, n: int | None):
-        self._spark, self._n = spark, n
-        self._prev: str | None = None
-
-    def __enter__(self):
-        if self._n is not None:
-            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
-            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
-
-    def __exit__(self, *exc):
-        if self._prev is not None:
-            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
-        return False
 
 
 def _require_split_watermark(spark: SparkSession) -> None:

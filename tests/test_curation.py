@@ -424,3 +424,23 @@ def test_sample_mixture_corpus_never_shuffles(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_model_score_math(spark):
+    """z = bias + Σ matched / n_feats with unigram+bigram features, OOV
+    in the denominator only; keep = z >= 0."""
+    from demo_pgvector_spark.operators.curation import quality_model_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    weights = spark.createDataFrame(
+        [("a", 2.0), ("a b", 4.0)], "term string, weight double"
+    )
+    out = {r["doc_id"]: r for r in quality_model_score(docs, weights, -1.0).collect()}
+    # doc 1: feats = a, b, "a b" (n=3); matched 2.0 + 4.0 → z = -1 + 2 = 1
+    assert out[1]["n_feats"] == 3 and out[1]["keep"]
+    assert abs(out[1]["score"] - 0.731059) < 1e-6
+    # doc 2: single OOV token → z = bias
+    assert out[2]["n_feats"] == 1 and not out[2]["keep"]
+    assert abs(out[2]["score"] - 0.268941) < 1e-6

@@ -209,3 +209,61 @@ def test_ngram_prefix_filter_prunes_candidates(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.ngram_jaccard_pairs(df, threshold=0.5, k=3).collect()
     assert out == []  # no pair reaches τ; boilerplate alone never pairs
+
+
+def test_semdedup_keep_rule_and_components(spark):
+    """SemDeDup end to end on a hand-built case: two clusters, one
+    near-dup pair in cluster 0. The keeper must be the pair member with
+    the LOWER cosine-to-centroid (the paper's least-redundant rule) —
+    NOT the lower id — and singletons keep themselves."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # id 1: cl0, cent_cos ≈ 0.99995 (higher); id 2: cl0, ≈ 0.99993
+    # (lower → keeper despite the larger id); cos(1,2) ≈ 1 ≥ τ.
+    # id 3: cl1 singleton.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [0.99, 0.012]), (3, [0.01, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in dedup.semdedup(df, cents, 0.9).collect()}
+    assert out[1]["cluster"] == 0 and out[2]["cluster"] == 0
+    assert out[3]["cluster"] == 1
+    # 1 and 2 share a component labeled by the min id
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[3]["component"] == 3 and out[3]["is_keeper"]
+    # keep rule: 2 has the lower cent_cos, so 2 keeps — 1 drops
+    assert out[1]["cent_cos"] > out[2]["cent_cos"]
+    assert out[1]["keeper_id"] == 2 and not out[1]["is_keeper"]
+    assert out[2]["keeper_id"] == 2 and out[2]["is_keeper"]
+
+
+def test_semdedup_pairs_match_bruteforce(spark):
+    """The cluster-bounded BLAS pair enumeration must equal brute force
+    ON THE SAME CLUSTERING: every within-cluster pair ≥ τ appears (the
+    cross-cluster blind spot is the method's contract, not a bug)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.normal(0, 1, (4, 16)).tolist()
+    vecs = [(i, rng.normal(0, 1, 16).tolist()) for i in range(40)]
+    # plant near-dups
+    for dup, src in ((40, 3), (41, 17)):
+        v = np.array(vecs[src][1]) + rng.normal(0, 0.01, 16)
+        vecs.append((dup, v.tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    assigned = dedup.semantic_assign(df, cents)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.semantic_pairs(assigned, 0.5).collect()
+    }
+    rows = assigned.collect()
+    by_id = {r["vec_id"]: (r["cluster"], np.array(r["embedding"])) for r in rows}
+    want = set()
+    ids = sorted(by_id)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ca, va = by_id[a]
+            cb, vb = by_id[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if ca == cb and cos >= 0.5:
+                want.add((a, b))
+    assert got == want and {(3, 40), (17, 41)} <= want

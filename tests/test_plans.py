@@ -405,3 +405,33 @@ def test_win_range_numeric_single_partition_exchange(spark):
     assert _shuffles(plan) == 1
     assert "RangeFrame, -5, 5" in plan
     assert "LessThan(l_partkey,200)" in plan.replace(" ", "")
+
+
+def test_semdedup_pairs_one_cluster_exchange_arrow_matmul(spark):
+    """SemDeDup's pair stage: exactly ONE hash exchange (the cluster
+    key) feeding an Arrow FlatMapGroupsInPandas (the per-cluster BLAS
+    matmul) — never a pair self-join, never a cartesian. The candidate
+    volume is Σ C(n_i, 2), bounded by the clustering."""
+    from demo_pgvector_spark.operators import dedup as dedup_ops
+    from demo_pgvector_spark import tables
+
+    emb = tables.load(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = registry._seed_vectors(spark, SF)
+    pairs = dedup_ops.semantic_pairs(dedup_ops.semantic_assign(emb, cents), 0.35)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning(cluster") == 1, plan
+    assert _shuffles(plan) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_quality_model_broadcasts_weights_single_exchange(spark):
+    """The model-based quality filter: the weight table must BROADCAST
+    (vocabulary-bounded — never a corpus-side shuffle for the model) and
+    the per-doc aggregation must be the plan's only data exchange."""
+    plan = _plan(spark, "text_quality_model")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1, plan

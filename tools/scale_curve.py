@@ -71,6 +71,11 @@ DEFAULT_KEYS = (
     # corpora multiply its ORDERED-pair result quadratically).
     "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
     "chunk_bpe_pretrained", "win_range_numeric", "stream_late_update",
+    # late round-6: the model-based quality filter (per-doc linear scan —
+    # replica-safe; dedup_semantic is excluded like the other pair rows:
+    # replicated embeddings make every replica pair a true semantic dup,
+    # so its result — and the CC edge graph — grows quadratically).
+    "text_quality_model",
 )
 
 
