@@ -444,3 +444,45 @@ def test_quality_model_score_math(spark):
     # doc 2: single OOV token → z = bias
     assert out[2]["n_feats"] == 1 and not out[2]["keep"]
     assert abs(out[2]["score"] - 0.268941) < 1e-6
+
+
+def test_quality_model_matches_pure_python_on_corpus(spark):
+    """End-to-end scorer vs an independent plain-Python reimplementation
+    over real sf0.001 documents with the committed golden — the same
+    cross-check shape as the trainer's margin audit. Catches any drift
+    between the Spark feature construction (positions, bigrams, OOV
+    denominator) and the training-time representation."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark import tables
+    from demo_pgvector_spark.operators.curation import quality_model_score
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden = os.path.join(root, "golden")
+    wrows = papq.read_table(os.path.join(golden, "quality_model.parquet")).to_pylist()
+    wmap = {r["term"]: r["weight"] for r in wrows}
+    bias = papq.read_table(
+        os.path.join(golden, "quality_model_meta.parquet")
+    ).to_pylist()[0]["bias"]
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.load(spark, sf, "documents")
+    weights = spark.createDataFrame(
+        [(t, w) for t, w in wmap.items()], "term string, weight double"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_model_score(docs, weights, bias).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        t = row["text"].lower().split(" ")
+        feats = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        z = bias + sum(wmap.get(f, 0.0) for f in feats) / len(feats)
+        g = got[row["doc_id"]]
+        assert g["n_feats"] == len(feats)
+        assert g["keep"] == (z >= 0)
+        import math
+
+        assert abs(g["score"] - 1.0 / (1.0 + math.exp(-z))) < 1e-6
