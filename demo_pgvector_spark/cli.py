@@ -273,3 +273,72 @@ def maintain(
         doomed = ingest.vacuum_versions(root, keep=keep_versions)
         out[name] = (v, n_files, doomed)
     return out
+
+
+def quality_filter(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    keep_only: bool = True,
+) -> DataFrame:
+    """Engine extension verb (no reference counterpart): score a
+    documents parquet directory with the committed pretrained quality
+    model (operators/curation.py quality_model_score — the
+    CCNet/GPT-3/DCLM linear domain classifier, golden weights from
+    tools/train_quality_model.py) and write the result back as parquet.
+    ``keep_only=True`` writes only the documents the model keeps
+    (z >= 0), joined back to their full rows; ``False`` writes every
+    doc with its (score, keep) columns for downstream thresholding.
+    Composes with ``curate``/``mix``: quality-filter first, then set
+    the domain diet, then run the cascade."""
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark.operators import curation
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden = os.path.join(root, "golden")
+    weights = spark.read.parquet(os.path.join(golden, "quality_model.parquet"))
+    bias = float(
+        papq.read_table(os.path.join(golden, "quality_model_meta.parquet"))
+        .to_pylist()[0]["bias"]
+    )
+    docs = spark.read.parquet(docs_path)
+    scored = curation.quality_model_score(docs, weights, bias)
+    if keep_only:
+        out = docs.join(
+            scored.filter(F.col("keep")).select("doc_id", "score"), "doc_id"
+        )
+    else:
+        out = docs.join(scored.select("doc_id", "score", "keep"), "doc_id")
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+def semdedup(
+    spark: SparkSession,
+    vectors_path: str,
+    out_path: str,
+    threshold: float | None = None,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Engine extension verb (no reference counterpart): SemDeDup an
+    embeddings parquet directory (operators/dedup.py semdedup — Abbas
+    et al. 2023) and write the KEEPER vectors back as parquet with
+    their cluster/component labels. Centroids are the first
+    ``n_centroids`` vectors by id (the deterministic seed convention;
+    a production run passes trained centroids)."""
+    from demo_pgvector_spark.operators import dedup as dedup_ops
+
+    vecs = spark.read.parquet(vectors_path)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in vecs.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    tau = dedup_ops.SEMDEDUP_TAU if threshold is None else float(threshold)
+    labeled = dedup_ops.semdedup(vecs.select("vec_id", "embedding"), cents, tau)
+    out = vecs.join(
+        labeled.filter(F.col("is_keeper")).select("vec_id", "cluster", "component"),
+        "vec_id",
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

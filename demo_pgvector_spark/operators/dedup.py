@@ -294,6 +294,7 @@ def dedup_assign(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into per-document keeper assignments — the
     stage a training-data pipeline actually runs after pair generation
@@ -325,6 +326,14 @@ def dedup_assign(
 
     Returns (id, keeper_id, is_keeper). Docs with no near-dup partner
     keep themselves.
+
+    ``shuffle_partitions`` scopes the loop's exchange width (set/restore
+    around the rounds, the streaming-drain convention): the label and
+    edge tables are output-volume-sized — orders of magnitude below the
+    corpus — so the session's batch width schedules mostly-empty tasks
+    on EVERY round's three-plus stages. Default 8 suits pair graphs up
+    to a few million edges; pass None to inherit the session width (a
+    100 TB run with a billion-edge graph would).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -339,6 +348,14 @@ def dedup_assign(
     labels = docs.select(F.col(id_col).alias("id")).withColumn(
         "keeper_id", F.col("id")
     )
+    from demo_pgvector_spark.session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(docs.sparkSession, shuffle_partitions):
+        labels = _cc_rounds(edges, labels, max_iters)
+    return labels.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+
+
+def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for rnd in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"], "inner")
@@ -376,7 +393,7 @@ def dedup_assign(
         labels = updated.drop("_prev")
         if changed == 0:
             break
-    return labels.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+    return labels
 
 
 def ngram_jaccard_pairs(
@@ -761,12 +778,9 @@ def semdedup(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    from demo_pgvector_spark.session import scoped_shuffle_partitions
-
-    with scoped_shuffle_partitions(assigned.sparkSession, 4):
-        comp = dedup_assign(verts, pairs, id_col=id_col).select(
-            F.col("id").alias(id_col), F.col("keeper_id").alias("component")
-        )
+    comp = dedup_assign(verts, pairs, id_col=id_col, shuffle_partitions=4).select(
+        F.col("id").alias(id_col), F.col("keeper_id").alias("component")
+    )
     labeled = (
         assigned.select(
             F.col(id_col), "cluster", F.round("cent_cos", 6).alias("cent_cos")

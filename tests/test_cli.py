@@ -198,3 +198,45 @@ def test_maintain_verb_compacts_and_vacuums(spark, tmp_path):
         for n, df in cli.load_state(spark, wh).items()
     }
     assert after == before
+
+
+def test_quality_filter_verb_scores_and_keeps(spark, tmp_path):
+    from demo_pgvector_spark import cli, tables
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    out_path = str(tmp_path / "docs_kept")
+    kept = cli.quality_filter(spark, src, out_path)
+    n_docs = docs.count()
+    n_kept = kept.count()
+    assert 0 < n_kept < n_docs  # the model actually discriminates
+    assert set(kept.columns) == set(docs.columns) | {"score"}
+    # scored=False variant carries every doc with its verdict
+    allrows = cli.quality_filter(
+        spark, src, str(tmp_path / "docs_all"), keep_only=False
+    )
+    assert allrows.count() == n_docs
+    assert allrows.filter("keep").count() == n_kept
+
+
+def test_semdedup_verb_drops_duplicates(spark, tmp_path):
+    import numpy as np
+
+    from demo_pgvector_spark import cli
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(20)]
+    # two exact-ish duplicates of vector 5
+    for dup in (20, 21):
+        rows.append((dup, (np.array(rows[5][1]) + rng.normal(0, 1e-3, 8)).tolist()))
+    src = str(tmp_path / "vecs_in")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        src
+    )
+    out = cli.semdedup(spark, src, str(tmp_path / "vecs_out"), threshold=0.95,
+                       n_centroids=4)
+    kept = {r["vec_id"] for r in out.collect()}
+    # exactly one of the {5, 20, 21} clique survives
+    assert len(kept & {5, 20, 21}) == 1
+    assert len(kept) == 20  # 22 vectors - 2 dropped dups
