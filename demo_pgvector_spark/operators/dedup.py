@@ -680,7 +680,10 @@ def semantic_assign(
         F.expr("cast(array_position(_scores, array_max(_scores)) - 1 as int)").alias(
             "cluster"
         ),
-        F.expr("array_max(_scores) / _norm").alias("cent_cos"),
+        # zero vectors: every dot is 0, so assign to the first centroid
+        # with cent_cos 0 instead of 0/0 = NaN (NaN would poison the
+        # keeper min and compare differently across engines)
+        F.expr("if(_norm > 0D, array_max(_scores) / _norm, 0D)").alias("cent_cos"),
     )
 
 

@@ -486,3 +486,15 @@ def test_quality_model_matches_pure_python_on_corpus(spark):
         import math
 
         assert abs(g["score"] - 1.0 / (1.0 + math.exp(-z))) < 1e-6
+
+
+def test_quality_model_empty_and_single_token_docs(spark):
+    """Empty text tokenizes to [''] (n_feats 1, z = bias) — must not
+    crash or divide by zero on either engine's convention."""
+    from demo_pgvector_spark.operators.curation import quality_model_score
+
+    docs = spark.createDataFrame([(1, ""), (2, "x")], "doc_id long, text string")
+    weights = spark.createDataFrame([("x", 3.0)], "term string, weight double")
+    out = {r["doc_id"]: r for r in quality_model_score(docs, weights, -1.0).collect()}
+    assert out[1]["n_feats"] == 1 and not out[1]["keep"]
+    assert out[2]["n_feats"] == 1 and out[2]["keep"]  # z = -1 + 3 = 2

@@ -267,3 +267,17 @@ def test_semdedup_pairs_match_bruteforce(spark):
             if ca == cb and cos >= 0.5:
                 want.add((a, b))
     assert got == want and {(3, 40), (17, 41)} <= want
+
+
+def test_semdedup_zero_vector_and_singletons(spark):
+    """A zero vector must not produce NaN (cent_cos 0, first cluster,
+    keeps itself); the matmul stage must not pair it with anything at a
+    positive τ."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in dedup.semdedup(df, cents, 0.5).collect()}
+    assert out[1]["cent_cos"] == 0.0 and out[1]["is_keeper"]
+    assert out[2]["is_keeper"] and out[2]["component"] == 2
