@@ -147,6 +147,7 @@ BENCH_KEYS = (
     "win_range_numeric",
     "dedup_semantic",
     "text_quality_model",
+    "vec_ivf_trained",
 )
 
 

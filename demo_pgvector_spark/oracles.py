@@ -977,8 +977,12 @@ def _o_km_means(assign_cte: str, prev_cte: str) -> str:
   ) m ON p.cid = m.cid"""
 
 
-O_CLUSTER_KMEANS = f"""
-WITH cand AS (
+# The full unrolled Lloyd chain (hash-ordered candidate sample → 3
+# greedy max-min seed CTEs → two assign+mean rounds → final assignment
+# a3 against the trained centroids c2), shared by the cluster_kmeans row
+# and the trained-quantizer IVF row so the training replay cannot
+# diverge between them.
+_O_KM_CHAIN = f"""cand AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v,
          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS pos
   FROM embeddings
@@ -1001,8 +1005,37 @@ a1 AS ({_o_km_assign('c0')}),
 c1 AS ({_o_km_means('a1', 'c0')}),
 a2 AS ({_o_km_assign('c1')}),
 c2 AS ({_o_km_means('a2', 'c1')}),
-a3 AS ({_o_km_assign('c2')})
+a3 AS ({_o_km_assign('c2')})"""
+
+
+O_CLUSTER_KMEANS = f"""
+WITH {_O_KM_CHAIN}
 SELECT vec_id, cluster FROM a3
+"""
+
+
+# Trained-coarse-quantizer IVF (registry q_vec_ivf_trained): the SAME
+# unrolled Lloyd chain produces the serving centroids (c2, 6dp-quantized
+# per iteration so both engines see identical doubles) and the cell
+# assignment (a3); the probe then ranks cells against the query vector,
+# keeps nprobe=2 of k=4, and exact-re-ranks the members — the
+# production IVF lifecycle (train → assign at ingest → prune at serve)
+# end to end in one oracle.
+O_VEC_IVF_TRAINED = f"""
+WITH {_O_KM_CHAIN},
+q AS ({_ORACLE_QVEC}),
+topc AS (
+  SELECT c.cid FROM c2 c, q
+  ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.cid ASC LIMIT 2
+),
+candv AS (SELECT a.vec_id FROM a3 a JOIN topc t ON a.cluster = t.cid),
+scored AS (
+  SELECT cd.vec_id, {_ORACLE_SIM} AS sim
+  FROM candv cd JOIN embeddings e ON cd.vec_id = e.vec_id, q
+)
+SELECT vec_id, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 

@@ -76,6 +76,7 @@ DEFAULT_KEYS = (
     # replicated embeddings make every replica pair a true semantic dup,
     # so its result — and the CC edge graph — grows quadratically).
     "text_quality_model",
+    "vec_ivf_trained",
 )
 
 
