@@ -148,6 +148,7 @@ BENCH_KEYS = (
     "dedup_semantic",
     "text_quality_model",
     "vec_ivf_trained",
+    "stream_join",
 )
 
 

@@ -1196,6 +1196,22 @@ FROM labeled l JOIN keep k USING (component)
 """
 
 
+# Stream-stream join replay (streaming/joins.py): with disjoint
+# ascending time-range batches and delay > band, the drained APPEND
+# result of the watermarked inner join equals the BATCH band join —
+# eviction can never outrun a partner that arrives at most `band` later
+# (the module docstring carries the argument). lag is floor-seconds of
+# each timestamp subtracted (Spark unix_timestamp semantics) — BIGINT.
+O_STREAM_JOIN = """
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+"""
+
+
 # Model-based quality filter replay (operators/curation.py
 # quality_model_score): unigram+bigram features with 0-based positions
 # (unigrams 0..n-1, bigrams n..2n-2 — the Spark side's order), joined to

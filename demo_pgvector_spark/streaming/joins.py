@@ -1,0 +1,112 @@
+"""Stream-stream joins — the stateful two-input operator of the §2.9
+extension surface (the reference has no streaming; SURVEY §2.9 scopes
+this family). `windows.py` covers stateful one-input aggregation and
+`late.py` the watermark/event-time contract; this module runs Spark's
+REAL stream-stream inner join: two `readStream` sources, per-side
+watermarks, an equi-key + event-time-band join condition, APPEND output.
+
+Semantics the CORRECTNESS oracle relies on (and staging guarantees):
+
+- An inner stream-stream join emits exactly the pairs satisfying the
+  join condition, each once, PROVIDED neither side's matching row is
+  dropped by watermark eviction before its partner arrives.
+- Both sides' state is evicted by the watermark plus the time-range
+  condition: left rows older than ``wm − band`` can no longer match any
+  future right row and are removed — state is bounded by
+  ``(delay + band) × key cardinality``, the same boundedness class as
+  the windowed aggregates.
+- The staged landing dirs split each side into files by DISJOINT
+  ascending event-time ranges (one micro-batch per file, paired across
+  sources by mtime order), so cross-batch disorder is zero and any
+  in-band match spans at most one batch boundary. With
+  ``delay > band`` no true match can be evicted early, hence the
+  drained APPEND result equals the BATCH band join — which is exactly
+  what the oracle computes. A production deployment keeps the same
+  plan and sizes ``delay`` to its real arrival disorder instead.
+
+At scale the plan is the canonical shape: both inputs shuffle once on
+the join key into a shared state store keyed (user, time-bucket); no
+other exchange.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.session import (
+    scoped_shuffle_partitions as _scoped_shuffle_partitions,
+)
+
+_QUERY_ID = itertools.count()
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    landing_left: str,
+    landing_right: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    band_minutes: int = 120,
+    delay: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Drain two staged landing directories through a watermarked
+    stream-stream INNER join (right row within ``band_minutes`` AFTER
+    its left partner on the same key) and return the emitted pairs as a
+    batch DataFrame: (a_id, b_id, key, lag_seconds).
+
+    ``state_partitions`` sizes the join's state store exactly like the
+    aggregate rows (one task per state partition per micro-batch);
+    ``lag_seconds`` is the second-truncated event-time gap — BIGINT,
+    so the row set hash-matches without float tolerance."""
+    name = f"ss_join_sink_{os.getpid()}_{next(_QUERY_ID)}"
+
+    def side(landing: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .withWatermark(ts_col, delay)
+            .alias(alias)
+        )
+
+    joined = side(landing_left, "a").join(
+        side(landing_right, "b"),
+        F.expr(
+            f"a.{key_col} = b.{key_col}"
+            f" AND b.{ts_col} >= a.{ts_col}"
+            f" AND b.{ts_col} <= a.{ts_col} + interval {band_minutes} minutes"
+        ),
+        "inner",
+    )
+    sel = joined.select(
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
+        F.col(f"a.{key_col}").alias(key_col),
+        (
+            F.unix_timestamp(f"b.{ts_col}") - F.unix_timestamp(f"a.{ts_col}")
+        ).alias("lag_seconds"),
+    )
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            sel.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    # Materialize: the memory-sink temp view is session state tied to
+    # this query name; hand back a standalone frame and drop the view.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result

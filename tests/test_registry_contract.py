@@ -33,6 +33,7 @@ WINDOW_REQUIRED = {
     # registry.py block comments are the same contract) --
     # new this round (never driver-verified):
     "dedup_semantic", "text_quality_model", "vec_ivf_trained",
+    "stream_join",
     "dedup_containment", "win_range_numeric", "chunk_bpe_pretrained",
     "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
     # implementation or oracle changed this round — green r5 rows do
@@ -53,11 +54,12 @@ WINDOW_REQUIRED = {
     "agg_context_concat", "rag_prompts", "src_route", "meta_sidecar",
     "src_convert_epub", "classify_source_type", "extract_year",
     "json_metadata",
-    # r4-green carries at the two-round boundary (agg_pivot, tpch_q5 and
-    # text_repetition were displaced by the three late-round keys above —
-    # still ≤2 rounds old this round; they MUST rotate in at round 7):
+    # r4-green carries at the two-round boundary (agg_pivot, tpch_q5,
+    # text_repetition and win_running_total were displaced by the four
+    # late-round keys above — still ≤2 rounds old this round; they are
+    # first in line for round 7's window):
     "chunk_docling", "chunk_enrich", "win_chunk_number", "mm_media",
-    "emb_hash_embed", "win_running_total",
+    "emb_hash_embed",
 }
 
 

@@ -269,3 +269,56 @@ def test_late_data_drop_and_holdback(spark, tmp_path):
     assert got["2024-01-01 00:00:00"] == (3, 8)  # ids 1+2+5
     assert got["2024-01-01 00:10:00"] == (1, 3)
     assert "2023-12-31 23:50:00" not in got
+
+
+def test_stream_stream_join_matches_batch_join_across_batch_boundary(spark, tmp_path):
+    """The watermarked stream-stream inner join must emit exactly the
+    batch band-join pairs, INCLUDING a match whose partner arrives in a
+    later micro-batch (the state-retention case the watermark must not
+    evict early)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from demo_pgvector_spark.streaming.joins import run_stream_stream_join
+
+    def write_batch(landing, b, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(la), os.makedirs(lb)
+    # left: errors at 12:00 (user 1) and 12:05 (user 2), batch 0;
+    #       13:00 (user 1), batch 1
+    write_batch(la, 0, [(1, t0, 1), (2, t0 + dt.timedelta(minutes=5), 2)])
+    write_batch(la, 1, [(3, t0 + dt.timedelta(hours=1), 1)])
+    # right: purchase 12:30 user 1 in batch 0 (in-batch match for id 1);
+    #        purchase 13:30 user 1 in batch 1 (matches ids 1 AND 3 —
+    #        id 1's state must survive the batch boundary);
+    #        purchase 12:04 user 2 (BEFORE its error — must not match)
+    write_batch(lb, 0, [(10, t0 + dt.timedelta(minutes=30), 1),
+                        (12, t0 + dt.timedelta(minutes=4), 2)])
+    write_batch(lb, 1, [(11, t0 + dt.timedelta(minutes=90), 1)])
+    out = run_stream_stream_join(
+        spark, la, lb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+    )
+    got = {(r["a_id"], r["b_id"]): r["lag_seconds"] for r in out.collect()}
+    assert got == {(1, 10): 1800, (1, 11): 5400, (3, 11): 1800}

@@ -77,6 +77,7 @@ DEFAULT_KEYS = (
     # so its result — and the CC edge graph — grows quadratically).
     "text_quality_model",
     "vec_ivf_trained",
+    "stream_join",
 )
 
 
