@@ -149,6 +149,7 @@ BENCH_KEYS = (
     "text_quality_model",
     "vec_ivf_trained",
     "stream_join",
+    "stream_static_join",
 )
 
 
@@ -208,10 +209,11 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
-        "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line.encode()) <= 1800, (
+    # the driver keeps the LAST 2000 bytes of stdout; the line must fit
+    # whole (full detail lives in BENCH_DETAIL.json, committed per round)
+    assert len(line.encode()) <= 1950, (
         f"bench stdout line is {len(line.encode())} bytes — would overflow "
         "the driver's 2000-byte tail capture; trim BENCH_KEYS reporting"
     )

@@ -1212,6 +1212,17 @@ WHERE a.event_type = 'error' AND b.event_type = 'purchase'
 """
 
 
+# Stream-static enrichment replay: stateless per-batch broadcast join —
+# the drained stream equals the batch join by construction.
+O_STREAM_STATIC_JOIN = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+"""
+
+
 # Model-based quality filter replay (operators/curation.py
 # quality_model_score): unigram+bigram features with 0-based positions
 # (unigrams 0..n-1, bigrams n..2n-2 — the Spark side's order), joined to

@@ -60,6 +60,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_QUALITY_MODEL,
     O_VEC_IVF_TRAINED,
     O_STREAM_JOIN,
+    O_STREAM_STATIC_JOIN,
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_CONTAINMENT,
@@ -2642,6 +2643,42 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/joins.py
+    run_stream_static_join) — the STATELESS join variant of §2.9:
+    purchase events drained as three staged micro-batches, each batch
+    broadcast-joined against the customer→nation dimension chain (a
+    batch DataFrame re-evaluated per trigger — the slowly-changing-dim
+    contract). No state store, no exchange: every micro-batch is
+    scan → broadcast hash join → append, so the drained result equals
+    the batch join by construction, which is the oracle."""
+    import tempfile
+
+    tune_session(spark)
+    weeks = ["ts < TIMESTAMP '2024-01-11'",
+             "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+             "ts >= TIMESTAMP '2024-01-21'"]
+    work, landing = _stage_late_batches(
+        "ssj_pur", sf_dir,
+        [f"event_type = 'purchase' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    dim = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "c_mktsegment", F.col("n_name").alias("nation"))
+    )
+    out = stream_join_ops.run_stream_static_join(
+        spark,
+        landing,
+        dim,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_", dir=work),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+    )
+    return out.select("event_id", "user_id", "c_mktsegment", "nation")
+
+
 def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE-mode watermarked windows (streaming/late.py
     run_late_data_stream_update): the changelog contract. Three staged
@@ -3636,10 +3673,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
     # dedup_semantic / text_quality_model / vec_ivf_trained / stream_join
-    # landed late in round 6; their four slots displace the four r4-green
-    # boundary carries agg_pivot / tpch_q5 / text_repetition /
-    # win_running_total (still ≤2 rounds old this round — first in line
-    # for round 7's window). NOTE on rotation math: at 108 keys / 50
+    # / stream_static_join landed late in round 6; their five slots
+    # displace the five r4-green boundary carries agg_pivot / tpch_q5 /
+    # text_repetition / win_running_total / emb_hash_embed (still ≤2
+    # rounds old this round — first in line for round 7's window). NOTE on rotation math: at 108 keys / 50
     # slots, full driver-row coverage takes ⌈108/50⌉ = 3 rounds, so the
     # ≤2-round freshness bound the smaller registry kept is no longer
     # universally achievable via the driver gate alone; the every-round
@@ -3650,6 +3687,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "stream_join": (q_stream_join, O_STREAM_JOIN),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),

@@ -110,3 +110,49 @@ def run_stream_stream_join(
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
     return result
+
+
+def run_stream_static_join(
+    spark: SparkSession,
+    landing: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join — the stateless join variant of the
+    streaming surface: every micro-batch joins the arriving rows against
+    a BATCH dimension DataFrame. The dim is broadcast, so the stream
+    plan has NO stateful store and no exchange at all — each batch is
+    scan → broadcast hash join → append; the dim is re-resolvable per
+    batch (Spark re-evaluates the batch plan each trigger, which is what
+    makes slowly-changing dims pick up changes between triggers).
+
+    Returns the drained APPEND result (one row per arriving event,
+    enriched) as a batch DataFrame — equal to the batch join by
+    construction, which is what the oracle computes."""
+    name = f"ss_static_sink_{os.getpid()}_{next(_QUERY_ID)}"
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream[key_col] == dim[dim_key], "inner"
+    ).drop(dim_key)
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result

@@ -322,3 +322,43 @@ def test_stream_stream_join_matches_batch_join_across_batch_boundary(spark, tmp_
     )
     got = {(r["a_id"], r["b_id"]): r["lag_seconds"] for r in out.collect()}
     assert got == {(1, 10): 1800, (1, 11): 5400, (3, 11): 1800}
+
+
+def test_stream_static_join_enriches_every_batch(spark, tmp_path):
+    """The stateless enrichment join: every arriving row joins the batch
+    dimension; rows with no dim match drop (inner); multiple batches all
+    enrich."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark.streaming.joins import run_stream_static_join
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for b, rows in enumerate([[(1, t0, 10), (2, t0, 99)], [(3, t0, 11)]]):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+    dim = spark.createDataFrame(
+        [(10, "A"), (11, "B")], "c_custkey long, seg string"
+    )
+    out = run_stream_static_join(
+        spark, landing, dim,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+    )
+    got = {(r["event_id"], r["seg"]) for r in out.collect()}
+    assert got == {(1, "A"), (3, "B")}  # user 99 has no dim row
