@@ -78,6 +78,7 @@ DEFAULT_KEYS = (
     "text_quality_model",
     "vec_ivf_trained",
     "stream_join",
+    "stream_static_join",
 )
 
 
