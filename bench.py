@@ -150,6 +150,7 @@ BENCH_KEYS = (
     "vec_ivf_trained",
     "stream_join",
     "stream_static_join",
+    "stream_join_outer",
 )
 
 

@@ -1212,6 +1212,42 @@ WHERE a.event_type = 'error' AND b.event_type = 'purchase'
 """
 
 
+# Left-outer stream-stream replay: matched pairs (the inner contract)
+# UNION the unmatched lefts whose band end the final watermark passed
+# STRICTLY — wm = min(per-side ms-truncated max event time) − delay,
+# computed by availableNow's trailing no-data batch; a left row at
+# exactly wm − band stays in state (empirically probed boundary).
+O_STREAM_JOIN_OUTER = """
+WITH m AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+         CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+),
+wm AS (
+  SELECT least(
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'),
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase')
+  ) - 86400000 AS wm_ms
+),
+unm AS (
+  SELECT a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id, a.user_id,
+         CAST(NULL AS BIGINT) AS lag_seconds
+  FROM events a, wm
+  WHERE a.event_type = 'error'
+    AND NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+    )
+    AND epoch_ms(a.ts) + 7200000 < wm.wm_ms
+)
+SELECT * FROM m UNION ALL SELECT * FROM unm
+"""
+
+
 # Stream-static enrichment replay: stateless per-batch broadcast join —
 # the drained stream equals the batch join by construction.
 O_STREAM_STATIC_JOIN = """

@@ -61,6 +61,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_IVF_TRAINED,
     O_STREAM_JOIN,
     O_STREAM_STATIC_JOIN,
+    O_STREAM_JOIN_OUTER,
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_CONTAINMENT,
@@ -2679,6 +2680,42 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "c_mktsegment", "nation")
 
 
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join (streaming/joins.py, the
+    null-emission contract): same staging and band as ``stream_join``,
+    plus every error with NO same-user purchase in the following 2 h
+    emitted null-extended once the watermark strictly passes the end of
+    its band. Emission boundary empirically pinned (probe: a left row
+    at exactly wm − band stays in state): unmatched lefts emit iff
+    ``a.ts + band < min(side ms-truncated maxes) − delay``, which the
+    oracle replays verbatim — the watermark-eviction analog of the
+    late-data rows' cascade pin."""
+    import tempfile
+
+    tune_session(spark)
+    weeks = ["ts < TIMESTAMP '2024-01-11'",
+             "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+             "ts >= TIMESTAMP '2024-01-21'"]
+    work, landing_a = _stage_late_batches(
+        "ssj_err", sf_dir,
+        [f"event_type = 'error' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    _, landing_b = _stage_late_batches(
+        "ssj_pur", sf_dir,
+        [f"event_type = 'purchase' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    return stream_join_ops.run_stream_stream_join(
+        spark,
+        landing_a,
+        landing_b,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_", dir=work),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="leftOuter",
+    )
+
+
 def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE-mode watermarked windows (streaming/late.py
     run_late_data_stream_update): the changelog contract. Three staged
@@ -3673,10 +3710,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
     # dedup_semantic / text_quality_model / vec_ivf_trained / stream_join
-    # / stream_static_join landed late in round 6; their five slots
-    # displace the five r4-green boundary carries agg_pivot / tpch_q5 /
-    # text_repetition / win_running_total / emb_hash_embed (still ≤2
-    # rounds old this round — first in line for round 7's window). NOTE on rotation math: at 108 keys / 50
+    # / stream_static_join / stream_join_outer landed late in round 6;
+    # their six slots displace the six r4-green boundary carries agg_pivot
+    # / tpch_q5 / text_repetition / win_running_total / emb_hash_embed /
+    # mm_media (still ≤2 rounds old this round — first in line for round
+    # 7's window). NOTE on rotation math: at 108 keys / 50
     # slots, full driver-row coverage takes ⌈108/50⌉ = 3 rounds, so the
     # ≤2-round freshness bound the smaller registry kept is no longer
     # universally achievable via the driver gate alone; the every-round
@@ -3688,6 +3726,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "stream_join": (q_stream_join, O_STREAM_JOIN),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
+    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),

@@ -56,11 +56,24 @@ def run_stream_stream_join(
     key_col: str = "user_id",
     id_col: str = "event_id",
     state_partitions: int = 4,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Drain two staged landing directories through a watermarked
-    stream-stream INNER join (right row within ``band_minutes`` AFTER
-    its left partner on the same key) and return the emitted pairs as a
+    stream-stream join (right row within ``band_minutes`` AFTER its
+    left partner on the same key) and return the emitted rows as a
     batch DataFrame: (a_id, b_id, key, lag_seconds).
+
+    ``join_type="leftOuter"`` additionally emits every UNMATCHED left
+    row null-extended once the watermark passes the end of its match
+    band. The exact emission contract, empirically pinned on Spark 4.1
+    (boundary cases probed, the late.py methodology): with the global
+    watermark ``wm = min(per-side ms-truncated max event time) − delay``
+    computed by the trailing no-data batch, an unmatched left row emits
+    iff ``a.ts + band < wm`` STRICTLY (a row at exactly ``wm − band``
+    stays in state, un-emitted, awaiting resume). The oracle replays
+    matched pairs plus exactly this predicate. Band and delay are whole
+    milliseconds, so the ms-truncated comparison is equivalent to the
+    µs one on both engines.
 
     ``state_partitions`` sizes the join's state store exactly like the
     aggregate rows (one task per state partition per micro-batch);
@@ -84,7 +97,7 @@ def run_stream_stream_join(
             f" AND b.{ts_col} >= a.{ts_col}"
             f" AND b.{ts_col} <= a.{ts_col} + interval {band_minutes} minutes"
         ),
-        "inner",
+        join_type,
     )
     sel = joined.select(
         F.col(f"a.{id_col}").alias("a_id"),

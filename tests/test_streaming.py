@@ -362,3 +362,51 @@ def test_stream_static_join_enriches_every_batch(spark, tmp_path):
     )
     got = {(r["event_id"], r["seg"]) for r in out.collect()}
     assert got == {(1, "A"), (3, "B")}  # user 99 has no dim row
+
+
+def test_stream_stream_left_outer_null_emission_boundary(spark, tmp_path):
+    """The pinned left-outer contract: unmatched lefts emit null-extended
+    iff a.ts + band < wm STRICTLY (wm = min of side maxes − delay at the
+    trailing no-data batch); a row at exactly wm − band stays in state."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark.streaming.joins import run_stream_stream_join
+
+    def wb(landing, b, rows):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+
+    T = dt.datetime(2024, 1, 10)  # target watermark (both maxes at T + 1d)
+    D, H, S = (dt.timedelta(days=1), dt.timedelta(hours=1),
+               dt.timedelta(seconds=1))
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(la), os.makedirs(lb)
+    wb(la, 0, [(1, T - 2 * H, 1),      # band end == wm exactly → state
+               (2, T - 2 * H + S, 2),  # inside → state
+               (3, T - 2 * H - S, 3),  # strictly past → null emission
+               (4, T - 3 * H, 4),      # past, but MATCHED → pair, no null
+               (9, T + D, 99)])        # sets max_A; young → state
+    wb(lb, 0, [(10, T - 3 * H + 30 * dt.timedelta(minutes=1), 4),
+               (11, T + D, 98)])       # sets max_B
+    out = run_stream_stream_join(
+        spark, la, lb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="leftOuter",
+    )
+    got = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+    assert got == [(3, None), (4, 10)]

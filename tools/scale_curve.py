@@ -79,6 +79,7 @@ DEFAULT_KEYS = (
     "vec_ivf_trained",
     "stream_join",
     "stream_static_join",
+    "stream_join_outer",
 )
 
 
