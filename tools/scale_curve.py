@@ -119,6 +119,14 @@ def main() -> None:
                 fn(spark, d).collect()
                 samples.append(time.time() - t0)
             t[key] = round(median(samples), 3)
+            # Long single-session multi-scale runs accumulate
+            # localCheckpoint blocks and collected-result refs (the same
+            # driver-heap exhaustion class tools/parity.py hit on the
+            # 30× sweep); force the Python side so the ContextCleaner
+            # can actually free them between keys.
+            import gc
+
+            gc.collect()
         results[label] = t
         print(json.dumps({"scale": label, "total": round(sum(t.values()), 2),
                           "queries": t}), flush=True)
