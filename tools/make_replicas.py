@@ -25,7 +25,16 @@ import sys
 import duckdb
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
-ROW_GROUP = 2_000
+# Row-group sizing is a first-class scale knob (SCALE.md lesson 1):
+# SMALL replicated tables need small groups or a single local file is
+# ONE Spark task; but a blanket tiny group on the 18M-row facts taxes
+# every scan with thousands of row-group initializations (the round-6
+# replicas gave lineitem 8,761 groups of 2k rows, and tpch_q1's 30× scan
+# went 5.9 s → 19.5 s purely from that layout). Facts get ~128k-row
+# groups (plenty of split points at 18M rows), small tables keep 2k.
+ROW_GROUP_SMALL = 2_000
+ROW_GROUP_FACT = 131_072
+FACT_TABLES = {"orders", "lineitem", "events"}
 
 
 def replicate(src: str, dst: str, n: int) -> None:
@@ -58,9 +67,10 @@ def replicate(src: str, dst: str, n: int) -> None:
             f"SELECT {select_tpl.format(r=r)} FROM '{src}/{table}.parquet'"
             for r in range(n)
         )
+        rg = ROW_GROUP_FACT if table in FACT_TABLES else ROW_GROUP_SMALL
         con.sql(
             f"COPY ({parts}) TO '{dst}/{table}.parquet'"
-            f" (FORMAT parquet, ROW_GROUP_SIZE {ROW_GROUP})"
+            f" (FORMAT parquet, ROW_GROUP_SIZE {rg})"
         )
 
     fan("orders", f"o_orderkey + {{r}} * {s_ord} AS o_orderkey, o_custkey,"
