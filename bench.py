@@ -151,6 +151,7 @@ BENCH_KEYS = (
     "stream_join",
     "stream_static_join",
     "stream_join_outer",
+    "stream_join_right",
 )
 
 

@@ -1248,6 +1248,41 @@ SELECT * FROM m UNION ALL SELECT * FROM unm
 """
 
 
+# Right-outer stream-stream replay — the symmetric pin: unmatched RIGHT
+# rows emit null-extended iff b.ts < wm STRICTLY (a right row at exactly
+# wm stays in state — probed; future lefts with a.ts <= b.ts would be
+# late once wm passes b.ts, so eviction keys on b.ts itself).
+O_STREAM_JOIN_RIGHT = """
+WITH m AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id, b.user_id,
+         CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+),
+wm AS (
+  SELECT least(
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'),
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase')
+  ) - 86400000 AS wm_ms
+),
+unm AS (
+  SELECT CAST(NULL AS BIGINT) AS a_id, b.event_id AS b_id, b.user_id,
+         CAST(NULL AS BIGINT) AS lag_seconds
+  FROM events b, wm
+  WHERE b.event_type = 'purchase'
+    AND NOT EXISTS (
+      SELECT 1 FROM events a
+      WHERE a.event_type = 'error' AND a.user_id = b.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+    )
+    AND epoch_ms(b.ts) < wm.wm_ms
+)
+SELECT * FROM m UNION ALL SELECT * FROM unm
+"""
+
+
 # Stream-static enrichment replay: stateless per-batch broadcast join —
 # the drained stream equals the batch join by construction.
 O_STREAM_STATIC_JOIN = """

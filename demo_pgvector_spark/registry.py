@@ -62,6 +62,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_JOIN,
     O_STREAM_STATIC_JOIN,
     O_STREAM_JOIN_OUTER,
+    O_STREAM_JOIN_RIGHT,
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_CONTAINMENT,
@@ -2716,6 +2717,40 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-OUTER stream-stream join — the symmetric null-emission
+    contract: same staging/band as ``stream_join``, plus every purchase
+    with NO same-user error in the PRECEDING 2 h emitted null-extended
+    once the watermark strictly passes its event time (right state is
+    matchable by future lefts only while ``b.ts >= wm``; probe: a right
+    row at exactly wm stays in state). Oracle = matched pairs UNION
+    unmatched rights with ``epoch_ms(b.ts) < wm_ms`` verbatim."""
+    import tempfile
+
+    tune_session(spark)
+    weeks = ["ts < TIMESTAMP '2024-01-11'",
+             "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+             "ts >= TIMESTAMP '2024-01-21'"]
+    work, landing_a = _stage_late_batches(
+        "ssj_err", sf_dir,
+        [f"event_type = 'error' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    _, landing_b = _stage_late_batches(
+        "ssj_pur", sf_dir,
+        [f"event_type = 'purchase' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    return stream_join_ops.run_stream_stream_join(
+        spark,
+        landing_a,
+        landing_b,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_", dir=work),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="rightOuter",
+    )
+
+
 def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE-mode watermarked windows (streaming/late.py
     run_late_data_stream_update): the changelog contract. Three staged
@@ -3710,11 +3745,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
     # dedup_semantic / text_quality_model / vec_ivf_trained / stream_join
-    # / stream_static_join / stream_join_outer landed late in round 6;
-    # their six slots displace the six r4-green boundary carries agg_pivot
-    # / tpch_q5 / text_repetition / win_running_total / emb_hash_embed /
-    # mm_media (still ≤2 rounds old this round — first in line for round
-    # 7's window). NOTE on rotation math: at 108 keys / 50
+    # / stream_static_join / stream_join_outer / stream_join_right landed
+    # late in round 6; their seven slots displace the seven r4-green
+    # boundary carries agg_pivot / tpch_q5 / text_repetition /
+    # win_running_total / emb_hash_embed / mm_media / win_chunk_number
+    # (still ≤2 rounds old this round — first in line for round 7's
+    # window). NOTE on rotation math: at 108 keys / 50
     # slots, full driver-row coverage takes ⌈108/50⌉ = 3 rounds, so the
     # ≤2-round freshness bound the smaller registry kept is no longer
     # universally achievable via the driver gate alone; the every-round
@@ -3727,6 +3763,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_join": (q_stream_join, O_STREAM_JOIN),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
     "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
+    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),

@@ -102,7 +102,9 @@ def run_stream_stream_join(
     sel = joined.select(
         F.col(f"a.{id_col}").alias("a_id"),
         F.col(f"b.{id_col}").alias("b_id"),
-        F.col(f"a.{key_col}").alias(key_col),
+        # coalesce: the equi-key is identical on matched rows and only
+        # one side exists on outer-emitted rows
+        F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(key_col),
         (
             F.unix_timestamp(f"b.{ts_col}") - F.unix_timestamp(f"a.{ts_col}")
         ).alias("lag_seconds"),

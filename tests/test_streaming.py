@@ -410,3 +410,52 @@ def test_stream_stream_left_outer_null_emission_boundary(spark, tmp_path):
     )
     got = sorted((r["a_id"], r["b_id"]) for r in out.collect())
     assert got == [(3, None), (4, 10)]
+
+
+def test_stream_stream_right_outer_null_emission_boundary(spark, tmp_path):
+    """The symmetric right-outer pin: unmatched rights emit
+    null-extended iff b.ts < wm STRICTLY; a right row at exactly wm
+    stays in state."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark.streaming.joins import run_stream_stream_join
+
+    def wb(landing, b, rows):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+
+    T = dt.datetime(2024, 1, 10)
+    D, H, S = (dt.timedelta(days=1), dt.timedelta(hours=1),
+               dt.timedelta(seconds=1))
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(la), os.makedirs(lb)
+    wb(la, 0, [(1, T - 4 * H, 4),   # matches right id 14
+               (9, T + D, 99)])     # sets max_A
+    wb(lb, 0, [(11, T, 1),          # b.ts == wm → state
+               (12, T + S, 2),      # above wm → state
+               (13, T - S, 3),      # strictly below → null emission
+               (14, T - 3 * H, 4),  # below, but MATCHED → pair
+               (19, T + D, 98)])    # sets max_B
+    out = run_stream_stream_join(
+        spark, la, lb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="rightOuter",
+    )
+    got = sorted(((r["a_id"], r["b_id"], r["user_id"]) for r in out.collect()),
+                 key=str)
+    assert got == [(1, 14, 4), (None, 13, 3)]

@@ -80,6 +80,7 @@ DEFAULT_KEYS = (
     "stream_join",
     "stream_static_join",
     "stream_join_outer",
+    "stream_join_right",
 )
 
 
