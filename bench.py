@@ -152,6 +152,7 @@ BENCH_KEYS = (
     "stream_static_join",
     "stream_join_outer",
     "stream_join_right",
+    "stream_join_full",
 )
 
 

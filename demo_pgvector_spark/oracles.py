@@ -1283,6 +1283,45 @@ SELECT * FROM m UNION ALL SELECT * FROM unm
 """
 
 
+# Full-outer stream-stream replay: the three-way UNION of the two
+# independently pinned contracts — matched pairs, strict left predicate
+# (a.ts + band < wm), strict right predicate (b.ts < wm).
+O_STREAM_JOIN_FULL = """
+WITH wm AS (
+  SELECT least(
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'error'),
+    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase')
+  ) - 86400000 AS wm_ms
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+UNION ALL
+SELECT a.event_id, CAST(NULL AS BIGINT), a.user_id, CAST(NULL AS BIGINT)
+FROM events a, wm
+WHERE a.event_type = 'error'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+  )
+  AND epoch_ms(a.ts) + 7200000 < wm.wm_ms
+UNION ALL
+SELECT CAST(NULL AS BIGINT), b.event_id, b.user_id, CAST(NULL AS BIGINT)
+FROM events b, wm
+WHERE b.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events a
+    WHERE a.event_type = 'error' AND a.user_id = b.user_id
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+  )
+  AND epoch_ms(b.ts) < wm.wm_ms
+"""
+
+
 # Stream-static enrichment replay: stateless per-batch broadcast join —
 # the drained stream equals the batch join by construction.
 O_STREAM_STATIC_JOIN = """

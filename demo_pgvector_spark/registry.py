@@ -63,6 +63,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STREAM_STATIC_JOIN,
     O_STREAM_JOIN_OUTER,
     O_STREAM_JOIN_RIGHT,
+    O_STREAM_JOIN_FULL,
     O_DEDUP_EMBEDDING,
     O_DEDUP_EXACT,
     O_DEDUP_CONTAINMENT,
@@ -2751,6 +2752,40 @@ def q_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join — the union of the two pinned
+    null-emission contracts: matched pairs, plus unmatched LEFTS where
+    ``a.ts + band < wm`` strictly (the stream_join_outer pin), plus
+    unmatched RIGHTS where ``b.ts < wm`` strictly (the
+    stream_join_right pin); wm = min(per-side ms-truncated maxes) −
+    delay at the trailing no-data batch. The oracle is literally the
+    three-way UNION of the verified predicates."""
+    import tempfile
+
+    tune_session(spark)
+    weeks = ["ts < TIMESTAMP '2024-01-11'",
+             "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+             "ts >= TIMESTAMP '2024-01-21'"]
+    work, landing_a = _stage_late_batches(
+        "ssj_err", sf_dir,
+        [f"event_type = 'error' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    _, landing_b = _stage_late_batches(
+        "ssj_pur", sf_dir,
+        [f"event_type = 'purchase' AND {w}" for w in weeks],
+        select="event_id, ts, user_id",
+    )
+    return stream_join_ops.run_stream_stream_join(
+        spark,
+        landing_a,
+        landing_b,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_", dir=work),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="fullOuter",
+    )
+
+
 def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE-mode watermarked windows (streaming/late.py
     run_late_data_stream_update): the changelog contract. Three staged
@@ -3745,12 +3780,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
     # dedup_semantic / text_quality_model / vec_ivf_trained / stream_join
-    # / stream_static_join / stream_join_outer / stream_join_right landed
-    # late in round 6; their seven slots displace the seven r4-green
-    # boundary carries agg_pivot / tpch_q5 / text_repetition /
-    # win_running_total / emb_hash_embed / mm_media / win_chunk_number
-    # (still ≤2 rounds old this round — first in line for round 7's
-    # window). NOTE on rotation math: at 108 keys / 50
+    # / stream_static_join / stream_join_outer / stream_join_right /
+    # stream_join_full landed late in round 6; their eight slots displace
+    # the eight r4-green boundary carries agg_pivot / tpch_q5 /
+    # text_repetition / win_running_total / emb_hash_embed / mm_media /
+    # win_chunk_number / chunk_enrich (still ≤2 rounds old this round —
+    # first in line for round 7's window). NOTE on rotation math: at 108 keys / 50
     # slots, full driver-row coverage takes ⌈108/50⌉ = 3 rounds, so the
     # ≤2-round freshness bound the smaller registry kept is no longer
     # universally achievable via the driver gate alone; the every-round
@@ -3764,6 +3799,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
     "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
     "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
+    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),

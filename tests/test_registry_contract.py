@@ -34,7 +34,7 @@ WINDOW_REQUIRED = {
     # new this round (never driver-verified):
     "dedup_semantic", "text_quality_model", "vec_ivf_trained",
     "stream_join", "stream_static_join", "stream_join_outer",
-    "stream_join_right",
+    "stream_join_right", "stream_join_full",
     "dedup_containment", "win_range_numeric", "chunk_bpe_pretrained",
     "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
     # implementation or oracle changed this round — green r5 rows do
@@ -56,11 +56,11 @@ WINDOW_REQUIRED = {
     "src_convert_epub", "classify_source_type", "extract_year",
     "json_metadata",
     # r4-green carries at the two-round boundary (agg_pivot, tpch_q5,
-    # text_repetition, win_running_total, emb_hash_embed, mm_media and
-    # win_chunk_number were displaced by the seven late-round keys above —
-    # still ≤2 rounds old this round; they are first in line for round
-    # 7's window):
-    "chunk_docling", "chunk_enrich",
+    # text_repetition, win_running_total, emb_hash_embed, mm_media,
+    # win_chunk_number and chunk_enrich were displaced by the eight
+    # late-round keys above — still ≤2 rounds old this round; they are
+    # first in line for round 7's window):
+    "chunk_docling",
 }
 
 

@@ -459,3 +459,49 @@ def test_stream_stream_right_outer_null_emission_boundary(spark, tmp_path):
     got = sorted(((r["a_id"], r["b_id"], r["user_id"]) for r in out.collect()),
                  key=str)
     assert got == [(1, 14, 4), (None, 13, 3)]
+
+
+def test_stream_stream_full_outer_is_union_of_pins(spark, tmp_path):
+    """Full outer = matched ∪ strict-left-evicted nulls ∪
+    strict-right-evicted nulls, on a scenario exercising all three."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from demo_pgvector_spark.streaming.joins import run_stream_stream_join
+
+    def wb(landing, b, rows):
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+
+    T = dt.datetime(2024, 1, 10)
+    D, H = dt.timedelta(days=1), dt.timedelta(hours=1)
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(la), os.makedirs(lb)
+    wb(la, 0, [(1, T - 4 * H, 4),    # matched
+               (2, T - 5 * H, 5),    # unmatched left, past wm - band
+               (9, T + D, 99)])
+    wb(lb, 0, [(14, T - 3 * H, 4),   # matched partner
+               (13, T - 3 * H, 3),   # unmatched right, past wm
+               (19, T + D, 98)])
+    out = run_stream_stream_join(
+        spark, la, lb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long",
+        join_type="fullOuter",
+    )
+    got = sorted(((r["a_id"], r["b_id"], r["user_id"]) for r in out.collect()),
+                 key=str)
+    assert got == [(1, 14, 4), (2, None, 5), (None, 13, 3)]

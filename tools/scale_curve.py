@@ -81,6 +81,7 @@ DEFAULT_KEYS = (
     "stream_static_join",
     "stream_join_outer",
     "stream_join_right",
+    "stream_join_full",
 )
 
 
