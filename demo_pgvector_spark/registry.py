@@ -2519,6 +2519,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches as a DuckDB window cascade: within-batch first-event-wins
     dedup, earliest-batch-wins across batches, ids allocated per batch in
     user_id order — exactly operators/write.py upsert semantics."""
+    import atexit
     import shutil
     import tempfile
 
@@ -2538,6 +2539,10 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         select="event_id, user_id, event_type, ROUND(value, 6) AS value",
     )
     work = tempfile.mkdtemp(prefix="spark_graft_ingest_run_")
+    # atexit, not inline rmtree (ADVICE r6: an exception during the drain
+    # leaked the dir) — and the committed table now outlives the call so
+    # the returned frame can stay DISTRIBUTED (no driver collect).
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     schema_ddl = (
         "id long, event_id long, user_id long, event_type string, value double"
     )
@@ -2557,11 +2562,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(work, "ckpt"),
         batch_order=("event_id",),
     )
-    out = stream_ingest_ops.read_table(spark, root, schema_ddl)
-    # Materialize before the temp table directory disappears.
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    return stream_ingest_ops.read_table(spark, root, schema_ddl)
 
 
 # Staged-landing cache for the two late-data rows: the batch files are
@@ -2571,7 +2572,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scaffolding priced out of steady-state). Checkpoint dirs stay fresh
 # per run — the stream itself always reprocesses. Work dirs are
 # atexit-reclaimed.
-_LATE_LANDING_CACHE: dict[tuple[str, str], str] = {}
+_LATE_LANDING_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def _stage_late_batches(
@@ -2581,14 +2582,26 @@ def _stage_late_batches(
     select: str = "event_id, ts, event_type",
 ) -> tuple[str, str]:
     """Return (work_dir, landing_dir) with the batch files staged,
-    caching per (tag, sf_dir) for process lifetime."""
+    caching per (tag, sf_dir, staging-args digest) for process lifetime.
+
+    The digest folds (select, batch_conds) into the cache key (ADVICE
+    r6): tags like 'ssj_pur' are shared by several row functions, and
+    keying on the tag alone made correctness silently depend on every
+    same-tag caller passing textually identical predicates/projection —
+    a future divergent caller would have read stale files with no error.
+    """
     import atexit
+    import hashlib
     import shutil
     import tempfile
 
     import duckdb
 
-    cached = _LATE_LANDING_CACHE.get((tag, sf_dir))
+    digest = hashlib.sha256(
+        "\x1f".join([select, *batch_conds]).encode()
+    ).hexdigest()[:16]
+    cache_key = (tag, sf_dir, digest)
+    cached = _LATE_LANDING_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(os.path.join(cached, "landing")):
         return cached, os.path.join(cached, "landing")
     work = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
@@ -2604,7 +2617,7 @@ def _stage_late_batches(
             f" TO '{path}' (FORMAT parquet)"
         )
         os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
-    _LATE_LANDING_CACHE[(tag, sf_dir)] = work
+    _LATE_LANDING_CACHE[cache_key] = work
     return work, landing
 
 
@@ -3863,7 +3876,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # unless noted; tools/parity.py re-verifies ALL keys locally each round)
     "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
-    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
     "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
     "agg_percentiles_approx": (q_agg_percentiles_approx, O_AGG_PERCENTILES_APPROX),
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),

@@ -281,3 +281,59 @@ def test_semdedup_zero_vector_and_singletons(spark):
     out = {r["vec_id"]: r for r in dedup.semdedup(df, cents, 0.5).collect()}
     assert out[1]["cent_cos"] == 0.0 and out[1]["is_keeper"]
     assert out[2]["is_keeper"] and out[2]["component"] == 2
+
+
+def test_semdedup_margins_hold_on_real_testdata():
+    """ADVICE r6: the SEMDEDUP_TAU safety argument rested on a one-off
+    measured margin recorded in a comment. Recompute both margins on the
+    REAL testdata (every sf dir present) against fixed floors, so
+    regenerated testdata that lands inside float noise fails HERE
+    instead of silently flipping a gate row:
+
+    - τ-margin: min |cosine − τ| over every within-cluster pair of the
+      16-seed clustering (measured: 3.6e-4 @ sf0.01, 7.8e-6 @ sf0.1);
+    - argmax margin: per-vector cosine gap between the best and
+      second-best centroid (Spark ranks on |v|·cos, the oracle on
+      cosine — the gap is what keeps both argmaxes identical; measured:
+      2.3e-4 @ sf0.01, 1.1e-5 @ sf0.1).
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    sf_dirs = sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+    )
+    assert sf_dirs, f"no testdata under {root}"
+    for sf_dir in sf_dirs:
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+            " ORDER BY vec_id"
+        ).fetchall()
+        m = np.array([r[1] for r in rows], dtype=np.float64)
+        cents = m[:16]  # the _seed_vectors contract: vec_id 0-15, id order
+        units = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        scores = m @ units.T
+        norms = np.linalg.norm(m, axis=1)
+        top2 = np.sort(scores, axis=1)[:, -2:]
+        argmax_margin = (
+            (top2[:, 1] - top2[:, 0]) / np.where(norms > 0, norms, 1.0)
+        ).min()
+        cl = scores.argmax(axis=1)  # first max = lowest cid, the Spark tie rule
+        tau_margin = np.inf
+        for c in range(16):
+            sub = m[cl == c]
+            if len(sub) < 2:
+                continue
+            g = sub @ sub.T
+            d = np.sqrt(np.outer(np.diag(g), np.diag(g)))
+            iu = np.triu_indices(len(sub), 1)
+            tau_margin = min(
+                tau_margin, np.abs(g[iu] / d[iu] - dedup.SEMDEDUP_TAU).min()
+            )
+        assert argmax_margin >= 1e-6, (sf_dir, argmax_margin)
+        assert tau_margin >= 1e-6, (sf_dir, tau_margin)

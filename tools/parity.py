@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import gc
 import math
 import os
 import sys
@@ -53,6 +54,11 @@ def _arrow_kind(t) -> str:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{_arrow_kind(t.value_type)}>"
     if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        # Spark surfaces map<...> through _spark_kind as 'struct'; fold the
+        # Arrow side identically so a map-typed result column compares by
+        # value instead of tripping a spurious TYPE MISMATCH (ADVICE r6).
         return "struct"
     if pa.types.is_null(t):
         return "null"
@@ -176,8 +182,6 @@ def main():
         # only free once the Python DataFrame refs are collected and the
         # ContextCleaner runs; force the Python side so a 100-key replica
         # sweep can't OOM the shared local-mode heap.
-        import gc
-
         gc.collect()
     if failures:
         print(f"FAILED: {failures}")

@@ -21,6 +21,7 @@ task and look 13-19× instead of ~3×).
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -126,8 +127,6 @@ def main() -> None:
             # driver-heap exhaustion class tools/parity.py hit on the
             # 30× sweep); force the Python side so the ContextCleaner
             # can actually free them between keys.
-            import gc
-
             gc.collect()
         results[label] = t
         print(json.dumps({"scale": label, "total": round(sum(t.values()), 2),
