@@ -153,6 +153,9 @@ BENCH_KEYS = (
     "stream_join_outer",
     "stream_join_right",
     "stream_join_full",
+    # round-7 additions
+    "join_edit_distance",
+    "stream_stateful_funnel",
 )
 
 

@@ -30,3 +30,23 @@ _SOURCE_COLS = (
 )
 
 RAG_PROMPT = "what do the Archives say about windows and sorting?"
+
+# Edit-distance fuzzy join (join_edit_distance): the testdata has no
+# realistic entity-name column (PLANS.md r6 deferral), so the row
+# synthesizes one deterministically from c_custkey — three word wheels
+# whose entries are deliberate near-misses of each other (1-2 character
+# edits), composed as w1-w2-w3. Coprime wheel sizes (7/11/13) cycle
+# through 1001 combinations, so the name population has exact
+# duplicates, single-wheel near-misses, and cross-wheel compound edits.
+# Both engines must synthesize EXACTLY these strings.
+FUZZY_W1 = ("stone", "store", "shore", "share", "spare", "scare", "stare")
+FUZZY_W2 = (
+    "plane", "plant", "plate", "place", "plain", "blade",
+    "brake", "crane", "crate", "grape", "graph",
+)
+FUZZY_W3 = (
+    "light", "night", "sight", "right", "tight", "fight", "might",
+    "eight", "mount", "count", "court", "short", "shirt",
+)
+FUZZY_TAU = 2
+FUZZY_MAX_KEY = 2000

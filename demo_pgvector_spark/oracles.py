@@ -22,6 +22,11 @@ from demo_pgvector_spark.fixtures import (
     _EXTS,
     _SIDECARS,
     _SOURCE_COLS,
+    FUZZY_MAX_KEY,
+    FUZZY_TAU,
+    FUZZY_W1,
+    FUZZY_W2,
+    FUZZY_W3,
     RAG_PROMPT,
 )
 from demo_pgvector_spark.functions import textstats
@@ -1202,6 +1207,54 @@ FROM labeled l JOIN keep k USING (component)
 # eviction can never outrun a partner that arrives at most `band` later
 # (the module docstring carries the argument). lag is floor-seconds of
 # each timestamp subtracted (Spark unix_timestamp semantics) — BIGINT.
+# Sessionized-funnel state machine replay (registry
+# q_stream_stateful_funnel, streaming/stateful.py funnel_sessions): one
+# row per user about the user's FIRST click — 'converted' with the first
+# purchase strictly after it in (ts, event_id) order and within 24 h, or
+# 'expired' when the final watermark strictly passed the click's window
+# (wm = ms-truncated max event time − 1 day delay, the availableNow
+# trailing-batch value; eviction is t < wm STRICTLY — a timeout at
+# exactly wm stays in state, boundary probed in tests/test_streaming.py).
+# Pending funnels and clickless users emit nothing.
+O_STREAM_STATEFUL_FUNNEL = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev WHERE event_type = 'click'
+),
+first_a AS (SELECT user_id, a_id, a_ts FROM a WHERE rn = 1),
+conv AS (
+  SELECT f.user_id, f.a_id, b.event_id AS b_id,
+         (epoch_us(b.ts) - epoch_us(f.a_ts)) // 1000000 AS lag_seconds,
+         ROW_NUMBER() OVER (PARTITION BY f.user_id ORDER BY b.ts, b.event_id)
+           AS rn
+  FROM first_a f
+  JOIN ev b ON b.user_id = f.user_id AND b.event_type = 'purchase'
+   AND (b.ts > f.a_ts OR (b.ts = f.a_ts AND b.event_id > f.a_id))
+   AND b.ts <= f.a_ts + INTERVAL 24 HOURS
+),
+converted AS (
+  SELECT user_id, a_id, b_id, 'converted' AS outcome, lag_seconds
+  FROM conv WHERE rn = 1
+),
+wm AS (SELECT epoch_ms(max(ts)) - 86400000 AS wm_ms FROM ev),
+expired AS (
+  SELECT f.user_id, f.a_id, CAST(NULL AS BIGINT) AS b_id,
+         'expired' AS outcome, CAST(NULL AS BIGINT) AS lag_seconds
+  FROM first_a f, wm
+  WHERE f.user_id NOT IN (SELECT user_id FROM converted)
+    AND epoch_ms(f.a_ts) + 86400000 < wm.wm_ms
+)
+SELECT user_id, a_id, b_id, outcome, lag_seconds FROM converted
+UNION ALL
+SELECT user_id, a_id, b_id, outcome, lag_seconds FROM expired
+"""
+
+
 O_STREAM_JOIN = """
 SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_seconds
@@ -2545,6 +2598,39 @@ scored AS (
   JOIN sh3 sb ON c.id_b = sb.doc_id
 )
 SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.9
+"""
+
+
+def _duck_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# Edit-distance fuzzy join (registry q_join_edit_distance,
+# operators/fuzzy.py): the oracle is the BRUTE-FORCE pairwise
+# levenshtein join over the same deterministically synthesized entity
+# names (fixtures.FUZZY_* word wheels keyed on c_custkey — DuckDB 1-based
+# list indexing), so row parity proves the PassJoin segment filter lost
+# no pair — the dedup_ngram proof shape. DuckDB's `levenshtein` is the
+# same classic insert/delete/substitute distance as Spark's built-in.
+O_JOIN_EDIT_DISTANCE = f"""
+WITH ent AS (
+  SELECT DISTINCT c_custkey AS id FROM customer
+  WHERE c_custkey < {FUZZY_MAX_KEY}
+),
+names AS (
+  SELECT id,
+         {_duck_list(FUZZY_W1)}[CAST(id % {len(FUZZY_W1)} AS INT) + 1]
+         || '-' ||
+         {_duck_list(FUZZY_W2)}[CAST(id % {len(FUZZY_W2)} AS INT) + 1]
+         || '-' ||
+         {_duck_list(FUZZY_W3)}[CAST(id % {len(FUZZY_W3)} AS INT) + 1]
+           AS name
+  FROM ent
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= {FUZZY_TAU}
 """
 
 

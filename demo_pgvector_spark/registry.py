@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 from demo_pgvector_spark import tables
 from demo_pgvector_spark.fixtures import (
+    FUZZY_MAX_KEY,
+    FUZZY_TAU,
+    FUZZY_W1,
+    FUZZY_W2,
+    FUZZY_W3,
     QUERY_VEC_ID,
     RAG_PROMPT,
     _BPE_CHUNK_TOKENS,
@@ -60,6 +65,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_QUALITY_MODEL,
     O_VEC_IVF_TRAINED,
     O_STREAM_JOIN,
+    O_STREAM_STATEFUL_FUNNEL,
     O_STREAM_STATIC_JOIN,
     O_STREAM_JOIN_OUTER,
     O_STREAM_JOIN_RIGHT,
@@ -83,6 +89,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
     O_JOIN_SKEW_SALTED,
+    O_JOIN_EDIT_DISTANCE,
     O_JOIN_RANGE,
     O_JSON_METADATA,
     O_META_SIDECAR,
@@ -169,6 +176,7 @@ from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import convert as convert_ops
 from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
+from demo_pgvector_spark.operators import fuzzy as fuzzy_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import ivf as ivf_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
@@ -180,6 +188,7 @@ from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
 from demo_pgvector_spark.streaming import joins as stream_join_ops
 from demo_pgvector_spark.streaming import late as stream_late_ops
+from demo_pgvector_spark.streaming import stateful as stream_stateful_ops
 from demo_pgvector_spark.streaming import windows as stream_ops
 from demo_pgvector_spark.session import tune_session
 
@@ -2799,6 +2808,41 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel with event-time TIMEOUT
+    (streaming/stateful.py funnel_sessions) — the full
+    flatMapGroupsWithState-class operator §2.9 names and VERDICT r6 #6
+    asked for: a per-user custom state machine over a watermarked
+    two-event stream (click → purchase within 24 h), drained as three
+    disjoint ascending-time staged micro-batches. Each user's FIRST
+    click emits exactly one row: 'converted' with the first qualifying
+    purchase (strictly after in (ts, event_id) order — the tie rule the
+    boundary pytest probes) or 'expired' when the watermark STRICTLY
+    passes the click's window (eviction pinned t < wm; a timeout at
+    exactly wm stays in state). Pending funnels emit nothing. State is
+    one tuple per clicked user — key-cardinality-bounded, evicted by
+    the event-time timeout. The oracle replays the machine as a batch
+    cascade; BIGINT ids and lag, no floats."""
+    import tempfile
+
+    tune_session(spark)
+    weeks = ["ts < TIMESTAMP '2024-01-11'",
+             "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+             "ts >= TIMESTAMP '2024-01-21'"]
+    work, landing = _stage_late_batches(
+        "funnel",
+        sf_dir,
+        [f"event_type IN ('click', 'purchase') AND {w}" for w in weeks],
+        select="event_id, ts, user_id, event_type",
+    )
+    return stream_stateful_ops.run_funnel_stream(
+        spark,
+        landing,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_", dir=work),
+        schema_ddl="event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
 def q_stream_late_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE-mode watermarked windows (streaming/late.py
     run_late_data_stream_update): the changelog contract. Three staged
@@ -3190,6 +3234,39 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
     return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3, k=3)
+
+
+def q_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance fuzzy join (operators/fuzzy.py; PassJoin,
+    Li/Deng/Feng VLDB'11): all entity-name pairs within Levenshtein
+    distance τ=2 — the entity-resolution operator token-level Jaccard
+    can't express (a one-character typo breaks every q-gram of a short
+    string). Entities are synthesized deterministically from c_custkey
+    via the fixtures.FUZZY_* near-miss word wheels (the testdata has no
+    realistic name column — PLANS.md's r6 deferral, closed by the
+    generator). The oracle is the BRUTE-FORCE pairwise levenshtein join
+    over the same names, so row parity proves the segment filter lost no
+    pair — the dedup_ngram proof shape. Output (id_a, id_b, dist),
+    BIGINT-exact."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    ent = (
+        cust.filter(F.col("c_custkey") < FUZZY_MAX_KEY)
+        .select(F.col("c_custkey").alias("id"))
+        .distinct()  # replica sweeps duplicate rows, not keys
+    )
+
+    def wheel(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.element_at(arr, (F.col("id") % len(words) + 1).cast("int"))
+
+    names = ent.select(
+        "id",
+        F.concat_ws(
+            "-", wheel(FUZZY_W1), wheel(FUZZY_W2), wheel(FUZZY_W3)
+        ).alias("name"),
+    )
+    return fuzzy_ops.edit_distance_join(names, tau=FUZZY_TAU)
 
 
 _QMODEL_BIAS_CACHE: float | None = None
@@ -3791,118 +3868,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rule; tools/parity.py re-verifies EVERY key locally each round
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # block 1a: NEW in round 6 (never driver-verified — MUST be in-window)
-    # dedup_semantic / text_quality_model / vec_ivf_trained / stream_join
-    # / stream_static_join / stream_join_outer / stream_join_right /
-    # stream_join_full landed late in round 6; their eight slots displace
-    # the eight r4-green boundary carries agg_pivot / tpch_q5 /
-    # text_repetition / win_running_total / emb_hash_embed / mm_media /
-    # win_chunk_number / chunk_enrich (still ≤2 rounds old this round —
-    # first in line for round 7's window). NOTE on rotation math: at 108 keys / 50
-    # slots, full driver-row coverage takes ⌈108/50⌉ = 3 rounds, so the
-    # ≤2-round freshness bound the smaller registry kept is no longer
-    # universally achievable via the driver gate alone; the every-round
-    # FULL local parity sweeps at sf0.01 AND sf0.1 (type-strict, logs
-    # recorded in SCALE.md) are the gate that still covers every key
-    # every round.
-    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
-    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
-    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
-    "stream_join": (q_stream_join, O_STREAM_JOIN),
-    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
-    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
-    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
-    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
-    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
-    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
-    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
-    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
-    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
-    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
-    # block 1b: implementation or oracle CHANGED in round 6 — green r5 rows
-    # do not carry across a diff, so these re-verify: the fixed
-    # join_skew_salted oracle (the one red r5 row), the cached-layout pruned
-    # ANN rows, the state-partition-sized streaming rows, and every key
-    # depending on the touched modules (operators/dedup.py: epsilon +
-    # containment; operators/curation.py: tfidf rank key; streaming/late.py
-    # + streaming/ingest.py; oracles.py CC bounding / chunk_bpe refactor)
-    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
-    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
-    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
-    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
-    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
-    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
-    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
-    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
-    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
-    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
-    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
-    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
-    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
-    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
-    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
-    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
-    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
-    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
-    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
-    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
-    # block 1c: OLDEST carries rotate back in (green r3 rows, byte-unchanged
-    # since — 3 rounds old this round, so they take the free slots first;
-    # the never-stale-beyond-two-rounds property re-anchors here)
-    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
-    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
-    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
-    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
-    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
-    "src_route": (q_src_route, O_SRC_ROUTE),
-    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
-    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
-    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
-    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
-    "json_metadata": (q_json_metadata, O_JSON_METADATA),
-    # block 1d: r4-green carries (2 rounds old — re-anchor before they age out)
-    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
-    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
-    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
-    "mm_media": (q_mm_media, O_MM_MEDIA),
-    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
-    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
-    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    # ---- position 51+ (carry under the unchanged-code rule; r5-green
-    # unless noted; tools/parity.py re-verifies ALL keys locally each round)
-    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
-    "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
-    "agg_percentiles_approx": (q_agg_percentiles_approx, O_AGG_PERCENTILES_APPROX),
-    "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
-    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
-    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
-    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
-    "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
-    "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
-    "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
-    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
-    "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
-    "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
-    "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
-    "tpch_q15": (q_tpch_q15, O_TPCH_Q15),
-    "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
-    "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
-    "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
-    "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
-    "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
-    "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
-    "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
-    "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
-    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
-    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
-    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
-    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
-    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
+    # =====================================================================
+    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r07 records).
+    # Rotation priority, per SURVEY §2's stated contract and VERDICT r6
+    # #2: (A) keys NEW this round (never driver-verified), then (B) the
+    # nine keys whose latest driver row was ROUND 2 — four rounds stale,
+    # rotated in FIRST this round as the verdict ordered, then (C) every
+    # key whose implementation changed in round 7 (module diff voids the
+    # carry: operators/dedup.py CC-loop fix voids all dedup_* plus the
+    # dedup-dependent curate_* rows; streaming/joins.py + late.py file-
+    # sink refactor voids the stream_join*/stream_late_* rows; the
+    # registry-level q_stream_ingest rewrite voids stream_ingest), then
+    # (D) the oldest green carries — 21 of the 26 keys whose latest row
+    # is round 4 (the five left out — cluster_kmeans, emb_generate,
+    # agg_word_counts, filt_files, sink_stdout — are first in line for
+    # round 8 and stay covered by the every-round full local parity
+    # sweeps at sf0.01 AND sf0.1).
+    # =====================================================================
+    # -- (A) new in round 7 --
+    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
+    "stream_stateful_funnel": (q_stream_stateful_funnel, O_STREAM_STATEFUL_FUNNEL),
+    # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range": (q_join_range, O_JOIN_RANGE),
@@ -3912,6 +3898,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_intersect": (q_set_intersect, O_SET_INTERSECT),
     "set_except": (q_set_except, O_SET_EXCEPT),
     "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
+    # -- (C) implementation changed in round 7 — must re-verify --
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
+    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
+    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
+    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
+    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    "stream_join": (q_stream_join, O_STREAM_JOIN),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
+    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
+    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
+    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
+    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
+    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
+    # -- (D) oldest green carries re-anchor (latest driver row: round 4) --
+    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
+    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
+    "mm_media": (q_mm_media, O_MM_MEDIA),
+    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
+    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
+    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
@@ -3923,13 +3937,79 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
-    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
-    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
+    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
+    # =====================================================================
+    # position 51+ — carries under the unchanged-code rule;
+    # tools/parity.py re-verifies ALL keys locally each round.
+    # =====================================================================
+    # r4-green leftovers (first in line for round 8's window):
+    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "emb_generate": (q_emb_generate, O_EMB_GENERATE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
+    # r5-green carries:
+    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
+    "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
+    "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
+    "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
+    "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, O_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
+    "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
+    "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
+    "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
+    "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
+    "agg_percentiles_approx": (q_agg_percentiles_approx, O_AGG_PERCENTILES_APPROX),
+    "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
+    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
+    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
+    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
+    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
+    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
+    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
+    # r6-green carries:
+    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
+    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
+    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
+    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
+    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
+    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
+    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
+    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
+    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
+    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
+    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
+    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
+    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
+    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
+    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
+    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
+    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
+    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
+    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
+    "src_route": (q_src_route, O_SRC_ROUTE),
+    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
+    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
+    "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
 }
 
 

@@ -29,38 +29,34 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-6 plan (SURVEY §2 preamble "Round-6 window rotation";
+    # -- round-7 plan (SURVEY §2 preamble "Round-7 window rotation";
     # registry.py block comments are the same contract) --
-    # new this round (never driver-verified):
-    "dedup_semantic", "text_quality_model", "vec_ivf_trained",
+    # (A) new this round (never driver-verified):
+    "join_edit_distance", "stream_stateful_funnel",
+    # (B) the nine keys whose latest driver row was round 2 — rotated in
+    # FIRST per VERDICT r6 #2:
+    "vec_knn_join", "join_asof", "join_range", "agg_cube", "agg_rollup",
+    "agg_grouping_sets", "set_intersect", "set_except", "win_rank_topn",
+    # (C) implementation changed in round 7 — the carry is voided by the
+    # module diff (operators/dedup.py CC fix; streaming/joins.py +
+    # late.py file-sink refactor; q_stream_ingest rewrite; the
+    # dedup-dependent curate_* composites):
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_embedding", "dedup_ngram", "dedup_containment", "dedup_assign",
+    "dedup_semantic", "curate_fuzzy", "curate_corpus",
     "stream_join", "stream_static_join", "stream_join_outer",
     "stream_join_right", "stream_join_full",
-    "dedup_containment", "win_range_numeric", "chunk_bpe_pretrained",
-    "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q20",
-    # implementation or oracle changed this round — green r5 rows do
-    # not carry across a diff (includes every key depending on the
-    # touched modules: operators/dedup.py, operators/curation.py,
-    # streaming/late.py, streaming/ingest.py, plus the registry-level
-    # layout-cache and oracle changes):
-    "join_skew_salted", "vec_ivfpq_pruned", "vec_ivf_pruned",
     "stream_late_data", "stream_late_update", "stream_ingest",
-    "dedup_ngram", "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "dedup_assign", "curate_fuzzy", "text_keywords",
-    "text_perplexity", "text_scrub", "text_bm25_topk",
-    "text_decontaminate", "sample_stratified", "sample_mixture",
-    "pack_sequences", "curate_corpus", "chunk_bpe",
-    # oldest carries re-anchoring (green r3 rows, byte-unchanged since —
-    # 3 rounds old this round, so they take the free slots first):
-    "upsert_model", "upsert_source", "ins_chunk_txn",
-    "agg_context_concat", "rag_prompts", "src_route", "meta_sidecar",
-    "src_convert_epub", "classify_source_type", "extract_year",
-    "json_metadata",
-    # r4-green carries at the two-round boundary (agg_pivot, tpch_q5,
-    # text_repetition, win_running_total, emb_hash_embed, mm_media,
-    # win_chunk_number and chunk_enrich were displaced by the eight
-    # late-round keys above — still ≤2 rounds old this round; they are
-    # first in line for round 7's window):
-    "chunk_docling",
+    # (D) the oldest green carries re-anchor (latest driver row round 4;
+    # the five round-4 keys left out — cluster_kmeans, emb_generate,
+    # agg_word_counts, filt_files, sink_stdout — are first in line for
+    # round 8):
+    "chunk_enrich", "win_chunk_number", "mm_media", "emb_hash_embed",
+    "win_running_total", "text_repetition", "agg_pivot", "tpch_q5",
+    "str_scalars", "proj_sim_family", "text_lang_id", "text_quality",
+    "text_fingerprint", "stream_session_windows", "stream_windows",
+    "filt_predicates", "join_lineitem_orders", "tpch_q6", "tpch_q3",
+    "vec_cosine_dist", "stream_dedup",
 }
 
 

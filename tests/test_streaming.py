@@ -505,3 +505,75 @@ def test_stream_stream_full_outer_is_union_of_pins(spark, tmp_path):
     got = sorted(((r["a_id"], r["b_id"], r["user_id"]) for r in out.collect()),
                  key=str)
     assert got == [(1, 14, 4), (2, None, 5), (None, 13, 3)]
+
+
+def test_stateful_funnel_boundaries_and_timeout(spark, tmp_path):
+    """The sessionized-funnel state machine (streaming/stateful.py
+    funnel_sessions): probes every pinned boundary —
+    window inclusivity (purchase at exactly a_ts+24h converts), the
+    (ts, event_id) tie rule (same-ts purchase converts only with larger
+    event_id), cross-batch state carry, and the STRICT event-time
+    timeout eviction (a pending click whose timeout timestamp equals the
+    final watermark survives silently; 1 ms earlier expires)."""
+    import datetime as dt
+    import os
+
+    from demo_pgvector_spark.streaming.stateful import run_funnel_stream
+
+    def wb(landing, b, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        path = os.path.join(landing, f"batch-{b}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + b * 1000,) * 2)
+
+    day = dt.timedelta(days=1)
+    jan = lambda d, **kw: dt.datetime(2024, 1, d) + dt.timedelta(**kw)  # noqa: E731
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # wm_final = max_ts - 1 day = 2024-01-09 00:00:00.000
+    wb(landing, 0, [
+        (100, jan(5), 1, "click"),
+        (200, jan(5), 2, "click"),
+        # user 5: tie probe, single batch: purchase id 501 SAME ts as
+        # click id 502 but smaller id -> not after; id 503 same ts,
+        # larger id -> converts with lag 0
+        (501, jan(5), 5, "purchase"),
+        (502, jan(5), 5, "click"),
+        (503, jan(5), 5, "purchase"),
+    ])
+    wb(landing, 1, [
+        (101, jan(6), 1, "purchase"),            # == a+24h: converts, lag 86400
+        (201, jan(6, seconds=1), 2, "purchase"),  # 1s past window: no
+        (300, jan(8), 3, "click"),                # timeout t == wm: survives
+        (400, jan(8) - dt.timedelta(milliseconds=1), 4, "click"),  # t = wm-1ms
+    ])
+    wb(landing, 2, [(999, jan(10), 99, "view")])  # wm pusher; no click
+    out = run_funnel_stream(
+        spark,
+        landing,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema_ddl="event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["a_id"], r["b_id"], r["outcome"], r["lag_seconds"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (100, 101, "converted", 86400),
+        2: (200, None, "expired", None),
+        4: (400, None, "expired", None),
+        5: (502, 503, "converted", 0),
+        # user 3 pending (t == wm survives), user 99 never clicked
+    }
