@@ -209,17 +209,23 @@ def main() -> None:
     # driver's record.
     # 1dp in the printed line (84 keys at 2dp would brush the 2000-byte
     # tail cap); BENCH_DETAIL.json carries the 3dp steady+cold detail.
+    def compact(v: float) -> float | int:
+        # whole values print as ints ("2" not "2.0") — at 94 keys the
+        # 1dp line brushed the driver's 2000-byte tail cap (round 7)
+        v = round(v, 1)
+        return int(v) if float(v).is_integer() else v
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 1) for k, v in timings.items()},
+        "queries": {k: compact(v) for k, v in timings.items()},
         "sf": sf,
     }
     line = json.dumps(out, separators=(",", ":"))
     # the driver keeps the LAST 2000 bytes of stdout; the line must fit
     # whole (full detail lives in BENCH_DETAIL.json, committed per round)
-    assert len(line.encode()) <= 1950, (
+    assert len(line.encode()) <= 1990, (
         f"bench stdout line is {len(line.encode())} bytes — would overflow "
         "the driver's 2000-byte tail capture; trim BENCH_KEYS reporting"
     )
