@@ -156,6 +156,7 @@ BENCH_KEYS = (
     # round-7 additions
     "join_edit_distance",
     "stream_stateful_funnel",
+    "graph_pagerank",
 )
 
 

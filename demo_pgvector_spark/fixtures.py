@@ -50,3 +50,10 @@ FUZZY_W3 = (
 )
 FUZZY_TAU = 2
 FUZZY_MAX_KEY = 2000
+
+# Graph analytics (graph_pagerank): the part→supplier edge list from
+# lineitem; supplier node ids are offset into their own id space so the
+# two BIGINT key domains cannot collide. Fixed iteration count keeps the
+# whole computation one deterministic unrolled plan on both engines.
+PAGERANK_ITERS = 5
+SUPP_NODE_OFFSET = 10_000_000

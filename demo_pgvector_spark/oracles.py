@@ -27,7 +27,9 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
+    PAGERANK_ITERS,
     RAG_PROMPT,
+    SUPP_NODE_OFFSET,
 )
 from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.operators import chunking as chunk_ops
@@ -2603,6 +2605,43 @@ SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.9
 
 def _duck_list(words: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled GraphX-style static PageRank replay (registry
+    q_graph_pagerank, operators/graph.py): rank_0 = 1.0, rank_{t+1} =
+    ROUND(0.15 + 0.85 * Σ rank_t(src)/outdeg(src), 6) per node, dangling
+    mass dropped — the kmeans-oracle pattern (per-step 6dp quantization
+    makes every per-edge contribution identical on both engines; only
+    the ~1e-16 double-summation order differs, nine orders below the
+    step)."""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
+  FROM lineitem
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+"""
+    for t in range(iters):
+        sql += f"""c{t} AS (
+  SELECT e.dst, SUM(r.pr / d.outdeg) AS c
+  FROM edges e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{t + 1} AS (
+  SELECT n.id, ROUND(0.15 + 0.85 * COALESCE(c.c, 0), 6) AS pr
+  FROM nodes n LEFT JOIN c{t} c ON c.dst = n.id
+),
+"""
+    return (
+        sql.rstrip().rstrip(",")
+        + f"\nSELECT id AS node_id, pr FROM r{iters}"
+    )
+
+
+O_GRAPH_PAGERANK = _pagerank_oracle(PAGERANK_ITERS)
 
 
 # Edit-distance fuzzy join (registry q_join_edit_distance,

@@ -435,3 +435,40 @@ def test_quality_model_broadcasts_weights_single_exchange(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert _shuffles(plan) == 1, plan
+
+
+def test_edit_distance_join_broadcasts_grid_and_verify_is_scan_fused(spark):
+    """join_edit_distance (operators/fuzzy.py PassJoin): the (dl, i,
+    shift) probe grid and the tau+1 segment index must enter as
+    BROADCAST nested-loop cross joins (45 and 3 rows — never shuffled);
+    the candidate join is a real equi hash join on (L, i, seg); the
+    levenshtein verify is a Filter, not another join; and nothing plans
+    as a CartesianProduct over the names themselves."""
+    plan = _plan(spark, "join_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the literal grids
+    assert "levenshtein" in plan
+    # candidate equi-join + the two name re-joins are hash joins
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_stateful_funnel_plans_the_state_operator(spark):
+    """stream_stateful_funnel: the batch-mode plan of the funnel query
+    is not pinnable (it only exists as a streaming query), so pin the
+    ANALYZED streaming plan instead: the FlatMapGroupsInPandasWithState
+    node with EventTimeTimeout and the watermark node feeding it."""
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark import tables
+    from demo_pgvector_spark.streaming.stateful import funnel_sessions
+
+    ev = tables.load(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # a bounded df exercises the same analyzed operator tree the stream
+    # uses; funnel_sessions only adds the stateful node
+    plan = funnel_sessions(
+        ev.withWatermark("ts", "1 day")
+    )._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "EventTimeTimeout" in plan

@@ -32,7 +32,7 @@ WINDOW_REQUIRED = {
     # -- round-7 plan (SURVEY §2 preamble "Round-7 window rotation";
     # registry.py block comments are the same contract) --
     # (A) new this round (never driver-verified):
-    "join_edit_distance", "stream_stateful_funnel",
+    "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
     # (B) the nine keys whose latest driver row was round 2 — rotated in
     # FIRST per VERDICT r6 #2:
     "vec_knn_join", "join_asof", "join_range", "agg_cube", "agg_rollup",
@@ -48,14 +48,15 @@ WINDOW_REQUIRED = {
     "stream_join_right", "stream_join_full",
     "stream_late_data", "stream_late_update", "stream_ingest",
     # (D) the oldest green carries re-anchor (latest driver row round 4;
-    # the five round-4 keys left out — cluster_kmeans, emb_generate,
+    # the six round-4 keys left out — tpch_q3 (displaced when
+    # graph_pagerank landed), cluster_kmeans, emb_generate,
     # agg_word_counts, filt_files, sink_stdout — are first in line for
     # round 8):
     "chunk_enrich", "win_chunk_number", "mm_media", "emb_hash_embed",
     "win_running_total", "text_repetition", "agg_pivot", "tpch_q5",
     "str_scalars", "proj_sim_family", "text_lang_id", "text_quality",
     "text_fingerprint", "stream_session_windows", "stream_windows",
-    "filt_predicates", "join_lineitem_orders", "tpch_q6", "tpch_q3",
+    "filt_predicates", "join_lineitem_orders", "tpch_q6",
     "vec_cosine_dist", "stream_dedup",
 }
 
