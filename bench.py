@@ -157,6 +157,10 @@ BENCH_KEYS = (
     "join_edit_distance",
     "stream_stateful_funnel",
     "graph_pagerank",
+    "graph_triangles",
+    "graph_bfs",
+    "sample_priority",
+    "layout_zorder",
 )
 
 

@@ -57,3 +57,29 @@ FUZZY_MAX_KEY = 2000
 # whole computation one deterministic unrolled plan on both engines.
 PAGERANK_ITERS = 5
 SUPP_NODE_OFFSET = 10_000_000
+
+# graph_triangles: the part co-order graph (two parts linked iff they
+# appear in the same order) is dense at full fan-out — ~6 pairs per
+# 4-line order; thinning to lines with l_quantity > TRI_QTY_MIN keeps
+# the wedge volume proportionate while leaving a rich triangle
+# population. Both engines build edges from the same predicate.
+TRI_QTY_MIN = 25
+
+# graph_bfs: hop distance from the "vetted seed" supplier set
+# (s_suppkey % BFS_SEED_MOD == 0, offset into the shared node id space)
+# over the UNDIRECTED part—supplier graph, bounded at BFS_MAX_HOPS.
+BFS_SEED_MOD = 50
+BFS_MAX_HOPS = 4
+
+# sample_priority: exact-k weighted sample (Duffield-Lund-Thorup
+# priority sampling) over documents weighted by n_chars.
+PRIORITY_K = 100
+PRIORITY_SALT = "r7"
+
+# layout_zorder: Morton-curve layout over (l_partkey, l_suppkey);
+# buckets = top ZORDER_BUCKET_BITS bits of the 32-bit code (the files a
+# ZORDER-compacted write would produce). 16 because the testdata keys
+# only occupy the code's LOW ~21-30 bits (partkey ≤ 20k, suppkey ≤ 1k):
+# a top-8 split put every sf0.01 row in bucket 0, gating nothing; a
+# 16-bit split yields ~30-4000 buckets across sf0.01-sf0.1.
+ZORDER_BUCKET_BITS = 16

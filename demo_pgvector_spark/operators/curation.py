@@ -595,6 +595,64 @@ def sample_mixture(
     )
 
 
+PRIORITY_TICKET_BITS = 20  # ticket ∈ [1, 2^20]; see sample_priority
+
+
+def sample_priority(
+    docs: DataFrame,
+    k: int,
+    salt: str = "r7",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement via priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each item draws a
+    uniform ticket u and gets priority w/u; the k LARGEST priorities
+    form the sample. Unlike per-mille Bernoulli rates
+    (``sample_stratified``), the output size is EXACTLY k and inclusion
+    probability scales with the weight — the "pick 10M docs favoring
+    longer/higher-quality ones" curation primitive.
+
+    Exactness contract: the ticket is the salted md5 ticket scheme
+    (``sample_stratified``) mapped to [1, 2^20], and the priority is
+    ``floor(w · 2^20 / ticket)`` — every operand and the quotient stay
+    integer-valued below 2^53, so the BIGINT priority is bit-identical
+    on Spark, DuckDB and Python (no float boundary anywhere; requires
+    w < 2^33, far above any document length). Ties break on ascending
+    id, making the k-set unique and replayable.
+
+    100 TB posture: scan-fused projection + TakeOrderedAndProject —
+    each partition keeps a k-row heap and ships k rows to the driver;
+    NO shuffle, NO global sort, one pass. Append-stable per salt: a
+    grown corpus re-draws nothing, new rows just compete for the k
+    slots (the property that lets a rolling corpus re-sample
+    incrementally)."""
+    scale = 1 << PRIORITY_TICKET_BITS
+    ticket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast("
+            f"{id_col} as string), ':{salt}')), 1, 8), 16, 10) as bigint)"
+        )
+        % scale
+        + 1
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col),
+            ticket.alias("ticket"),
+        )
+        .withColumn(
+            "priority",
+            F.floor(F.col(weight_col) * F.lit(scale) / F.col("ticket")).cast(
+                "bigint"
+            ),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def curate_corpus_fuzzy(
     docs: DataFrame,
     rates_per_mille: dict[str, int],

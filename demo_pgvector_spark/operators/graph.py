@@ -1,12 +1,15 @@
-"""Iterative graph analytics — static PageRank over a DataFrame edge
-list.
+"""Iterative graph analytics — static PageRank, per-node triangle
+counts, and fixed-depth BFS over DataFrame edge lists.
 
 The reference has no graph surface (it is psycopg2 CRUD + one similarity
 query); this is LLM-pipeline breadth: link-graph centrality is a
 standard corpus-quality signal at web scale (Common Crawl pipelines rank
 hosts by harmonic/PageRank-style centrality to weight or filter training
 documents — the same role the model-based quality filter plays at the
-document level).
+document level). Triangle counts are the clustering-coefficient
+numerator (spam-farm and mirror-cluster detection in host graphs); BFS
+hop distance from a trusted seed set is the TrustRank-style propagation
+radius.
 
 Semantics: GraphX's ``staticPageRank`` contract (public Apache Spark
 code) — the UNNORMALIZED fixed-iteration variant:
@@ -16,11 +19,19 @@ code) — the UNNORMALIZED fixed-iteration variant:
 
 Dangling-node mass is NOT redistributed (GraphX's choice), so the total
 mass is not conserved — ranks are relative scores, not a probability
-distribution. Ranks are quantized to 6 decimal places after every
-iteration (the kmeans-oracle precedent): every per-edge contribution is
-then computed from IDENTICAL operands on both engines, so the only
-engine difference is double-summation order (~1e-16), nine orders below
-the quantization step.
+distribution.
+
+Exactness contract (round 7 fix): the recurrence runs ENTIRELY in
+64-bit integer fixed point — ranks in micro-units (r₀ = 1 000 000),
+per-edge contributions truncated to nano-units (``(r·1000) div
+outdeg``), damping as the exact rational 17/20 (``150000 + (17·S) div
+20000``). Integer sums are order-independent, so Spark and the DuckDB
+oracle agree BIT-IDENTICALLY with no rounding-boundary luck. (The
+round-6 design quantized DOUBLE ranks to 6dp per step; at sf0.001 two
+nodes landed within 1e-16 of a .5 ulp boundary and the engines'
+summation order flipped the rounding — per-step quantization of floats
+shrinks the disagreement window but cannot close it. Fixed point
+closes it: truncation error ~1e-9 rank/step, below the old 6dp grid.)
 
 100 TB posture: each iteration is the canonical Pregel shape — one
 shuffle keyed on edge src (rank lookup join), one keyed on dst
@@ -36,8 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DAMPING = 0.85
-RESET = 0.15  # GraphX static PageRank: (1 - damping) with rank_0 = 1.0
+# Fixed-point units: ranks in micro (1e-6), contributions in nano (1e-9);
+# damping 0.85 applied as the exact rational 17/20. All arithmetic BIGINT.
+MICRO = 1_000_000
+RESET_MICRO = 150_000  # 0.15 in micro-units; rank_0 = 1.0 = 1_000_000
 
 
 def pagerank(
@@ -46,9 +59,11 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """(node_id, rank) after ``iterations`` fixed PageRank steps over the
+    """(node_id, pr) after ``iterations`` fixed PageRank steps over the
     DISTINCT directed edge set. Nodes = every id appearing as src or
-    dst; ranks quantized to 6dp per iteration."""
+    dst; integer fixed-point per the module contract, reported as
+    ``pr = r_micro / 1e6`` (one exact-operand double division at the
+    very end — identical on every IEEE-754 engine)."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
@@ -63,24 +78,164 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks = nodes.withColumn("r", F.lit(MICRO).cast("bigint"))
     for _ in range(iterations):
         contrib = (
             e.join(ranks, e["src"] == ranks["id"])
             .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            # nano-unit truncated contribution: BIGINT `div`, never float
+            .select("dst", F.expr("(r * 1000) div outdeg").alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
+            .agg(F.sum("c").alias("s"))
         )
         ranks = nodes.join(
             contrib, nodes["id"] == contrib["dst"], "left"
         ).select(
             "id",
-            F.round(
-                F.lit(RESET) + F.lit(DAMPING) * F.coalesce(F.col("c"), F.lit(0.0)),
-                6,
-            ).alias("rank"),
+            (
+                F.lit(RESET_MICRO).cast("bigint")
+                + F.expr("(17 * coalesce(s, 0L)) div 20000")
+            ).alias("r"),
         )
     # `pr`, not `rank`: RANK is a window-function keyword in ANSI SQL and
     # the oracle must use the identical column name
-    return ranks.select(F.col("id").alias("node_id"), F.col("rank").alias("pr"))
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        (F.col("r") / F.lit(MICRO)).alias("pr"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts — GraphX ``triangleCount`` contract
+    (public Apache Spark code): triangles of the DEDUPLICATED UNDIRECTED
+    graph, self-loops dropped; every triangle increments all three
+    corner nodes. Output (node_id, triangles) for EVERY node of the
+    graph (0 for triangle-free nodes).
+
+    Algorithm: degree orientation (the node-iterator++ / forward
+    algorithm, Schank & Wagner 2005) — orient each undirected edge from
+    the lower-(degree, id) endpoint to the higher one, making the graph
+    a DAG in which each triangle {a ≺ b ≺ c} survives exactly once as
+    the path a→b→c closed by a→c. The wedge join therefore fans out
+    from ORIENTED out-degree, which is at most O(√m) per node
+    regardless of raw degree — the property that keeps the candidate
+    volume at O(m^1.5) instead of Σ deg² and caps hub-node skew at
+    100 TB (a celebrity node with 10⁹ followers has oriented out-degree
+    bounded by the arboricity, so no reducer sees its raw fan-out).
+
+    Shuffles: one dedup exchange on (a, b), one degree exchange, the
+    wedge self-join keyed on the shared low vertex, the closing
+    LEFT SEMI join keyed on (b, c), and the final per-corner count —
+    all hash-partitioned joins, no cartesian, no driver round-trips;
+    the whole computation is ONE job.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    rank_a_lower = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(rank_a_lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(rank_a_lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    o1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    o2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = o1.join(o2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tris = wedges.join(closing, ["x", "z"], "left_semi")
+    corner_counts = (
+        tris.select(F.col("x").alias("id"))
+        .union(tris.select(F.col("y").alias("id")))
+        .union(tris.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return nodes.join(corner_counts, "id", "left").select(
+        F.col("id").alias("node_id"),
+        F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Minimum hop distance from a seed set over the UNDIRECTED graph,
+    bounded at ``max_hops`` — multi-source BFS, the propagation-radius
+    primitive of TrustRank-style corpus curation (how many link hops
+    from a vetted seed is this host?). Output (node_id, hops) for every
+    REACHED node (hops ≤ max_hops); unreached nodes emit no row, so the
+    result is exact with a fixed iteration count rather than an
+    unbounded fixed point.
+
+    Each round is one Bellman-Ford-style relaxation:
+    ``dist' = min(dist, 1 + min over in-neighbors dist)`` — a join
+    keyed on the edge source, a min-agg keyed on the destination, and a
+    full outer merge with the running distance table. Fixed ``max_hops``
+    means NO convergence action: all rounds compile into ONE Spark job
+    (the graph_pagerank shape), with the symmetrized edge list a lazy
+    localCheckpoint materialized on the job's first pass. Integer-exact
+    end to end — no float anywhere, so the DuckDB oracle replays
+    bit-identically by unrolling the same recurrence.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(F.col(seed_col).alias("id")).distinct().withColumn(
+        "hops", F.lit(0).cast("bigint")
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(dist, sym["s"] == dist["id"])
+            .select("d", (F.col("hops") + F.lit(1)).alias("h"))
+            .groupBy("d")
+            .agg(F.min("h").alias("h"))
+        )
+        dist = (
+            dist.join(relaxed, dist["id"] == relaxed["d"], "full_outer")
+            .select(
+                F.coalesce(F.col("id"), F.col("d")).alias("id"),
+                F.least(
+                    F.coalesce(F.col("hops"), F.lit(max_hops + 1)),
+                    F.coalesce(F.col("h"), F.lit(max_hops + 1)),
+                ).alias("hops"),
+            )
+        )
+    return dist.select(F.col("id").alias("node_id"), "hops")

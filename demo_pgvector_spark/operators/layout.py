@@ -1,0 +1,96 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+for data-skipping scans.
+
+Extension surface (the reference — psycopg2 CRUD + one similarity query
+— has no physical-layout tooling): at 100 TB the dominant cost of most
+queries is the scan, and parquet/Delta-style min-max pruning only skips
+files whose value RANGES exclude the predicate. Sorting by one column
+clusters that column and destroys the other; interleaving the bits of
+two (or more) key columns onto a space-filling curve bounds BOTH
+columns' ranges within every contiguous bucket of the sort order — the
+same technique Delta Lake's OPTIMIZE ZORDER BY applies before
+compaction. This module computes the curve key and the bucket layout as
+a plain deterministic projection so the effect is oracle-checkable: for
+each Z-bucket, the min/max envelope of both dimensions must come out
+identical on Spark and DuckDB, and the envelope VOLUME (not just the
+row count) is what a pruned scan would read.
+
+Morton encoding is pure integer bit-arithmetic (shift/mask/or), exact
+in BIGINT on every engine — the classic parallel bit-spread:
+
+    x = (x | x << 8) & 0x00FF00FF
+    x = (x | x << 4) & 0x0F0F0F0F
+    x = (x | x << 2) & 0x33333333
+    x = (x | x << 1) & 0x55555555
+    z = spread(x) | spread(y) << 1         (x, y masked to 16 bits)
+
+Scale notes: the projection is scan-fused (zero shuffles, zero joins) —
+at write time a ``repartitionByRange(z)`` + per-file sort turns it into
+the physical layout; the registry row aggregates the per-bucket
+envelopes (one hash exchange, partial-combined map-side) because the
+envelope is the verifiable artifact. Skew-free by construction: Z-values
+inherit the key distribution, and range partitioning on z samples the
+actual density.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits kept per dimension; z fits in 32 bits
+
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit value -> 32-bit value with a
+    zero between consecutive source bits (abcd -> 0a0b0c0d)."""
+    out = c.bitwiseAND(F.lit((1 << ZBITS) - 1))
+    for shift, mask in _SPREAD_STEPS:
+        out = (
+            out.bitwiseOR(F.shiftleft(out, shift)).bitwiseAND(F.lit(mask))
+        )
+    return out
+
+
+def morton_z(x: Column, y: Column) -> Column:
+    """32-bit Morton code of two 16-bit-masked BIGINT columns: x on the
+    even bits, y on the odd bits."""
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def zorder_envelopes(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Per-bucket min-max envelopes of the Z-order layout: assign every
+    row its Morton code over (x, y), bucket by the code's top
+    ``bucket_bits`` bits (= the file a ZORDER-compacted write would
+    place it in), and aggregate each bucket's row count plus both
+    dimensions' min/max — the statistics a data-skipping scan prunes
+    on. Columns: (bucket, n_rows, x_min, x_max, y_min, y_max)."""
+    z = morton_z(F.col(x_col), F.col(y_col))
+    shift = 2 * ZBITS - bucket_bits
+    return (
+        df.select(
+            F.shiftright(z, shift).alias("bucket"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

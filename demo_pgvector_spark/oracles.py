@@ -22,14 +22,20 @@ from demo_pgvector_spark.fixtures import (
     _EXTS,
     _SIDECARS,
     _SOURCE_COLS,
+    BFS_MAX_HOPS,
+    BFS_SEED_MOD,
     FUZZY_MAX_KEY,
     FUZZY_TAU,
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
     PAGERANK_ITERS,
+    PRIORITY_K,
+    PRIORITY_SALT,
     RAG_PROMPT,
     SUPP_NODE_OFFSET,
+    TRI_QTY_MIN,
+    ZORDER_BUCKET_BITS,
 )
 from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.operators import chunking as chunk_ops
@@ -2609,12 +2615,13 @@ def _duck_list(words: tuple[str, ...]) -> str:
 
 def _pagerank_oracle(iters: int) -> str:
     """Unrolled GraphX-style static PageRank replay (registry
-    q_graph_pagerank, operators/graph.py): rank_0 = 1.0, rank_{t+1} =
-    ROUND(0.15 + 0.85 * Σ rank_t(src)/outdeg(src), 6) per node, dangling
-    mass dropped — the kmeans-oracle pattern (per-step 6dp quantization
-    makes every per-edge contribution identical on both engines; only
-    the ~1e-16 double-summation order differs, nine orders below the
-    step)."""
+    q_graph_pagerank, operators/graph.py): INTEGER FIXED POINT — micro
+    ranks (r0 = 1000000), nano contributions ``(r·1000) // outdeg``,
+    damping as 17/20 — so every intermediate is a BIGINT and the sums
+    are order-independent; the engines agree bit-identically with no
+    rounding-boundary luck (the r6 6dp-DOUBLE design lost two rows at
+    sf0.001 to a .5-ulp boundary). Final ``pr = r / 1000000.0`` is one
+    exact-operand IEEE division, identical everywhere."""
     sql = f"""
 WITH edges AS (
   SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
@@ -2622,22 +2629,23 @@ WITH edges AS (
 ),
 nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
 """
     for t in range(iters):
         sql += f"""c{t} AS (
-  SELECT e.dst, SUM(r.pr / d.outdeg) AS c
+  SELECT e.dst, SUM((r.r * 1000) // d.outdeg) AS s
   FROM edges e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst
 ),
 r{t + 1} AS (
-  SELECT n.id, ROUND(0.15 + 0.85 * COALESCE(c.c, 0), 6) AS pr
+  SELECT n.id,
+         CAST(150000 + (17 * COALESCE(c.s, 0)) // 20000 AS BIGINT) AS r
   FROM nodes n LEFT JOIN c{t} c ON c.dst = n.id
 ),
 """
     return (
         sql.rstrip().rstrip(",")
-        + f"\nSELECT id AS node_id, pr FROM r{iters}"
+        + f"\nSELECT id AS node_id, r / 1000000.0 AS pr FROM r{iters}"
     )
 
 
@@ -3063,4 +3071,144 @@ SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        CAST(SUM(sb) OVER (PARTITION BY wstart, event_type ORDER BY b) AS BIGINT)
          AS sum_ids
 FROM per_batch
+"""
+
+
+# Per-node triangle counts (registry q_graph_triangles, operators/
+# graph.py triangle_counts): replays edge construction (part co-order
+# pairs over l_quantity-thinned lineitem), degree orientation, the
+# wedge join and the closing semi-join in plain SQL — BIGINT-exact, so
+# parity is bit-identical and also proves the oriented enumeration
+# found every triangle the unoriented definition implies.
+O_GRAPH_TRIANGLES = f"""
+WITH raw AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > {TRI_QTY_MIN} AND b.l_quantity > {TRI_QTY_MIN}
+),
+und AS (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+  FROM raw WHERE s <> d
+),
+nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+orient AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+),
+tri AS (
+  SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z
+  FROM orient o1 JOIN orient o2 ON o2.lo = o1.hi
+  WHERE EXISTS (
+    SELECT 1 FROM orient o3 WHERE o3.lo = o1.lo AND o3.hi = o2.hi
+  )
+),
+corners AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y AS id FROM tri
+    UNION ALL SELECT z AS id FROM tri
+  ) GROUP BY id
+)
+SELECT n.id AS node_id, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN corners c ON c.id = n.id
+"""
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    """Unrolled multi-source BFS replay (registry q_graph_bfs,
+    operators/graph.py bfs_hops): Bellman-Ford relaxation over the
+    symmetrized part—supplier edge list, seeds at hop 0, one CTE pair
+    per round — integer-exact, bit-identical parity."""
+    k1 = max_hops + 1
+    sql = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
+  FROM lineitem
+),
+sym AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT dst AS s, src AS d FROM e
+),
+d0 AS (
+  SELECT DISTINCT s_suppkey + {SUPP_NODE_OFFSET} AS id,
+         CAST(0 AS BIGINT) AS hops
+  FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = 0
+),
+"""
+    for t in range(max_hops):
+        sql += f"""r{t} AS (
+  SELECT sym.d, MIN(p.hops + 1) AS h
+  FROM sym JOIN d{t} p ON p.id = sym.s
+  GROUP BY sym.d
+),
+d{t + 1} AS (
+  SELECT COALESCE(p.id, r.d) AS id,
+         LEAST(COALESCE(p.hops, {k1}), COALESCE(r.h, {k1})) AS hops
+  FROM d{t} p FULL OUTER JOIN r{t} r ON r.d = p.id
+),
+"""
+    return (
+        sql.rstrip().rstrip(",")
+        + f"\nSELECT id AS node_id, CAST(hops AS BIGINT) AS hops FROM d{max_hops}"
+    )
+
+
+O_GRAPH_BFS = _bfs_oracle(BFS_MAX_HOPS)
+
+
+# Exact-k weighted sampling via priority sampling (registry
+# q_sample_priority, operators/curation.py sample_priority): same
+# salted-md5 ticket scheme as O_SAMPLE_STRATIFIED mapped to [1, 2^20];
+# priority = FLOOR((w · 2^20) / ticket) where the product is an exact
+# BIGINT and the division one correctly-rounded IEEE double op —
+# bit-identical on both engines. Ties break on ascending doc_id, so
+# the k-set is unique.
+O_SAMPLE_PRIORITY = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{PRIORITY_SALT}'), 1, 8))::UBIGINT
+              AS BIGINT) % 1048576 + 1 AS ticket
+  FROM documents
+)
+SELECT doc_id, n_chars, ticket,
+       CAST(FLOOR((n_chars * 1048576) / ticket) AS BIGINT) AS priority
+FROM t
+ORDER BY priority DESC, doc_id ASC
+LIMIT {PRIORITY_K}
+"""
+
+
+# Z-order layout envelopes (registry q_layout_zorder, operators/
+# layout.py zorder_envelopes): the Morton bit-spread as a CTE chain of
+# the same shift/mask steps the Spark column expression applies —
+# BIGINT-exact — then the identical per-bucket min/max aggregation.
+O_LAYOUT_ZORDER = f"""
+WITH z0 AS (
+  SELECT l_partkey AS xr, l_suppkey AS yr,
+         (l_partkey & 65535) AS x, (l_suppkey & 65535) AS y
+  FROM lineitem
+),
+z1 AS (SELECT xr, yr, ((x | (x << 8)) & 16711935) AS x,
+              ((y | (y << 8)) & 16711935) AS y FROM z0),
+z2 AS (SELECT xr, yr, ((x | (x << 4)) & 252645135) AS x,
+              ((y | (y << 4)) & 252645135) AS y FROM z1),
+z3 AS (SELECT xr, yr, ((x | (x << 2)) & 858993459) AS x,
+              ((y | (y << 2)) & 858993459) AS y FROM z2),
+z4 AS (SELECT xr, yr, ((x | (x << 1)) & 1431655765) AS x,
+              ((y | (y << 1)) & 1431655765) AS y FROM z3)
+SELECT (x | (y << 1)) >> {2 * 16 - ZORDER_BUCKET_BITS} AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(xr) AS x_min, MAX(xr) AS x_max,
+       MIN(yr) AS y_min, MAX(yr) AS y_max
+FROM z4 GROUP BY bucket
 """

@@ -30,14 +30,20 @@ from pyspark.sql import functions as F
 
 from demo_pgvector_spark import tables
 from demo_pgvector_spark.fixtures import (
+    BFS_MAX_HOPS,
+    BFS_SEED_MOD,
     FUZZY_MAX_KEY,
     FUZZY_TAU,
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
     PAGERANK_ITERS,
+    PRIORITY_K,
+    PRIORITY_SALT,
     QUERY_VEC_ID,
     SUPP_NODE_OFFSET,
+    TRI_QTY_MIN,
+    ZORDER_BUCKET_BITS,
     RAG_PROMPT,
     _BPE_CHUNK_TOKENS,
     _CHUNK_TOKENS,
@@ -90,7 +96,11 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_BUCKETED,
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
+    O_GRAPH_BFS,
     O_GRAPH_PAGERANK,
+    O_GRAPH_TRIANGLES,
+    O_LAYOUT_ZORDER,
+    O_SAMPLE_PRIORITY,
     O_JOIN_SKEW_SALTED,
     O_JOIN_EDIT_DISTANCE,
     O_JOIN_RANGE,
@@ -183,6 +193,7 @@ from demo_pgvector_spark.operators import fuzzy as fuzzy_ops
 from demo_pgvector_spark.operators import graph as graph_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import ivf as ivf_ops
+from demo_pgvector_spark.operators import layout as layout_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
@@ -3259,6 +3270,75 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pagerank(edges, iterations=PAGERANK_ITERS)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_counts;
+    GraphX triangleCount contract via the degree-orientation forward
+    algorithm, Schank & Wagner 2005) over the part CO-ORDER graph: two
+    parts are linked iff some order contains both (lines thinned to
+    l_quantity > TRI_QTY_MIN so the graph stays proportionate). Mirror-
+    cluster / spam-farm detection runs exactly this shape over host
+    graphs. The oracle replays edge-build + orientation + wedge-close in
+    plain SQL; BIGINT-exact throughout. Degree orientation caps the
+    wedge fan-out at O(√m) per node — the 100 TB skew argument lives in
+    the operator docstring."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+    return graph_ops.triangle_counts(edges)
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py bfs_hops) from
+    the vetted-seed supplier set (s_suppkey % BFS_SEED_MOD == 0) over
+    the UNDIRECTED part—supplier graph, bounded at BFS_MAX_HOPS — the
+    TrustRank-style propagation-radius primitive. Fixed hop budget means
+    NO convergence action: all rounds compile into ONE Spark job (the
+    graph_pagerank shape). Integer-exact end to end; the oracle unrolls
+    the same Bellman-Ford relaxation."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("dst"),
+    )
+    seeds = supp.filter(F.col("s_suppkey") % BFS_SEED_MOD == 0).select(
+        (F.col("s_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("id")
+    )
+    return graph_ops.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling via priority sampling (operators/
+    curation.py sample_priority; Duffield-Lund-Thorup JACM 2007):
+    ticket from the salted-md5 scheme mapped to [1, 2^20], priority =
+    floor(n_chars · 2^20 / ticket) — BIGINT-exact on both engines —
+    k = PRIORITY_K largest win, ties on ascending doc_id. Plan is a
+    scan-fused projection + TakeOrderedAndProject: no shuffle, no
+    global sort (pinned in tests/test_plans.py)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.sample_priority(docs, k=PRIORITY_K, salt=PRIORITY_SALT)
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout envelopes (operators/layout.py zorder_envelopes;
+    Morton interleave of l_partkey × l_suppkey, Delta Lake OPTIMIZE
+    ZORDER BY semantics): per-bucket row counts and BOTH dimensions'
+    min/max — the data-skipping statistics a pruned scan reads. Pure
+    integer bit arithmetic (shift/mask/or), exact on both engines; one
+    partial-combined hash exchange."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return layout_ops.zorder_envelopes(
+        li, "l_partkey", "l_suppkey", bucket_bits=ZORDER_BUCKET_BITS
+    ).select("bucket", "n_rows", "x_min", "x_max", "y_min", "y_max")
+
+
 def q_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT edit-distance fuzzy join (operators/fuzzy.py; PassJoin,
     Li/Deng/Feng VLDB'11): all entity-name pairs within Levenshtein
@@ -3912,6 +3992,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
     "stream_stateful_funnel": (q_stream_stateful_funnel, O_STREAM_STATEFUL_FUNNEL),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
+    "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
+    "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
+    "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
     # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
@@ -3958,17 +4042,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
-    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
-    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
-    "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
-    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
     # =====================================================================
     # r4-green leftovers (first in line for round 8's window; tpch_q3
-    # joined them when graph_pagerank landed late in round 7 — new keys
-    # take window priority over re-anchoring carries):
+    # joined them when graph_pagerank landed late in round 7, and
+    # join_lineitem_orders/tpch_q6/vec_cosine_dist/stream_dedup when the
+    # round's second operator batch (graph_triangles, graph_bfs,
+    # sample_priority, layout_zorder) landed — new keys take window
+    # priority over re-anchoring carries):
+    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
+    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
+    "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
+    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
     "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
     "emb_generate": (q_emb_generate, O_EMB_GENERATE),

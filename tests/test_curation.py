@@ -498,3 +498,64 @@ def test_quality_model_empty_and_single_token_docs(spark):
     out = {r["doc_id"]: r for r in quality_model_score(docs, weights, -1.0).collect()}
     assert out[1]["n_feats"] == 1 and not out[1]["keep"]
     assert out[2]["n_feats"] == 1 and out[2]["keep"]  # z = -1 + 3 = 2
+
+
+def test_sample_priority_matches_python_replay(spark):
+    # independent replay of the md5-ticket priority scheme over a
+    # synthetic weighted corpus; k-set and ordering must match exactly
+    import hashlib
+
+    rows = [(i, f"t{i}", "en", "src0", 10 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    scale = 1 << 20
+
+    def replay(i, w):
+        h = hashlib.md5(f"{i}:r7".encode()).hexdigest()[:8]
+        ticket = int(h, 16) % scale + 1
+        return ticket, int((w * scale) / ticket)
+
+    want = sorted(
+        ((i, w, *replay(i, w)) for i, _t, _l, _s, w in rows),
+        key=lambda r: (-r[3], r[0]),
+    )[:25]
+    got = [
+        (r["doc_id"], r["n_chars"], r["ticket"], r["priority"])
+        for r in curation.sample_priority(df, k=25, salt="r7").collect()
+    ]
+    assert got == want
+
+
+def test_sample_priority_favors_heavy_weights(spark):
+    # weight 10**6 vs weight 1: the heavy rows must dominate the sample
+    rows = [(i, "x", "en", "s", 1_000_000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = curation.sample_priority(df, k=50).collect()
+    heavy = sum(1 for r in got if r["n_chars"] == 1_000_000)
+    assert heavy >= 45  # ~all heavy rows selected
+
+
+def test_sample_priority_is_append_stable(spark):
+    # adding rows never changes existing rows' tickets/priorities: the
+    # new sample is a re-ranking, old members only leave by losing slots
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    base = [(i, "x", "en", "s", 50 + i % 97) for i in range(300)]
+    grown = base + [(i, "x", "en", "s", 50 + i % 97) for i in range(300, 400)]
+    k = 40
+    s1 = {
+        r["doc_id"]: (r["ticket"], r["priority"])
+        for r in curation.sample_priority(
+            spark.createDataFrame(base, cols), k=k
+        ).collect()
+    }
+    s2 = {
+        r["doc_id"]: (r["ticket"], r["priority"])
+        for r in curation.sample_priority(
+            spark.createDataFrame(grown, cols), k=k
+        ).collect()
+    }
+    for doc_id in set(s1) & set(s2):
+        assert s1[doc_id] == s2[doc_id]

@@ -1,6 +1,6 @@
-"""PageRank (operators/graph.py) — semantics on small known graphs.
-Oracle parity at data scale is gated by the graph_pagerank CORRECTNESS
-row; here: the recurrence against an independent Python replay, plus
+"""Graph operators (operators/graph.py) — semantics on small known
+graphs. Oracle parity at data scale is gated by the graph_* CORRECTNESS
+rows; here: each recurrence against an independent Python replay, plus
 structural properties."""
 
 from __future__ import annotations
@@ -9,20 +9,22 @@ from demo_pgvector_spark.operators import graph
 
 
 def _replay(edges, iters):
+    # integer fixed point, mirroring the module contract: micro ranks,
+    # nano contributions via floor division, damping as 17/20
     edges = sorted(set(edges))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     outdeg = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
-    ranks = {n: 1.0 for n in nodes}
+    ranks = {n: 1_000_000 for n in nodes}
     for _ in range(iters):
         contrib = {}
         for s, d in edges:
-            contrib[d] = contrib.get(d, 0.0) + ranks[s] / outdeg[s]
+            contrib[d] = contrib.get(d, 0) + (ranks[s] * 1000) // outdeg[s]
         ranks = {
-            n: round(0.15 + 0.85 * contrib.get(n, 0.0), 6) for n in nodes
+            n: 150_000 + (17 * contrib.get(n, 0)) // 20_000 for n in nodes
         }
-    return ranks
+    return {n: r / 1_000_000 for n, r in ranks.items()}
 
 
 EDGES = [
@@ -48,3 +50,97 @@ def test_sink_and_source_shapes(spark):
     assert got[6] == round(0.15 + 0.85 * 0.15, 6)
     # every node present exactly once, even dedup'd-edge endpoints
     assert set(got) == {1, 2, 3, 4, 5, 6}
+
+
+# --- triangle_counts -------------------------------------------------------
+
+# Known graph: K4 on {1,2,3,4} (every vertex in C(3,2)=3 triangles),
+# a pendant 5-1, an isolated edge 6-7, plus duplicate/reversed/self
+# edges that must all normalize away.
+TRI_EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+    (5, 1),                                           # pendant
+    (6, 7),                                           # triangle-free pair
+    (2, 1), (1, 2), (3, 3),                           # dup, reverse, loop
+]
+
+
+def test_triangle_counts_on_k4_plus_tail(spark):
+    df = spark.createDataFrame(TRI_EDGES, "src long, dst long")
+    got = {
+        r["node_id"]: r["triangles"]
+        for r in graph.triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    # deterministic pseudo-random graph; brute force = check every
+    # vertex triple against the undirected edge set
+    edges = [((7 * i) % 23, (11 * i + 3) % 23) for i in range(90)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in und for v in e})
+    want = {n: 0 for n in nodes}
+    import itertools
+
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                want[v] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node_id"]: r["triangles"]
+        for r in graph.triangle_counts(df).collect()
+    }
+    assert got == want
+
+
+# --- bfs_hops --------------------------------------------------------------
+
+
+def _bfs_replay(edges, seeds, max_hops):
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        relaxed = {}
+        for s, d in sym:
+            if s in dist:
+                relaxed[d] = min(relaxed.get(d, 1 << 30), dist[s] + 1)
+        for d, h in relaxed.items():
+            dist[d] = min(dist.get(d, 1 << 30), h)
+    return dist
+
+
+BFS_EDGES = [
+    (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # a path
+    (10, 2),                                          # branch near seed
+    (20, 21),                                         # unreachable island
+    (2, 1), (1, 1),                                   # reverse dup, loop
+]
+
+
+def test_bfs_hops_path_graph(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["node_id"]: r["hops"]
+        for r in graph.bfs_hops(df, seeds, max_hops=3).collect()
+    }
+    # traversal is undirected; island {20,21} and nodes >3 hops emit no row
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 2}
+    assert got == _bfs_replay(BFS_EDGES, [1], 3)
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (6,), (6,)], "id long")  # dup seed
+    got = {
+        r["node_id"]: r["hops"]
+        for r in graph.bfs_hops(df, seeds, max_hops=2).collect()
+    }
+    assert got == _bfs_replay(BFS_EDGES, [1, 6], 2)
+    assert got[4] == 2 and got[5] == 1 and got[7] == 1  # from seed 6

@@ -472,3 +472,44 @@ def test_stateful_funnel_plans_the_state_operator(spark):
     )._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
     assert "EventTimeTimeout" in plan
+
+
+def test_sample_priority_is_scan_fused_topk(spark):
+    """sample_priority: the whole operator must be a scan-fused
+    projection feeding TakeOrderedAndProject — per-partition k-row
+    heaps, NO exchange, NO global Sort (the one-pass contract that
+    holds at any corpus size)."""
+    plan = _plan(spark, "sample_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_layout_zorder_single_exchange_no_joins(spark):
+    """layout_zorder: Morton code + bucket are pure projections over
+    the scan; the only exchange is the partial-combined envelope
+    aggregation (HashAggregate both sides of ONE shuffle)."""
+    plan = _plan(spark, "layout_zorder")
+    assert _shuffles(plan) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_graph_triangles_no_cartesian_all_hash_joins(spark):
+    """graph_triangles: the wedge join and the closing semi-join must
+    plan as hash joins on real keys — never a CartesianProduct or
+    BroadcastNestedLoopJoin over the edge list (the shape that dies at
+    scale)."""
+    plan = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # closing edge check never widens rows
+
+
+def test_graph_bfs_compiles_rounds_without_cartesian(spark):
+    """graph_bfs: every relaxation round is a keyed join + min-agg;
+    nothing may plan as a cartesian/nested-loop join, and the seed
+    table side stays a proper join input."""
+    plan = _plan(spark, "graph_bfs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
