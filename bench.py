@@ -161,6 +161,8 @@ BENCH_KEYS = (
     "graph_bfs",
     "sample_priority",
     "layout_zorder",
+    "win_sessionize",
+    "vec_mmr_rerank",
 )
 
 

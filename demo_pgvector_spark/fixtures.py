@@ -76,6 +76,14 @@ BFS_MAX_HOPS = 4
 PRIORITY_K = 100
 PRIORITY_SALT = "r7"
 
+# vec_mmr_rerank: MMR diversity re-rank over the embeddings table with
+# the canonical query vector (QUERY_VEC_ID); λ as an exact binary
+# fraction so λ·simq and (1−λ)·maxp are identical IEEE products on
+# both engines.
+MMR_POOL = 20
+MMR_K = 8
+MMR_LAMBDA = 0.5
+
 # layout_zorder: Morton-curve layout over (l_partkey, l_suppkey);
 # buckets = top ZORDER_BUCKET_BITS bits of the 32-bit code (the files a
 # ZORDER-compacted write would produce). 16 because the testdata keys

@@ -213,3 +213,55 @@ def bucketed_revenue_join(spark, li_table: str, ord_table: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PER-EVENT sessionization — gaps-and-islands: a new session starts
+    at a row whose gap to the user's previous event exceeds
+    ``gap_seconds``. Emits every event tagged with its session ordinal
+    and position (the "build user interaction sequences" step a
+    training pipeline runs before packing behavioral data), where
+    ``stream_session_windows`` emits the per-session AGGREGATES.
+
+    Ordering inside a user is (ts, event_id) — a total order, so ties
+    at the same timestamp sessionize deterministically on both engines.
+    Gap comparison is integer epoch-seconds (BIGINT-exact).
+
+    100 TB posture: ONE hash exchange on the user key feeds both window
+    passes (lag → island cumsum → per-session position) — Spark reuses
+    the single sort (ts, id) within partitions for all three window
+    functions; no joins, no second shuffle. Skew: a bot user with 10⁸
+    events serializes one partition — the mitigation (documented, not
+    default) is a coarse time-shard salt on (user, day) at ingest,
+    which cannot split a true session that crosses the boundary unless
+    the day edge falls inside a gap-free run."""
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    new_session = (
+        F.when(
+            epoch - F.lag(epoch).over(w_user) > gap_seconds, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    with_idx = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.sum(new_session).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_island"),
+    )
+    w_sess = Window.partitionBy(user_col, "_island").orderBy(ts_col, id_col)
+    return with_idx.select(
+        user_col,
+        id_col,
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        (F.col("_island") + 1).alias("session_seq"),
+        F.row_number().over(w_sess).cast("bigint").alias("event_seq"),
+    )

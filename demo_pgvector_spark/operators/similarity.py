@@ -176,3 +176,108 @@ def knn_join(
     if exclude_self:
         scored = scored.filter(F.col(probe_id) != F.col(id_col))
     return topk_per_group(scored, probe_id, id_col, "similarity_score", k)
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query_vec: list[float],
+    pool_size: int = 20,
+    k: int = 8,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) — the diversity stage of a RAG retrieval path: greedily
+    pick k results maximizing
+
+        mmr(c) = λ·sim(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    over a relevance pool, so near-duplicate chunks don't crowd the
+    context window. Returns (id, mmr_rank, mmr_score).
+
+    Determinism contract: every similarity is rounded to 6dp BEFORE any
+    comparison, each greedy argmax orders on the ROUNDED score with an
+    ascending-id tie-break, and the combination arithmetic runs on
+    doubles identical across engines — the established vec-row parity
+    contract (margins gated by the sweeps).
+
+    100 TB posture: the scan-side cost is the pool construction —
+    TakeOrderedAndProject over the full vector table (the flagship's
+    zero-shuffle shape). Everything after operates on the pool, which is
+    ≤ pool_size rows BY CONSTRUCTION: the pairwise cross join is
+    pool_size², and each greedy step is a micro-job over broadcast
+    joins of k-bounded frames. The per-step EAGER localCheckpoint on
+    the selected set is load-bearing: each step references the running
+    selection twice (anti-join + penalty keys), so an unbroken lineage
+    grows ~3^k analysis nodes — k=8 hung Catalyst for minutes, while
+    checkpointed steps run in ~0.1 s each. The pool/pairs lazy
+    checkpoints materialize once, during step 1's job; the k driver
+    round-trips are constant cost, independent of corpus size (the
+    dedup_assign CC-loop class).
+    """
+    q = query_vector_literal(query_vec)
+    pool = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("simq"),
+        )
+        .orderBy(F.col("simq").desc(), F.col(id_col).asc())
+        .limit(int(pool_size))
+        .localCheckpoint(eager=False)
+    )
+    a = pool.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = pool.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), 6
+            ).alias("simp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam = float(lam)
+    first = (
+        pool.select(
+            F.col(id_col),
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            F.round(F.lit(lam) * F.col("simq"), 6).alias("mmr_score"),
+        )
+        .orderBy(F.col("mmr_score").desc(), F.col(id_col).asc())
+        .limit(1)
+    )
+    selected = first.localCheckpoint()
+    for t in range(2, int(k) + 1):
+        sel_ids = selected.select(F.col(id_col).alias("id_b"))
+        penalty = (
+            pairs.join(F.broadcast(sel_ids), "id_b")
+            .groupBy("id_a")
+            .agg(F.max("simp").alias("maxp"))
+        )
+        step = (
+            pool.join(
+                selected.select(id_col), id_col, "left_anti"
+            )
+            .join(penalty, pool[id_col] == penalty["id_a"])
+            .select(
+                F.col(id_col),
+                F.lit(t).cast("bigint").alias("mmr_rank"),
+                F.round(
+                    F.lit(lam) * F.col("simq")
+                    - F.lit(1.0 - lam) * F.col("maxp"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col(id_col).asc())
+            .limit(1)
+        )
+        selected = selected.union(step).localCheckpoint()
+    return selected

@@ -29,9 +29,13 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
+    MMR_K,
+    MMR_LAMBDA,
+    MMR_POOL,
     PAGERANK_ITERS,
     PRIORITY_K,
     PRIORITY_SALT,
+    QUERY_VEC_ID,
     RAG_PROMPT,
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
@@ -3212,3 +3216,90 @@ SELECT (x | (y << 1)) >> {2 * 16 - ZORDER_BUCKET_BITS} AS bucket,
        MIN(yr) AS y_min, MAX(yr) AS y_max
 FROM z4 GROUP BY bucket
 """
+
+
+# Per-event sessionization (registry q_win_sessionize, operators/
+# relational.py sessionize): lag + cumsum gaps-and-islands with integer
+# epoch-second gap math and the (ts, event_id) total order — the same
+# islands form as O_STREAM_SESSION_WINDOWS but emitting every event's
+# (session_seq, event_seq) instead of the per-session aggregates.
+O_WIN_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts, es,
+         CASE WHEN es - LAG(es) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 300
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+),
+isl AS (
+  SELECT user_id, event_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM lagged
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(island + 1 AS BIGINT) AS session_seq,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, island
+                               ORDER BY ts, event_id) AS BIGINT) AS event_seq
+FROM isl
+"""
+
+
+def _mmr_oracle(pool_size: int, k: int, lam: float) -> str:
+    """Unrolled MMR greedy recursion (registry q_vec_mmr_rerank,
+    operators/similarity.py mmr_rerank): pool by rounded cosine, pool²
+    pairwise sims, then one CTE pair per greedy step — every argmax on
+    (ROUND(score, 6) DESC, vec_id ASC), mirroring the Spark operator's
+    determinism contract expression for expression."""
+    one_m = 1.0 - lam
+    sql = f"""
+WITH q AS ({_ORACLE_QVEC}),
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS simq
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+pool AS MATERIALIZED (
+  SELECT * FROM scored ORDER BY simq DESC, vec_id ASC LIMIT {pool_size}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS simp
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+         ROUND({lam} * simq, 6) AS mmr_score
+  FROM pool ORDER BY ROUND({lam} * simq, 6) DESC, vec_id ASC LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+"""
+    for t in range(2, k + 1):
+        sql += f"""s{t} AS MATERIALIZED (
+  SELECT p.vec_id, CAST({t} AS BIGINT) AS mmr_rank,
+         ROUND({lam} * p.simq - {one_m} * m.maxp, 6) AS mmr_score
+  FROM pool p
+  JOIN (SELECT id_a, MAX(simp) AS maxp FROM pairs
+        WHERE id_b IN (SELECT vec_id FROM sel{t - 1}) GROUP BY id_a) m
+    ON m.id_a = p.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  ORDER BY mmr_score DESC, p.vec_id ASC LIMIT 1
+),
+sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM s{t}),
+"""
+    sql = sql.rstrip().rstrip(",") + "\n"
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, mmr_rank, mmr_score FROM s{t}" for t in range(1, k + 1)
+    )
+    return sql + union
+
+
+O_VEC_MMR_RERANK = _mmr_oracle(MMR_POOL, MMR_K, MMR_LAMBDA)

@@ -37,6 +37,9 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
+    MMR_K,
+    MMR_LAMBDA,
+    MMR_POOL,
     PAGERANK_ITERS,
     PRIORITY_K,
     PRIORITY_SALT,
@@ -101,6 +104,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
     O_SAMPLE_PRIORITY,
+    O_VEC_MMR_RERANK,
+    O_WIN_SESSIONIZE,
     O_JOIN_SKEW_SALTED,
     O_JOIN_EDIT_DISTANCE,
     O_JOIN_RANGE,
@@ -199,7 +204,7 @@ from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
 from demo_pgvector_spark.operators import skew as skew_ops
 from demo_pgvector_spark.operators import write as write_ops
-from demo_pgvector_spark.operators.similarity import knn_join, sim_topk
+from demo_pgvector_spark.operators.similarity import knn_join, mmr_rerank, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
 from demo_pgvector_spark.streaming import joins as stream_join_ops
 from demo_pgvector_spark.streaming import late as stream_late_ops
@@ -3339,6 +3344,42 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "n_rows", "x_min", "x_max", "y_min", "y_max")
 
 
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EVENT sessionization (operators/relational.py sessionize):
+    gaps-and-islands with a 5-minute inactivity gap — every event tagged
+    with its (session_seq, event_seq), the "build user interaction
+    sequences" step before packing behavioral training data (the
+    per-session AGGREGATE view is stream_session_windows). One hash
+    exchange on user_id feeds all three window passes; integer
+    epoch-second gap math; (ts, event_id) total order."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return rel_ops.sessionize(ev, gap_seconds=300)
+
+
+def q_vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py mmr_rerank;
+    Carbonell & Goldstein SIGIR'98): λ=0.5, pool of 20 by cosine to the
+    canonical query vector, 8 greedy picks — the RAG retrieval stage
+    that keeps near-duplicate chunks from crowding the context window.
+    All sims rounded to 6dp before any comparison; every argmax orders
+    on (rounded score desc, vec_id asc); the oracle unrolls the same
+    greedy recursion as a MATERIALIZED CTE chain (inlined, DuckDB
+    re-expands the doubly-referenced selection ~3^k times — the same
+    blow-up the operator's per-step checkpoint avoids on the Spark
+    side). The query vector itself is excluded from the candidates
+    (standard retrieval; leaving it in makes pick 1 the query and every
+    later score collapse to exactly 0.0 — sim-to-query IS the max pair
+    sim — reducing the whole gate to an id-order tie-break)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return mmr_rerank(
+        emb, _query_vec(spark, sf_dir), pool_size=MMR_POOL, k=MMR_K, lam=MMR_LAMBDA
+    )
+
+
 def q_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT edit-distance fuzzy join (operators/fuzzy.py; PassJoin,
     Li/Deng/Feng VLDB'11): all entity-name pairs within Levenshtein
@@ -3996,6 +4037,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
     "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
     "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
+    "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
+    "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
     # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
@@ -4040,18 +4083,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
-    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
-    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
     # =====================================================================
     # r4-green leftovers (first in line for round 8's window; tpch_q3
-    # joined them when graph_pagerank landed late in round 7, and
+    # joined them when graph_pagerank landed late in round 7;
     # join_lineitem_orders/tpch_q6/vec_cosine_dist/stream_dedup when the
     # round's second operator batch (graph_triangles, graph_bfs,
-    # sample_priority, layout_zorder) landed — new keys take window
-    # priority over re-anchoring carries):
+    # sample_priority, layout_zorder) landed; and stream_windows/
+    # filt_predicates when the third batch (win_sessionize,
+    # vec_mmr_rerank) landed — new keys take window priority over
+    # re-anchoring carries):
+    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
+    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),

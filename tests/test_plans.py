@@ -513,3 +513,42 @@ def test_graph_bfs_compiles_rounds_without_cartesian(spark):
     plan = _plan(spark, "graph_bfs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_win_sessionize_one_exchange_one_sort(spark):
+    """win_sessionize: one hash exchange on user_id must feed ALL the
+    window passes (lag → island cumsum → per-session row_number) with a
+    single in-partition sort — no joins, no second shuffle."""
+    plan = _plan(spark, "win_sessionize")
+    assert _shuffles(plan) == 1
+    assert "Join" not in plan
+    assert plan.count("Sort ") <= 2  # ≤1 per window partitioning spec
+
+
+def test_vec_mmr_pool_is_takeordered_no_corpus_join(spark):
+    """vec_mmr_rerank: the only corpus-sized stage is the pool
+    construction, which must plan as TakeOrderedAndProject (per-
+    partition heaps, no exchange before the top-k); everything after
+    runs on k-bounded checkpointed frames."""
+    from demo_pgvector_spark import tables
+    from demo_pgvector_spark.functions.vector import (
+        cosine_similarity,
+        query_vector_literal,
+    )
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark.registry import _query_vec
+
+    emb = tables.load(spark, SF, "embeddings")
+    q = query_vector_literal(_query_vec(spark, SF))
+    pool = (
+        emb.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("simq"),
+        )
+        .orderBy(F.col("simq").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0

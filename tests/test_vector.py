@@ -90,3 +90,91 @@ def test_dot_matches_numpy(spark, sf_dir):
     for r in rows:
         expect = float(np.dot(np.asarray(r["embedding"], dtype=np.float64), np.asarray(q)))
         assert abs(got[r["vec_id"]] - expect) < 1e-12
+
+
+def test_mmr_rerank_matches_python_replay(spark, sf_dir):
+    """Pure-Python replay of the MMR greedy recursion on the real
+    testdata (query vec excluded, 6dp rounding, id tie-break) — and the
+    margin gate (the ADVICE-r6 pattern): at every greedy step the gap
+    between the chosen and runner-up ROUNDED scores must clear 2e-6, so
+    the argmax can never hinge on a cross-engine rounding boundary."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from demo_pgvector_spark.operators.similarity import mmr_rerank
+    from demo_pgvector_spark.registry import QUERY_VEC_ID
+
+    def rnd6(x):
+        # Spark's round() = BigDecimal.valueOf(double).setScale(6,
+        # HALF_UP), i.e. HALF_UP over the double's SHORTEST decimal
+        # repr — python round() is half-even and flips every score
+        # whose 7th digit is exactly 5, which here is every step where
+        # (simq − maxp) has an odd last digit (the λ=0.5 halving)
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    qv = [float(x) for x in _query_vec(spark, sf_dir)]
+
+    def _dot(a, b):
+        # sequential left-to-right fold — bit-for-bit the Spark
+        # aggregate(zip_with(...)) expression (numpy's BLAS dot sums
+        # pairwise and diverges in the last ulp, which flips 6dp
+        # rounding on boundary-sitting sims)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return _dot(a, b) / math.sqrt(_dot(a, a) * _dot(b, b))
+
+    pool_size, k, lam = 12, 5, 0.5
+    cands = {i: rnd6(cos(v, qv)) for i, v in rows.items()
+             if i != QUERY_VEC_ID}
+    pool = sorted(cands, key=lambda i: (-cands[i], i))[:pool_size]
+    selected, want = [], []
+    for t in range(1, k + 1):
+        scores = {}
+        for c in pool:
+            if c in selected:
+                continue
+            if not selected:
+                scores[c] = rnd6(lam * cands[c])
+            else:
+                maxp = max(rnd6(cos(rows[c], rows[s])) for s in selected)
+                scores[c] = rnd6(lam * cands[c] - (1 - lam) * maxp)
+        ranked = sorted(scores, key=lambda i: (-scores[i], i))
+        pick = ranked[0]
+        if len(ranked) > 1:  # margin gate: argmax never decided by <2e-6
+            assert scores[pick] - scores[ranked[1]] >= 2e-6 or (
+                scores[pick] == scores[ranked[1]]  # id tie is deterministic
+            ), (t, scores[pick], scores[ranked[1]])
+        selected.append(pick)
+        want.append((pick, t, scores[pick]))
+
+    got = [
+        (r["vec_id"], r["mmr_rank"], r["mmr_score"])
+        for r in mmr_rerank(
+            emb.filter(F.col("vec_id") != QUERY_VEC_ID),
+            _query_vec(spark, sf_dir),
+            pool_size=pool_size,
+            k=k,
+            lam=lam,
+        ).collect()
+    ]
+    assert sorted(got, key=lambda r: r[1]) == want
+
+
+def test_mmr_scores_are_nondegenerate(spark, sf_dir):
+    # with the query vector excluded, later picks must carry varied,
+    # informative scores (the vec-0-in-pool regression collapsed every
+    # rank>1 score to exactly 0.0 and the gate to an id-order sort)
+    from demo_pgvector_spark.registry import q_vec_mmr_rerank
+
+    got = q_vec_mmr_rerank(spark, sf_dir).collect()
+    assert len(got) == 8
+    tail_scores = {r["mmr_score"] for r in got if r["mmr_rank"] > 1}
+    assert len(tail_scores) > 1
