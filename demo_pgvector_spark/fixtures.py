@@ -76,6 +76,12 @@ BFS_MAX_HOPS = 4
 PRIORITY_K = 100
 PRIORITY_SALT = "r7"
 
+# ts_resample: hourly forward-fill resampling over a deterministic
+# user slice (user_id % TS_USER_MOD == 0 — 8 users at sf0.1, ~720 grid
+# points each over the 30-day event span; the slice keeps the gate's
+# collected grid proportionate while replicas still scale it linearly).
+TS_USER_MOD = 199
+
 # vec_mmr_rerank: MMR diversity re-rank over the embeddings table with
 # the canonical query vector (QUERY_VEC_ID); λ as an exact binary
 # fraction so λ·simq and (1−λ)·maxp are identical IEEE products on

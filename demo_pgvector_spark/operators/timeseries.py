@@ -1,0 +1,85 @@
+"""Time-series resampling — irregular events onto a fixed time grid
+with forward fill.
+
+Extension surface (the reference has no time-series tooling): the
+feature-engineering step behavioral/training pipelines run before
+windowed models — "give me each user's state at every hour, carrying
+the last observation forward". Pandas calls it ``resample().ffill()``;
+here it is three Catalyst stages, all distributed:
+
+1. per-(key, bucket) LAST observation — one hash aggregate keyed on
+   (key, bucket) with a ``max_by`` over the (ts, id) total order (no
+   window over raw events, so the event stream is never re-sorted
+   whole);
+2. per-key grid — ``sequence(min_bucket, max_bucket, interval)`` off a
+   tiny per-key min/max aggregate, exploded; grid size is
+   span/step × keys, INDEPENDENT of the event count (the 100 TB shape:
+   1e12 events over a month still explode to the same 720×keys grid);
+3. forward fill — grid LEFT JOIN observations, then
+   ``last(value, ignorenulls)`` over (key ORDER BY bucket) — one
+   exchange on the key, one in-partition sort of GRID rows (not event
+   rows).
+
+Determinism: the in-bucket pick orders on the (ts, id) total order;
+values pass through untouched from storage (both engines read the same
+parquet doubles), so parity is exact with no rounding contract needed
+beyond the output's display rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    step: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, bucket, value_ff, n_obs) for every grid point of every
+    key's [first, last] observation span. ``value_ff`` is the last
+    observed value at or before the bucket (forward fill; the first
+    bucket always has an observation by construction), ``n_obs`` the
+    observation count inside the bucket (0 for gap rows)."""
+    unit = step.split()[1].rstrip("s")  # "1 hour" -> hour
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        events.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("v_last"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    grid = (
+        events.groupBy(key_col)
+        .agg(
+            F.date_trunc(unit, F.min(ts_col)).alias("b0"),
+            F.date_trunc(unit, F.max(ts_col)).alias("b1"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("b0", "b1", F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.last("v_last", ignorenulls=True).over(w).alias("value_ff"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        )
+    )

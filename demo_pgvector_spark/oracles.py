@@ -39,6 +39,7 @@ from demo_pgvector_spark.fixtures import (
     RAG_PROMPT,
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
+    TS_USER_MOD,
     ZORDER_BUCKET_BITS,
 )
 from demo_pgvector_spark.functions import textstats
@@ -3303,3 +3304,46 @@ sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FR
 
 
 O_VEC_MMR_RERANK = _mmr_oracle(MMR_POOL, MMR_K, MMR_LAMBDA)
+
+
+# Hourly forward-fill resampling (registry q_ts_resample, operators/
+# timeseries.py resample_ffill): per-(user, hour) last observation via
+# the (ts, event_id) total order, a generate_series grid over each
+# user's span, LEFT JOIN + IGNORE NULLS running last_value for the
+# fill. Values pass through from the shared parquet untouched.
+O_TS_RESAMPLE = f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id % {TS_USER_MOD} = 0
+),
+ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+           AS n_obs
+  FROM ev
+),
+obs AS (
+  SELECT user_id, bucket, value AS v_last, n_obs FROM ranked WHERE rn = 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', mn),
+                                date_trunc('hour', mx),
+                                INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM ev
+        GROUP BY user_id)
+),
+filled AS (
+  SELECT g.user_id, g.bucket,
+         last_value(o.v_last IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+         COALESCE(o.n_obs, 0) AS n_obs
+  FROM grid g LEFT JOIN obs o
+    ON o.user_id = g.user_id AND o.bucket = g.bucket
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       ROUND(value_ff, 6) AS value_ff, CAST(n_obs AS BIGINT) AS n_obs
+FROM filled
+"""

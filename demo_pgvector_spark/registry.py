@@ -46,6 +46,7 @@ from demo_pgvector_spark.fixtures import (
     QUERY_VEC_ID,
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
+    TS_USER_MOD,
     ZORDER_BUCKET_BITS,
     RAG_PROMPT,
     _BPE_CHUNK_TOKENS,
@@ -104,6 +105,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
     O_SAMPLE_PRIORITY,
+    O_TS_RESAMPLE,
     O_VEC_MMR_RERANK,
     O_WIN_SESSIONIZE,
     O_JOIN_SKEW_SALTED,
@@ -203,6 +205,7 @@ from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
 from demo_pgvector_spark.operators import skew as skew_ops
+from demo_pgvector_spark.operators import timeseries as ts_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, mmr_rerank, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
@@ -3380,6 +3383,26 @@ def q_vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly forward-fill resampling (operators/timeseries.py
+    resample_ffill) — pandas ``resample().ffill()`` re-expressed as
+    three distributed stages: per-(user, hour) last observation via
+    ``max_by`` over the (ts, event_id) total order, a per-user
+    ``sequence``-exploded grid whose size is span×users (INDEPENDENT of
+    event count), and one grid-sized window for the fill. Values pass
+    through from storage untouched, so parity needs no rounding
+    contract; the user slice (% TS_USER_MOD) keeps the collected grid
+    proportionate."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("user_id") % TS_USER_MOD == 0
+    )
+    out = ts_ops.resample_ffill(ev, step="1 hour")
+    return out.select(
+        "user_id", "bucket", F.round("value_ff", 6).alias("value_ff"), "n_obs"
+    )
+
+
 def q_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT edit-distance fuzzy join (operators/fuzzy.py; PassJoin,
     Li/Deng/Feng VLDB'11): all entity-name pairs within Levenshtein
@@ -4039,6 +4062,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
     "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
+    "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
     # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
@@ -4082,7 +4106,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
-    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
@@ -4097,6 +4120,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # re-anchoring carries):
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
+    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),

@@ -552,3 +552,14 @@ def test_vec_mmr_pool_is_takeordered_no_corpus_join(spark):
     plan = pool._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert _shuffles(plan) == 0
+
+
+def test_ts_resample_grid_not_event_sized_no_cartesian(spark):
+    """ts_resample: the fill window must sort GRID rows (span×keys),
+    never the raw event stream — the plan carries the explode(sequence)
+    grid generator, hash joins only, and no window over the un-bucketed
+    events."""
+    plan = _plan(spark, "ts_resample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the sequence-exploded grid

@@ -1,0 +1,42 @@
+"""Forward-fill resampling (operators/timeseries.py): known timelines —
+gap rows filled with the carried value, in-bucket last pick honors the
+(ts, event_id) total order, grid spans exactly [first, last] bucket."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from demo_pgvector_spark.operators.timeseries import resample_ffill
+
+
+def _ev(eid, user, ts, value):
+    return (eid, datetime.fromisoformat(ts), user, value)
+
+
+ROWS = [
+    # user 1: obs at 10:xx (two in-bucket, same ts — id breaks the tie),
+    # nothing at 11:xx or 12:xx, obs at 13:05
+    _ev(1, 1, "2024-01-01 10:15:00", 1.0),
+    _ev(3, 1, "2024-01-01 10:45:00", 3.0),
+    _ev(2, 1, "2024-01-01 10:45:00", 2.0),  # same ts as id 3 — 3 wins
+    _ev(4, 1, "2024-01-01 13:05:00", 4.0),
+    # user 2: single observation — one-row grid
+    _ev(5, 2, "2024-01-01 23:59:59", 5.0),
+]
+
+
+def test_resample_fills_gaps_and_orders_in_bucket(spark):
+    df = spark.createDataFrame(
+        ROWS, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (r["value_ff"], r["n_obs"])
+        for r in resample_ffill(df, step="1 hour").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (3.0, 3),  # id 3 beats id 2 at same ts
+        (1, "2024-01-01 11:00:00"): (3.0, 0),  # gap: carried forward
+        (1, "2024-01-01 12:00:00"): (3.0, 0),
+        (1, "2024-01-01 13:00:00"): (4.0, 1),
+        (2, "2024-01-01 23:00:00"): (5.0, 1),
+    }
