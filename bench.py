@@ -163,6 +163,8 @@ BENCH_KEYS = (
     "layout_zorder",
     "win_sessionize",
     "vec_mmr_rerank",
+    "ts_resample",
+    "graph_lpa",
 )
 
 

@@ -65,6 +65,12 @@ SUPP_NODE_OFFSET = 10_000_000
 # population. Both engines build edges from the same predicate.
 TRI_QTY_MIN = 25
 
+# graph_lpa: synchronous label propagation over the SAME co-order part
+# graph as graph_triangles (unipartite — on the bipartite part—supplier
+# graph synchronous LPA just oscillates sides); smallest-label tie
+# break, fixed rounds.
+LPA_ITERS = 3
+
 # graph_bfs: hop distance from the "vetted seed" supplier set
 # (s_suppkey % BFS_SEED_MOD == 0, offset into the shared node id space)
 # over the UNDIRECTED part—supplier graph, bounded at BFS_MAX_HOPS.

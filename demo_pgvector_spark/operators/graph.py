@@ -239,3 +239,53 @@ def bfs_hops(
             )
         )
     return dist.select(F.col("id").alias("node_id"), "hops")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    2007; the GraphX ``LabelPropagation`` contract) over the UNDIRECTED
+    graph: label_0(v) = v, then every round each node adopts its
+    neighbors' most frequent label. GraphX breaks frequency ties by hash
+    order (nondeterministic across runs); here ties break on the
+    SMALLEST label — a total order, so the whole computation is
+    integer-exact and replayable (the DuckDB oracle unrolls the same
+    rounds). Fixed iteration count (the classic LPA termination, since
+    synchronous LPA can oscillate on bipartite structures): all rounds
+    compile into ONE job, no convergence action — the pagerank shape.
+
+    Per round: one join keyed on the edge source, one (node, label)
+    count aggregate, one max_by argmax per node — all partial-combining
+    hash aggregates; per-round state is one BIGINT label per node.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym["s"] == labels["id"])
+            .groupBy("d", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # most frequent neighbor label, smallest label on ties:
+        # max of (cnt, -label) picks exactly that
+        labels = counts.groupBy("d").agg(
+            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias(
+                "label"
+            )
+        ).select(F.col("d").alias("id"), "label")
+    return labels.select(F.col("id").alias("node_id"), "label")

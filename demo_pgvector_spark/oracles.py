@@ -29,6 +29,7 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
+    LPA_ITERS,
     MMR_K,
     MMR_LAMBDA,
     MMR_POOL,
@@ -3347,3 +3348,47 @@ SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        ROUND(value_ff, 6) AS value_ff, CAST(n_obs AS BIGINT) AS n_obs
 FROM filled
 """
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous label propagation (registry q_graph_lpa,
+    operators/graph.py label_propagation): per round a neighbor-label
+    count and a ROW_NUMBER argmax (cnt DESC, label ASC) — integer-exact,
+    bit-identical parity. Edge build shared with O_GRAPH_TRIANGLES."""
+    sql = f"""
+WITH raw AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > {TRI_QTY_MIN} AND b.l_quantity > {TRI_QTY_MIN}
+),
+sym AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM raw UNION ALL SELECT d AS s, s AS d FROM raw
+  ) WHERE s <> d
+),
+nodes AS (SELECT DISTINCT s AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM nodes),
+"""
+    for t in range(iters):
+        sql += f"""c{t} AS (
+  SELECT sym.d, l.label, COUNT(*) AS cnt
+  FROM sym JOIN l{t} l ON l.id = sym.s
+  GROUP BY sym.d, l.label
+),
+l{t + 1} AS (
+  SELECT d AS id, label FROM (
+    SELECT d, label,
+           ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, label ASC)
+             AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+),
+"""
+    return (
+        sql.rstrip().rstrip(",")
+        + f"\nSELECT id AS node_id, label FROM l{iters}"
+    )
+
+
+O_GRAPH_LPA = _lpa_oracle(LPA_ITERS)

@@ -37,6 +37,7 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
+    LPA_ITERS,
     MMR_K,
     MMR_LAMBDA,
     MMR_POOL,
@@ -101,6 +102,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
     O_GRAPH_BFS,
+    O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
@@ -3320,6 +3322,24 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (operators/graph.py label_propagation; Raghavan 2007 / GraphX
+    LabelPropagation with a DETERMINISTIC smallest-label tie break)
+    over the same co-order part graph as graph_triangles — mirror-site
+    / domain-cluster grouping is this exact operator over host graphs.
+    Fixed LPA_ITERS rounds compile into ONE job; integer-exact; oracle
+    unrolls the rounds with a ROW_NUMBER argmax."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+    return graph_ops.label_propagation(edges, iterations=LPA_ITERS)
+
+
 def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k weighted sampling via priority sampling (operators/
     curation.py sample_priority; Duffield-Lund-Thorup JACM 2007):
@@ -4058,6 +4078,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
+    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
     "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
     "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
@@ -4105,7 +4126,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
-    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
@@ -4121,6 +4141,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
+    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),

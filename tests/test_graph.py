@@ -144,3 +144,60 @@ def test_bfs_hops_multi_source_takes_min(spark):
     }
     assert got == _bfs_replay(BFS_EDGES, [1, 6], 2)
     assert got[4] == 2 and got[5] == 1 and got[7] == 1  # from seed 6
+
+
+# --- label_propagation -------------------------------------------------------
+
+
+def _lpa_replay(edges, iters):
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            counts = {}
+            for s, d in sym:
+                if d == n:
+                    counts[labels[s]] = counts.get(labels[s], 0) + 1
+            nxt[n] = sorted(counts, key=lambda l: (-counts[l], l))[0]
+        labels = nxt
+    return labels
+
+
+LPA_EDGES = [
+    # two triangles bridged by one edge — classic two-community shape
+    (1, 2), (2, 3), (1, 3),
+    (7, 8), (8, 9), (7, 9),
+    (3, 7),
+    (2, 1), (1, 1),  # reverse dup, loop
+]
+
+
+def test_lpa_matches_python_replay_and_finds_communities(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r["node_id"]: r["label"]
+            for r in graph.label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_replay(LPA_EDGES, iters), iters
+    got3 = _lpa_replay(LPA_EDGES, 3)
+    # after 3 rounds the two triangles carry distinct dominant labels
+    assert len({got3[1], got3[7]}) == 2
+
+
+def test_lpa_tie_breaks_on_smallest_label(spark):
+    # node 5 sees labels {1, 2} once each — the smaller must win
+    edges = [(1, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node_id"]: r["label"]
+        for r in graph.label_propagation(df, iterations=1).collect()
+    }
+    assert got[5] == 1
+    assert got == _lpa_replay(edges, 1)

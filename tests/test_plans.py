@@ -563,3 +563,15 @@ def test_ts_resample_grid_not_event_sized_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan  # the sequence-exploded grid
+
+
+def test_graph_lpa_hash_joins_and_aggs_only(spark):
+    """graph_lpa: every round is a keyed join + two partial-combining
+    hash aggregates; nothing may plan as a cartesian/nested-loop join,
+    and the argmax is max_by inside HashAggregate, not a window over
+    the full (node, label) stream."""
+    plan = _plan(spark, "graph_lpa")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "max_by" in plan
+    assert "Window" not in plan
