@@ -2629,12 +2629,12 @@ def _pagerank_oracle(iters: int) -> str:
     sf0.001 to a .5-ulp boundary). Final ``pr = r / 1000000.0`` is one
     exact-operand IEEE division, identical everywhere."""
     sql = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
   FROM lineitem
 ),
-nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
 """
     for t in range(iters):
@@ -2643,7 +2643,7 @@ r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
   FROM edges e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst
 ),
-r{t + 1} AS (
+r{t + 1} AS MATERIALIZED (
   SELECT n.id,
          CAST(150000 + (17 * COALESCE(c.s, 0)) // 20000 AS BIGINT) AS r
   FROM nodes n LEFT JOIN c{t} c ON c.dst = n.id
@@ -3093,17 +3093,17 @@ WITH raw AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_quantity > {TRI_QTY_MIN} AND b.l_quantity > {TRI_QTY_MIN}
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
   FROM raw WHERE s <> d
 ),
-nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
-deg AS (
+nodes AS MATERIALIZED (SELECT a AS id FROM und UNION SELECT b FROM und),
+deg AS MATERIALIZED (
   SELECT v, COUNT(*) AS deg FROM (
     SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
   ) GROUP BY v
 ),
-orient AS (
+orient AS MATERIALIZED (
   SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
               THEN u.a ELSE u.b END AS lo,
          CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
@@ -3136,11 +3136,11 @@ def _bfs_oracle(max_hops: int) -> str:
     per round — integer-exact, bit-identical parity."""
     k1 = max_hops + 1
     sql = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
   FROM lineitem
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT src AS s, dst AS d FROM e
   UNION
   SELECT dst AS s, src AS d FROM e
@@ -3157,7 +3157,7 @@ d0 AS (
   FROM sym JOIN d{t} p ON p.id = sym.s
   GROUP BY sym.d
 ),
-d{t + 1} AS (
+d{t + 1} AS MATERIALIZED (
   SELECT COALESCE(p.id, r.d) AS id,
          LEAST(COALESCE(p.hops, {k1}), COALESCE(r.h, {k1})) AS hops
   FROM d{t} p FULL OUTER JOIN r{t} r ON r.d = p.id
@@ -3362,12 +3362,12 @@ WITH raw AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_quantity > {TRI_QTY_MIN} AND b.l_quantity > {TRI_QTY_MIN}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT DISTINCT s, d FROM (
     SELECT s, d FROM raw UNION ALL SELECT d AS s, s AS d FROM raw
   ) WHERE s <> d
 ),
-nodes AS (SELECT DISTINCT s AS id FROM sym),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
 l0 AS (SELECT id, id AS label FROM nodes),
 """
     for t in range(iters):
@@ -3376,7 +3376,7 @@ l0 AS (SELECT id, id AS label FROM nodes),
   FROM sym JOIN l{t} l ON l.id = sym.s
   GROUP BY sym.d, l.label
 ),
-l{t + 1} AS (
+l{t + 1} AS MATERIALIZED (
   SELECT d AS id, label FROM (
     SELECT d, label,
            ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, label ASC)

@@ -83,6 +83,16 @@ DEFAULT_KEYS = (
     "stream_join_outer",
     "stream_join_right",
     "stream_join_full",
+    # round-7 additions. The graph keys' DISTINCT edge sets are
+    # replica-invariant (dims stay 1×), so their curves price the
+    # scan+dedup front end; win_sessionize is result-volume-bound like
+    # win_running_total (returns every event); ts_resample's grid grows
+    # with the replicated user set. join_edit_distance is EXCLUDED (its
+    # input is the unreplicated customer dim — the curve would be flat
+    # by construction, measuring nothing).
+    "graph_pagerank", "graph_triangles", "graph_bfs", "graph_lpa",
+    "sample_priority", "layout_zorder", "win_sessionize",
+    "vec_mmr_rerank", "ts_resample", "stream_stateful_funnel",
 )
 
 
