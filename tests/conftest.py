@@ -27,6 +27,7 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # never ./.tmp
     for name in tables.TESTDATA_TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"

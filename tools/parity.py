@@ -167,6 +167,10 @@ def main():
     keys = args.keys or list(registry.REGISTRY)
     spark = get_session("parity")
     con = duckdb.connect()
+    # spill OUTSIDE the repo: DuckDB's default temp dir is ./.tmp, and a
+    # pre-MATERIALIZED iterative oracle once wrote 40 GB there (and a
+    # spill file leaked into a commit before .tmp/ was gitignored)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for name in tables.TESTDATA_TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{args.sf}/{name}.parquet'"
