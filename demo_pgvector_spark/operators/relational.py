@@ -265,3 +265,46 @@ def sessionize(
         (F.col("_island") + 1).alias("session_seq"),
         F.row_number().over(w_sess).cast("bigint").alias("event_seq"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    int_cols: tuple[str, ...] = (),
+    str_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Column-profile statistics — the data-validation pass a pipeline
+    runs before training on a new drop: one row per profiled column
+    with (n, n_null, n_distinct, min, max). Exact counts, not sketches
+    (the sketch path is agg_approx_distinct); min/max reported as
+    strings so integer and string columns share one output schema —
+    profiled columns are restricted to BIGINT/string types, whose
+    string forms are engine-exact (doubles are NOT: '1.0E4' formatting
+    diverges, so a double column must be profiled via its own typed
+    row, deliberately unsupported here).
+
+    100 TB posture: ONE scan computes every per-column aggregate
+    (count/null-count/min/max partial-combine map-side into a single
+    row); the exact distinct counts are per-column partial aggregates
+    Spark plans as expand+two-phase aggregation. The unpivot to rows is
+    a stack() over the one-row aggregate — driver-side tiny."""
+    aggs = []
+    for c in (*int_cols, *str_cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}"
+        for c in (*int_cols, *str_cols)
+    )
+    n = len(int_cols) + len(str_cols)
+    return one.select(
+        F.expr(
+            f"stack({n}, {stack_args}) AS "
+            "(column, n, n_null, n_distinct, min_val, max_val)"
+        )
+    )

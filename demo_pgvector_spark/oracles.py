@@ -3392,3 +3392,28 @@ l{t + 1} AS MATERIALIZED (
 
 
 O_GRAPH_LPA = _lpa_oracle(LPA_ITERS)
+
+
+def _profile_oracle(int_cols: tuple, str_cols: tuple) -> str:
+    """Per-column profile replay (registry q_profile_table, operators/
+    relational.py profile_columns): one UNION ALL branch per column —
+    COUNT(col) is the non-null count, n_null the complement, exact
+    COUNT(DISTINCT), min/max as strings (BIGINT/string columns only;
+    engine-exact string forms)."""
+    branches = []
+    for c in (*int_cols, *str_cols):
+        branches.append(f"""SELECT '{c}' AS "column",
+       COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM lineitem""")
+    return "\nUNION ALL\n".join(branches)
+
+
+O_PROFILE_TABLE = _profile_oracle(
+    ("l_orderkey", "l_partkey", "l_suppkey"),
+    ("l_returnflag", "l_linestatus"),
+)

@@ -106,6 +106,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_PAGERANK,
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
+    O_PROFILE_TABLE,
     O_SAMPLE_PRIORITY,
     O_TS_RESAMPLE,
     O_VEC_MMR_RERANK,
@@ -3367,6 +3368,24 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "n_rows", "x_min", "x_max", "y_min", "y_max")
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile statistics (operators/relational.py
+    profile_columns) over lineitem's key/flag columns — the
+    data-validation pass before training on a new drop: exact
+    (n, n_null, n_distinct, min, max) per column from ONE scan
+    (count/min/max partial-combine into a single row; exact distincts
+    plan as expand + two-phase aggregate), unpivoted via stack().
+    Profiled columns are BIGINT/string only — their string forms are
+    engine-exact where double formatting is not."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return rel_ops.profile_columns(
+        li,
+        int_cols=("l_orderkey", "l_partkey", "l_suppkey"),
+        str_cols=("l_returnflag", "l_linestatus"),
+    )
+
+
 def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-EVENT sessionization (operators/relational.py sessionize):
     gaps-and-islands with a 5-minute inactivity gap — every event tagged
@@ -4084,6 +4103,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
     "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
     "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
+    "profile_table": (q_profile_table, O_PROFILE_TABLE),
     # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
@@ -4125,7 +4145,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
-    "text_quality": (q_text_quality, O_TEXT_QUALITY),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
@@ -4142,6 +4161,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),

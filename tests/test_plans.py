@@ -575,3 +575,13 @@ def test_graph_lpa_hash_joins_and_aggs_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "max_by" in plan
     assert "Window" not in plan
+
+
+def test_profile_table_is_one_scan(spark):
+    """profile_table: every per-column stat comes off ONE FileScan —
+    the multi-distinct plans as Expand + two-phase aggregate, never one
+    scan per column, and there are no joins."""
+    plan = _plan(spark, "profile_table")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan

@@ -53,3 +53,22 @@ def test_sessionize_formats_ts_and_counts_rows(spark):
     out = sessionize(df, gap_seconds=300).collect()
     assert len(out) == len(ROWS)
     assert all(len(r["ts"]) == 19 for r in out)  # yyyy-MM-dd HH:mm:ss
+
+
+def test_profile_columns_exact_stats(spark):
+    from demo_pgvector_spark.operators.relational import profile_columns
+
+    rows = [
+        (1, "a"), (2, "b"), (2, None), (None, "a"), (3, "c"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {
+        r["column"]: (
+            r["n"], r["n_null"], r["n_distinct"], r["min_val"], r["max_val"]
+        )
+        for r in profile_columns(df, int_cols=("k",), str_cols=("s",)).collect()
+    }
+    assert got == {
+        "k": (5, 1, 3, "1", "3"),   # n counts non-null; distinct ignores null
+        "s": (5, 1, 3, "a", "c"),
+    }
