@@ -282,21 +282,31 @@ def profile_columns(
     diverges, so a double column must be profiled via its own typed
     row, deliberately unsupported here).
 
-    100 TB posture: ONE scan computes every per-column aggregate
-    (count/null-count/min/max partial-combine map-side into a single
-    row); the exact distinct counts are per-column partial aggregates
-    Spark plans as expand+two-phase aggregation. The unpivot to rows is
-    a stack() over the one-row aggregate — driver-side tiny."""
-    aggs = []
-    for c in (*int_cols, *str_cols):
-        aggs += [
+    100 TB posture: TWO scans, deliberately not one. Scan 1 computes
+    count/null-count/min/max (whole-stage-codegen HashAggregate,
+    partial-combining map-side into a single row); scan 2 computes the
+    exact distincts (Catalyst's Expand + two-phase aggregate). Fusing
+    them into one ``agg`` LOOKS cheaper but is ~8× slower: the
+    multi-distinct rewrite routes the plain stats through
+    ``first() FILTER (gid=0)`` wrappers over the expanded stream and
+    the whole aggregate falls back to SortAggregate — measured 8-10 s
+    vs ~2 s split, sf0.1 (the expand multiplies the scan by
+    #distinct-columns+1 and SORTS it). The two single-row results
+    cross-join (1×1) and stack() unpivots — driver-side tiny."""
+    cols = (*int_cols, *str_cols)
+    base_aggs = []
+    for c in cols:
+        base_aggs += [
             F.count(F.col(c)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    base = df.agg(*base_aggs)
+    nd = df.agg(
+        *[F.countDistinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
+    )
+    one = base.crossJoin(nd)
     stack_args = ", ".join(
         f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}"
         for c in (*int_cols, *str_cols)

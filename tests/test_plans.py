@@ -577,11 +577,17 @@ def test_graph_lpa_hash_joins_and_aggs_only(spark):
     assert "Window" not in plan
 
 
-def test_profile_table_is_one_scan(spark):
-    """profile_table: every per-column stat comes off ONE FileScan —
-    the multi-distinct plans as Expand + two-phase aggregate, never one
-    scan per column, and there are no joins."""
+def test_profile_table_two_scans_stats_not_expanded(spark):
+    """profile_table: exactly TWO FileScans — plain stats and the
+    exact-distinct Expand — and NO first() wrappers: fusing both into
+    one agg routes the plain stats through ``first() FILTER (gid=...)``
+    over the 6-way-expanded stream (~8x slower, measured 8-10 s vs ~2 s
+    at sf0.1). A SortAggregate with EMPTY grouping keys remains for the
+    string min/max (non-mutable buffer, declarative — no
+    ObjectHashAggregate eligibility), which sorts nothing; the first()
+    shape is the regression signature, so that is what is pinned."""
     plan = _plan(spark, "profile_table")
-    assert plan.count("FileScan") == 1
+    assert plan.count("FileScan") == 2
     assert "Expand" in plan
-    assert "Join" not in plan
+    assert "first(" not in plan
+    assert "SortMergeJoin" not in plan
