@@ -167,6 +167,7 @@ BENCH_KEYS = (
     "ts_resample",
     "graph_lpa",
     "profile_table",
+    "graph_cc",
 )
 
 

@@ -3417,3 +3417,32 @@ O_PROFILE_TABLE = _profile_oracle(
     ("l_orderkey", "l_partkey", "l_suppkey"),
     ("l_returnflag", "l_linestatus"),
 )
+
+
+# Weakly-connected components over the co-order part graph (registry
+# q_graph_cc): the dedup_assign oracle convention — bounded grouped-MIN
+# recursion (min-label propagation, the Spark operator's own fixed
+# point) over MATERIALIZED edges; component_id = component min id.
+O_GRAPH_CC = f"""
+WITH RECURSIVE raw AS MATERIALIZED (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > {TRI_QTY_MIN} AND b.l_quantity > {TRI_QTY_MIN}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM raw
+  UNION
+  SELECT id_b, id_a FROM raw
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, MIN(w.lbl) FROM edges e JOIN walk w ON w.id = e.dst
+  GROUP BY e.src
+),
+comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
+SELECT v.id AS node_id, COALESCE(c.k, v.id) AS component_id
+FROM verts v LEFT JOIN comp c ON v.id = c.id
+"""

@@ -102,6 +102,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_CHUNK_DATA,
     O_JOIN_LINEITEM_ORDERS,
     O_GRAPH_BFS,
+    O_GRAPH_CC,
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
     O_GRAPH_TRIANGLES,
@@ -3323,6 +3324,32 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components as a public graph key (VERDICT-r6-era
+    machinery made first-class): the operators/dedup.py min-label +
+    pointer-doubling CC loop — O(log d) rounds, ONE action per round —
+    run over the co-order part graph instead of a near-dup pair graph.
+    Output (node_id, component_id) with component_id = the component's
+    minimum node id; oracle = the bounded grouped-min recursive CTE
+    (the dedup_assign convention)."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("id_a") < F.col("id_b"))
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    out = dedup_ops.dedup_assign(nodes, pairs, id_col="node")
+    return out.select(
+        F.col("id").alias("node_id"), F.col("keeper_id").alias("component_id")
+    )
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation
     (operators/graph.py label_propagation; Raghavan 2007 / GraphX
@@ -4098,6 +4125,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
     "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
+    "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
     "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
@@ -4144,7 +4172,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
-    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule;
     # tools/parity.py re-verifies ALL keys locally each round.
@@ -4162,6 +4189,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
     "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),

@@ -35,7 +35,7 @@ WINDOW_REQUIRED = {
     "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
     "graph_triangles", "graph_bfs", "sample_priority", "layout_zorder",
     "win_sessionize", "vec_mmr_rerank", "ts_resample", "graph_lpa",
-    "profile_table",
+    "profile_table", "graph_cc",
     # (B) the nine keys whose latest driver row was round 2 — rotated in
     # FIRST per VERDICT r6 #2:
     "vec_knn_join", "join_asof", "join_range", "agg_cube", "agg_rollup",
@@ -51,16 +51,16 @@ WINDOW_REQUIRED = {
     "stream_join_right", "stream_join_full",
     "stream_late_data", "stream_late_update", "stream_ingest",
     # (D) the oldest green carries re-anchor (latest driver row round 4;
-    # the fifteen round-4 keys left out — tpch_q3, join_lineitem_orders,
+    # the sixteen round-4 keys left out — tpch_q3, join_lineitem_orders,
     # tpch_q6, vec_cosine_dist, stream_dedup, stream_windows,
     # filt_predicates, stream_session_windows, text_fingerprint,
-    # text_quality (each displaced when a new round-7 key landed: new
-    # keys outrank re-anchoring carries), cluster_kmeans, emb_generate,
-    # agg_word_counts, filt_files, sink_stdout — are first in line for
-    # round 8):
+    # text_quality, text_lang_id (each displaced when a new round-7 key
+    # landed: new keys outrank re-anchoring carries), cluster_kmeans,
+    # emb_generate, agg_word_counts, filt_files, sink_stdout — are
+    # first in line for round 8):
     "chunk_enrich", "win_chunk_number", "mm_media", "emb_hash_embed",
     "win_running_total", "text_repetition", "agg_pivot", "tpch_q5",
-    "str_scalars", "proj_sim_family", "text_lang_id",
+    "str_scalars", "proj_sim_family",
 }
 
 
