@@ -615,11 +615,13 @@ def sample_priority(
 
     Exactness contract: the ticket is the salted md5 ticket scheme
     (``sample_stratified``) mapped to [1, 2^20], and the priority is
-    ``floor(w · 2^20 / ticket)`` — every operand and the quotient stay
-    integer-valued below 2^53, so the BIGINT priority is bit-identical
-    on Spark, DuckDB and Python (no float boundary anywhere; requires
-    w < 2^33, far above any document length). Ties break on ascending
-    id, making the k-set unique and replayable.
+    ``(w · 2^20) div ticket`` — TRUE integer division on both engines
+    (Spark ``div``, DuckDB ``//``), so every operand and the quotient
+    are exact BIGINTs with no float op anywhere (ADVICE r7 #2: the
+    earlier ``floor(a / b)`` formulation went through an IEEE double
+    quotient, which for quotients near 2^33+ could round up across an
+    integer before the floor). Ties break on ascending id, making the
+    k-set unique and replayable.
 
     100 TB posture: scan-fused projection + TakeOrderedAndProject —
     each partition keeps a k-row heap and ships k rows to the driver;
@@ -644,9 +646,7 @@ def sample_priority(
         )
         .withColumn(
             "priority",
-            F.floor(F.col(weight_col) * F.lit(scale) / F.col("ticket")).cast(
-                "bigint"
-            ),
+            F.expr(f"(cast({weight_col} as bigint) * {scale}) div ticket"),
         )
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)

@@ -282,9 +282,13 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # most frequent neighbor label, smallest label on ties:
-        # max of (cnt, -label) picks exactly that
+        # min_by over (-cnt, label) — negating only the count (always a
+        # positive BIGINT) keeps the label itself un-negated, so the
+        # tie-break holds for ANY orderable label domain, including
+        # negative ids or strings (ADVICE r7 #3: the earlier
+        # max_by(label, (cnt, -label)) silently assumed numeric labels).
         labels = counts.groupBy("d").agg(
-            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias(
+            F.min_by("label", F.struct(-F.col("cnt"), F.col("label"))).alias(
                 "label"
             )
         ).select(F.col("d").alias("id"), "label")

@@ -45,7 +45,18 @@ def resample_ffill(
     observed value at or before the bucket (forward fill; the first
     bucket always has an observation by construction), ``n_obs`` the
     observation count inside the bucket (0 for gap rows)."""
-    unit = step.split()[1].rstrip("s")  # "1 hour" -> hour
+    qty, unit = step.split()
+    unit = unit.rstrip("s")  # "1 hour" -> hour
+    # Buckets are date_trunc'd to the bare unit while the grid steps by
+    # the full interval: a multi-unit step ("2 hours") would leave the
+    # off-grid buckets unjoined — observations silently dropped. Fail
+    # loudly instead (ADVICE r7 #1).
+    if qty != "1":
+        raise ValueError(
+            f"resample_ffill supports single-unit steps only ('1 hour', "
+            f"'1 day', ...); got {step!r} — observations in off-grid "
+            f"date_trunc buckets would be silently dropped"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col))
     obs = (
         events.groupBy(F.col(key_col), bucket.alias("bucket"))

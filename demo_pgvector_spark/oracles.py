@@ -3141,9 +3141,11 @@ WITH e AS MATERIALIZED (
   FROM lineitem
 ),
 sym AS MATERIALIZED (
-  SELECT src AS s, dst AS d FROM e
-  UNION
-  SELECT dst AS s, src AS d FROM e
+  SELECT s, d FROM (
+    SELECT src AS s, dst AS d FROM e
+    UNION
+    SELECT dst AS s, src AS d FROM e
+  ) WHERE s <> d
 ),
 d0 AS (
   SELECT DISTINCT s_suppkey + {SUPP_NODE_OFFSET} AS id,
@@ -3175,10 +3177,10 @@ O_GRAPH_BFS = _bfs_oracle(BFS_MAX_HOPS)
 # Exact-k weighted sampling via priority sampling (registry
 # q_sample_priority, operators/curation.py sample_priority): same
 # salted-md5 ticket scheme as O_SAMPLE_STRATIFIED mapped to [1, 2^20];
-# priority = FLOOR((w · 2^20) / ticket) where the product is an exact
-# BIGINT and the division one correctly-rounded IEEE double op —
-# bit-identical on both engines. Ties break on ascending doc_id, so
-# the k-set is unique.
+# priority = (w · 2^20) // ticket — TRUE integer division on both
+# engines (Spark `div`, DuckDB `//`), exact BIGINT with no float op
+# anywhere (ADVICE r7 #2). Ties break on ascending doc_id, so the
+# k-set is unique.
 O_SAMPLE_PRIORITY = f"""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -3187,7 +3189,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars, ticket,
-       CAST(FLOOR((n_chars * 1048576) / ticket) AS BIGINT) AS priority
+       CAST((CAST(n_chars AS BIGINT) * 1048576) // ticket AS BIGINT) AS priority
 FROM t
 ORDER BY priority DESC, doc_id ASC
 LIMIT {PRIORITY_K}

@@ -4102,88 +4102,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r07 records).
-    # Rotation priority, per SURVEY §2's stated contract and VERDICT r6
-    # #2: (A) keys NEW this round (never driver-verified), then (B) the
-    # nine keys whose latest driver row was ROUND 2 — four rounds stale,
-    # rotated in FIRST this round as the verdict ordered, then (C) every
-    # key whose implementation changed in round 7 (module diff voids the
-    # carry: operators/dedup.py CC-loop fix voids all dedup_* plus the
-    # dedup-dependent curate_* rows; streaming/joins.py + late.py file-
-    # sink refactor voids the stream_join*/stream_late_* rows; the
-    # registry-level q_stream_ingest rewrite voids stream_ingest), then
-    # (D) the oldest green carries — 21 of the 26 keys whose latest row
-    # is round 4 (the five left out — cluster_kmeans, emb_generate,
-    # agg_word_counts, filt_files, sink_stdout — are first in line for
-    # round 8 and stay covered by the every-round full local parity
-    # sweeps at sf0.01 AND sf0.1).
+    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r08 records).
+    # Round-8 rotation, per SURVEY §2's contract and VERDICT r7 #1/#5:
+    # (A) keys NEW this round (never driver-verified) — inserted at the
+    # top as they land; (B) the SIXTEEN keys whose latest driver row is
+    # round 4 — four rounds stale, rotated in FIRST exactly as the
+    # verdict ordered; (C) the four keys whose implementation or oracle
+    # changed in round 8 (a green r7 row does not survive a diff:
+    # timeseries.py step guard voids ts_resample; curation.py integer-
+    # div priority + oracle voids sample_priority; graph.py tie-break
+    # rewrite voids graph_lpa; the BFS oracle's self-loop filter voids
+    # graph_bfs); (D) the 27 round-5-green carries — the oldest
+    # remaining rows — re-anchor in the leftover slots. Round-7-green
+    # keys (13 new + 37 re-verified) carry and sit at 51+; if more than
+    # three round-8 keys land, the YOUNGEST (D) re-anchors yield slots
+    # (new keys always outrank re-anchoring carries).
     # =====================================================================
-    # -- (A) new in round 7 --
-    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
-    "stream_stateful_funnel": (q_stream_stateful_funnel, O_STREAM_STATEFUL_FUNNEL),
-    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
-    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
-    "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
-    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
-    "graph_cc": (q_graph_cc, O_GRAPH_CC),
-    "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
-    "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
-    "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
-    "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
-    "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
-    "profile_table": (q_profile_table, O_PROFILE_TABLE),
-    # -- (B) round-2-stale keys, rotated in first (VERDICT r6 #2) --
-    "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
-    "join_asof": (q_join_asof, O_JOIN_ASOF),
-    "join_range": (q_join_range, O_JOIN_RANGE),
-    "agg_cube": (q_agg_cube, O_AGG_CUBE),
-    "agg_rollup": (q_agg_rollup, O_AGG_ROLLUP),
-    "agg_grouping_sets": (q_agg_grouping_sets, O_AGG_GROUPING_SETS),
-    "set_intersect": (q_set_intersect, O_SET_INTERSECT),
-    "set_except": (q_set_except, O_SET_EXCEPT),
-    "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
-    # -- (C) implementation changed in round 7 — must re-verify --
-    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
-    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
-    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
-    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
-    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
-    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
-    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
-    "stream_join": (q_stream_join, O_STREAM_JOIN),
-    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
-    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
-    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
-    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
-    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
-    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
-    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
-    # -- (D) oldest green carries re-anchor (latest driver row: round 4) --
-    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
-    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
-    "mm_media": (q_mm_media, O_MM_MEDIA),
-    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
-    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
-    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
-    "str_scalars": (q_str_scalars, O_STR_SCALARS),
-    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
-    # =====================================================================
-    # position 51+ — carries under the unchanged-code rule;
-    # tools/parity.py re-verifies ALL keys locally each round.
-    # =====================================================================
-    # r4-green leftovers (first in line for round 8's window; tpch_q3
-    # joined them when graph_pagerank landed late in round 7;
-    # join_lineitem_orders/tpch_q6/vec_cosine_dist/stream_dedup when the
-    # round's second operator batch (graph_triangles, graph_bfs,
-    # sample_priority, layout_zorder) landed; and stream_windows/
-    # filt_predicates when the third batch (win_sessionize,
-    # vec_mmr_rerank) landed — new keys take window priority over
-    # re-anchoring carries):
+    # -- (A) new in round 8 --
+    # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
     "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
@@ -4200,7 +4136,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
-    # r5-green carries:
+    # -- (C) implementation/oracle changed in round 8 — must re-verify --
+    "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
+    "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
+    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
+    "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
+    # -- (D) oldest green carries re-anchor (latest driver row: round 5) --
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
@@ -4228,7 +4169,58 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
     "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
-    # r6-green carries:
+    # =====================================================================
+    # position 51+ — carries under the unchanged-code rule (round-7
+    # driver rows for everything down to proj_sim_family; round-6 rows
+    # below that); tools/parity.py re-verifies ALL keys locally each
+    # round regardless of window position.
+    # =====================================================================
+    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
+    "stream_stateful_funnel": (q_stream_stateful_funnel, O_STREAM_STATEFUL_FUNNEL),
+    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
+    "graph_cc": (q_graph_cc, O_GRAPH_CC),
+    "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
+    "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
+    "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
+    "profile_table": (q_profile_table, O_PROFILE_TABLE),
+    "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
+    "join_asof": (q_join_asof, O_JOIN_ASOF),
+    "join_range": (q_join_range, O_JOIN_RANGE),
+    "agg_cube": (q_agg_cube, O_AGG_CUBE),
+    "agg_rollup": (q_agg_rollup, O_AGG_ROLLUP),
+    "agg_grouping_sets": (q_agg_grouping_sets, O_AGG_GROUPING_SETS),
+    "set_intersect": (q_set_intersect, O_SET_INTERSECT),
+    "set_except": (q_set_except, O_SET_EXCEPT),
+    "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
+    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
+    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
+    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
+    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    "stream_join": (q_stream_join, O_STREAM_JOIN),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
+    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
+    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
+    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
+    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
+    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
+    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
+    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
+    "mm_media": (q_mm_media, O_MM_MEDIA),
+    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
+    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
+    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
+    "str_scalars": (q_str_scalars, O_STR_SCALARS),
+    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
     "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),

@@ -29,38 +29,30 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-7 plan (SURVEY §2 preamble "Round-7 window rotation";
+    # -- round-8 plan (SURVEY §2 preamble "Round-8 window rotation";
     # registry.py block comments are the same contract) --
-    # (A) new this round (never driver-verified):
-    "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
-    "graph_triangles", "graph_bfs", "sample_priority", "layout_zorder",
-    "win_sessionize", "vec_mmr_rerank", "ts_resample", "graph_lpa",
-    "profile_table", "graph_cc",
-    # (B) the nine keys whose latest driver row was round 2 — rotated in
-    # FIRST per VERDICT r6 #2:
-    "vec_knn_join", "join_asof", "join_range", "agg_cube", "agg_rollup",
-    "agg_grouping_sets", "set_intersect", "set_except", "win_rank_topn",
-    # (C) implementation changed in round 7 — the carry is voided by the
-    # module diff (operators/dedup.py CC fix; streaming/joins.py +
-    # late.py file-sink refactor; q_stream_ingest rewrite; the
-    # dedup-dependent curate_* composites):
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "dedup_ngram", "dedup_containment", "dedup_assign",
-    "dedup_semantic", "curate_fuzzy", "curate_corpus",
-    "stream_join", "stream_static_join", "stream_join_outer",
-    "stream_join_right", "stream_join_full",
-    "stream_late_data", "stream_late_update", "stream_ingest",
-    # (D) the oldest green carries re-anchor (latest driver row round 4;
-    # the sixteen round-4 keys left out — tpch_q3, join_lineitem_orders,
-    # tpch_q6, vec_cosine_dist, stream_dedup, stream_windows,
-    # filt_predicates, stream_session_windows, text_fingerprint,
-    # text_quality, text_lang_id (each displaced when a new round-7 key
-    # landed: new keys outrank re-anchoring carries), cluster_kmeans,
-    # emb_generate, agg_word_counts, filt_files, sink_stdout — are
-    # first in line for round 8):
-    "chunk_enrich", "win_chunk_number", "mm_media", "emb_hash_embed",
-    "win_running_total", "text_repetition", "agg_pivot", "tpch_q5",
-    "str_scalars", "proj_sim_family",
+    # (B) the SIXTEEN keys whose latest driver row was round 4 — four
+    # rounds stale, rotated in FIRST per VERDICT r7 #1:
+    "stream_windows", "filt_predicates", "stream_session_windows",
+    "text_fingerprint", "text_quality", "text_lang_id",
+    "join_lineitem_orders", "tpch_q6", "vec_cosine_dist", "stream_dedup",
+    "tpch_q3", "cluster_kmeans", "emb_generate", "agg_word_counts",
+    "filt_files", "sink_stdout",
+    # (C) implementation/oracle changed in round 8 — the green r7 row
+    # is voided by the diff (timeseries.py step guard; curation.py
+    # integer-div priority; graph.py LPA tie-break; BFS oracle
+    # self-loop filter):
+    "ts_resample", "sample_priority", "graph_lpa", "graph_bfs",
+    # (D) the oldest green carries re-anchor (latest driver row round
+    # 5). Round-7-green keys (the 13 r7-new + the re-verified dedup/
+    # stream/curate families) carry at 51+ under the unchanged-code
+    # rule. The YOUNGEST (D) entries yield slots as new round-8 keys
+    # land (new keys outrank re-anchoring carries), so only the oldest
+    # core is pinned here:
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q11",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    "win_range_frame", "seq_funnel", "agg_percentiles",
 }
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from demo_pgvector_spark.operators.timeseries import resample_ffill
 
 
@@ -40,3 +42,13 @@ def test_resample_fills_gaps_and_orders_in_bucket(spark):
         (1, "2024-01-01 13:00:00"): (4.0, 1),
         (2, "2024-01-01 23:00:00"): (5.0, 1),
     }
+
+
+def test_resample_rejects_multi_unit_steps(spark):
+    """ADVICE r7 #1: multi-unit steps would silently drop observations
+    landing in off-grid date_trunc buckets — must fail loudly."""
+    df = spark.createDataFrame(
+        ROWS, "event_id long, ts timestamp, user_id long, value double"
+    )
+    with pytest.raises(ValueError, match="single-unit"):
+        resample_ffill(df, step="2 hours")
