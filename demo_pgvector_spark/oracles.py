@@ -41,6 +41,7 @@ from demo_pgvector_spark.fixtures import (
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
     TS_USER_MOD,
+    ZORDER_BOX,
     ZORDER_BUCKET_BITS,
 )
 from demo_pgvector_spark.functions import textstats
@@ -3219,6 +3220,40 @@ SELECT (x | (y << 1)) >> {2 * 16 - ZORDER_BUCKET_BITS} AS bucket,
        MIN(xr) AS x_min, MAX(xr) AS x_max,
        MIN(yr) AS y_min, MAX(yr) AS y_max
 FROM z4 GROUP BY bucket
+"""
+
+
+# Pruned rectangle query over the z-ordered LAYOUT (registry
+# q_layout_zorder_pruned, operators/layout.py zorder_write →
+# zorder_pruned_scan): physically the Spark side reads only the
+# partition dirs whose Morton tile intersects ZORDER_BOX — the oracle
+# replays the LOGICAL computation (same bit-spread chain, rectangle
+# WHERE, per-bucket aggregate) because the layout changes the plan,
+# not the answer (the vec_ivf_pruned precedent). Quantity sums go
+# through DECIMAL(18,2) so the aggregate is order-insensitive exact.
+O_LAYOUT_ZORDER_PRUNED = f"""
+WITH z0 AS (
+  SELECT l_partkey AS xr, l_suppkey AS yr,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         (l_partkey & 65535) AS x, (l_suppkey & 65535) AS y
+  FROM lineitem
+  WHERE l_partkey BETWEEN {ZORDER_BOX[0]} AND {ZORDER_BOX[1]}
+    AND l_suppkey BETWEEN {ZORDER_BOX[2]} AND {ZORDER_BOX[3]}
+),
+z1 AS (SELECT xr, yr, qty, ((x | (x << 8)) & 16711935) AS x,
+              ((y | (y << 8)) & 16711935) AS y FROM z0),
+z2 AS (SELECT xr, yr, qty, ((x | (x << 4)) & 252645135) AS x,
+              ((y | (y << 4)) & 252645135) AS y FROM z1),
+z3 AS (SELECT xr, yr, qty, ((x | (x << 2)) & 858993459) AS x,
+              ((y | (y << 2)) & 858993459) AS y FROM z2),
+z4 AS (SELECT xr, yr, qty, ((x | (x << 1)) & 1431655765) AS x,
+              ((y | (y << 1)) & 1431655765) AS y FROM z3)
+SELECT (x | (y << 1)) >> {2 * 16 - ZORDER_BUCKET_BITS} AS z_bucket,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+       MIN(xr) AS x_min, MAX(xr) AS x_max,
+       MIN(yr) AS y_min, MAX(yr) AS y_max
+FROM z4 GROUP BY z_bucket
 """
 
 

