@@ -220,6 +220,51 @@ def ivf_write_clustered(
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    cents: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance (VERDICT r7 #3): assign a batch of
+    NEW vectors to the EXISTING trained centroids and APPEND them into
+    the cluster-partitioned layout — no rebuild. Because per-vector
+    assignment depends only on (vector, centroids), append-then-probe
+    is EXACTLY equal to a full rebuild over the union (pinned in
+    tests/test_ivf.py row-for-row, not just top-k): the daily
+    corpus-growth path a 100 TB deployment runs at ingest, paying
+    O(batch) instead of O(corpus).
+
+    What append does NOT do is re-TRAIN: centroids drift as the corpus
+    distribution shifts, and recall degrades when clusters overgrow.
+    The maintenance loop is append per batch → ``ivf_compact`` when a
+    partition's file count passes a threshold (appends add one file per
+    touched cluster per batch) → full ``kmeans_lloyd`` re-train +
+    rewrite only when cluster-size skew or drift crosses policy, which
+    is weeks of appends, not every batch."""
+    assigned = assign_clusters_auto(new_vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def ivf_compact(spark, src_path: str, dst_path: str) -> None:
+    """Compact an appended IVF layout: rewrite so each cluster dir holds
+    ONE file again (appends add a file per batch; small files tax the
+    probe's listing + open cost). Reads the existing layout, co-locates
+    each cluster, writes to ``dst_path`` — a fresh dir, because
+    overwriting raw parquet in place while reading it is unsafe; the
+    caller swaps dirs (object stores: write-new + repoint, the Delta
+    OPTIMIZE shape without the transaction log). Row contents are
+    untouched, so probes before and after are identical."""
+    (
+        spark.read.parquet(src_path)
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst_path)
+    )
+
+
 def ivf_topk_pruned(
     spark,
     path: str,

@@ -171,3 +171,64 @@ def test_sample_init_deterministic_and_spread(spark, clustered_df):
     rows = {tuple(r["embedding"]): r["vec_id"] for r in clustered_df.collect()}
     truth = {rows[tuple(s)] // 60 for s in s1}
     assert len(truth) == 8
+
+
+def test_ivf_append_equals_full_rebuild(spark, clustered_df, tmp_path):
+    """Incremental maintenance contract (VERDICT r7 #3): appending a
+    new batch against the existing trained centroids must leave the
+    layout ROW-FOR-ROW identical to a full rebuild over the union —
+    same (vec_id, cluster) everywhere, so every probe is too."""
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    base = clustered_df.filter(F.col("vec_id") % 5 != 0)
+    batch = clustered_df.filter(F.col("vec_id") % 5 == 0)
+
+    grown = str(tmp_path / "grown")
+    ivf.ivf_write_clustered(base, cents, grown)
+    ivf.ivf_append(batch, cents, grown)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf.ivf_write_clustered(clustered_df, cents, rebuilt)
+
+    read = lambda p: sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(p).select("vec_id", "cluster").collect()
+    )
+    assert read(grown) == read(rebuilt)
+
+    # probes agree with the inline (layout-free) reference
+    q = _clustered()[0][1]
+    pruned = ivf.ivf_topk_pruned(spark, grown, cents, q, k=10, nprobe=2)
+    inline = ivf.ivf_topk_inline(clustered_df, cents, q, k=10, nprobe=2)
+    key = lambda df: [(r["vec_id"], r["rank"]) for r in df.collect()]
+    assert key(pruned) == key(inline)
+
+
+def test_ivf_compact_preserves_rows_and_merges_files(spark, clustered_df, tmp_path):
+    import os
+
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    grown = str(tmp_path / "grown")
+    ivf.ivf_write_clustered(clustered_df.filter(F.col("vec_id") % 5 != 0), cents, grown)
+    for m in range(3):  # three append batches -> multiple files per dir
+        ivf.ivf_append(
+            clustered_df.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == m)
+            ),
+            cents,
+            grown,
+        )
+
+    def n_files(p):
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(p)
+        )
+
+    compacted = str(tmp_path / "compacted")
+    ivf.ivf_compact(spark, grown, compacted)
+    rows = lambda p: sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(p).select("vec_id", "cluster").collect()
+    )
+    assert rows(compacted) == rows(grown)
+    assert n_files(compacted) < n_files(grown)
