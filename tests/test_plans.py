@@ -567,13 +567,14 @@ def test_ts_resample_grid_not_event_sized_no_cartesian(spark):
 
 def test_graph_lpa_hash_joins_and_aggs_only(spark):
     """graph_lpa: every round is a keyed join + two partial-combining
-    hash aggregates; nothing may plan as a cartesian/nested-loop join,
-    and the argmax is max_by inside HashAggregate, not a window over
-    the full (node, label) stream."""
+    aggregates; nothing may plan as a cartesian/nested-loop join, and
+    the argmax is a min_by aggregate (r8: tie-break negates the COUNT,
+    not the label, so any orderable label domain works — ADVICE r7 #3),
+    not a window over the full (node, label) stream."""
     plan = _plan(spark, "graph_lpa")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "max_by" in plan
+    assert "min_by" in plan
     assert "Window" not in plan
 
 
