@@ -105,6 +105,88 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Personalized PageRank from a seed SET over the UNDIRECTED graph —
+    the TrustRank primitive (Gyöngyi et al., VLDB 2004): random walks
+    restart only at vetted seeds, so rank measures proximity-weighted
+    trust rather than global centrality. The rank complement of
+    ``bfs_hops``' hop radius, over the same symmetrized edge contract
+    (self-loops dropped):
+
+        rank_0(v)     = 1.0·[v ∈ seeds]
+        rank_{t+1}(v) = 0.15·[v ∈ seeds] + 0.85 · Σ_{u~v} rank_t(u)/deg(u)
+
+    Same unnormalized fixed-iteration convention and INTEGER FIXED POINT
+    as ``pagerank`` (micro ranks, nano contributions, damping 17/20) —
+    every intermediate BIGINT, order-independent sums, bit-identical
+    parity with the unrolled DuckDB recurrence.
+
+    100 TB posture: identical plan shape to ``pagerank`` — K iterations
+    compile into ONE job, lazy localCheckpoints for the symmetrized
+    edges/nodes/degrees, hash joins + partial-combining sums only. The
+    seed flag rides the node frame (one broadcast-size semi-join at
+    build, zero per-iteration seed joins). Mass is seed-proportional:
+    far-from-seed regions hold ~zero rank, which is exactly the signal —
+    spam farms score low however well they interlink."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=False)
+    )
+    seed_ids = seeds.select(F.col(seed_col).alias("sid")).distinct()
+    nodes = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .join(seed_ids, F.col("id") == F.col("sid"), "left")
+        .select(
+            "id",
+            F.when(F.col("sid").isNotNull(), F.lit(RESET_MICRO))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("reset"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select(
+        "id",
+        # r0 = MICRO on seeds, 0 elsewhere — pure integer: reset is
+        # RESET_MICRO (=0.15·MICRO) or 0, and 150000·20 div 3 = 1000000
+        F.expr("(reset * 20) div 3").alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym["s"] == ranks["id"])
+            .join(deg, "s")
+            .select("d", F.expr("(r * 1000) div outdeg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("s_c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["id"] == contrib["d"], "left"
+        ).select(
+            "id",
+            (
+                F.col("reset") + F.expr("(17 * coalesce(s_c, 0L)) div 20000")
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        (F.col("r") / F.lit(MICRO)).alias("ppr"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

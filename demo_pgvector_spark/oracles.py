@@ -2659,6 +2659,61 @@ r{t + 1} AS MATERIALIZED (
 O_GRAPH_PAGERANK = _pagerank_oracle(PAGERANK_ITERS)
 
 
+def _ppr_oracle(iters: int) -> str:
+    """Unrolled personalized-PageRank replay (registry q_graph_ppr,
+    operators/graph.py personalized_pagerank): the TrustRank restart —
+    reset mass lands ONLY on the BFS seed set — over the same
+    symmetrized part—supplier graph as O_GRAPH_BFS (self-loops
+    filtered). Integer fixed point exactly as _pagerank_oracle, so the
+    engines agree bit-identically; final division is one exact-operand
+    IEEE op."""
+    sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_NODE_OFFSET} AS dst
+  FROM lineitem
+),
+sym AS MATERIALIZED (
+  SELECT s, d FROM (
+    SELECT src AS s, dst AS d FROM e
+    UNION
+    SELECT dst AS s, src AS d FROM e
+  ) WHERE s <> d
+),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey + {SUPP_NODE_OFFSET} AS id
+  FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = 0
+),
+nodes AS MATERIALIZED (
+  SELECT n.id,
+         CAST(CASE WHEN sd.id IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT)
+           AS reset
+  FROM (SELECT DISTINCT s AS id FROM sym) n
+  LEFT JOIN seeds sd ON sd.id = n.id
+),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS outdeg FROM sym GROUP BY s),
+r0 AS (SELECT id, (reset * 20) // 3 AS r FROM nodes),
+"""
+    for t in range(iters):
+        sql += f"""c{t} AS (
+  SELECT sym.d, SUM((r.r * 1000) // g.outdeg) AS s_c
+  FROM sym JOIN r{t} r ON r.id = sym.s JOIN deg g ON g.s = sym.s
+  GROUP BY sym.d
+),
+r{t + 1} AS MATERIALIZED (
+  SELECT n.id,
+         CAST(n.reset + (17 * COALESCE(c.s_c, 0)) // 20000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{t} c ON c.d = n.id
+),
+"""
+    return (
+        sql.rstrip().rstrip(",")
+        + f"\nSELECT id AS node_id, r / 1000000.0 AS ppr FROM r{iters}"
+    )
+
+
+O_GRAPH_PPR = _ppr_oracle(PAGERANK_ITERS)
+
+
 # Edit-distance fuzzy join (registry q_join_edit_distance,
 # operators/fuzzy.py): the oracle is the BRUTE-FORCE pairwise
 # levenshtein join over the same deterministically synthesized entity

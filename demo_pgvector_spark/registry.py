@@ -106,6 +106,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_CC,
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
+    O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
     O_LAYOUT_ZORDER_PRUNED,
@@ -3334,6 +3335,30 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the vetted seed set (operators/
+    graph.py personalized_pagerank; Gyöngyi TrustRank, VLDB 2004) —
+    the rank complement of ``graph_bfs``: same symmetrized
+    part—supplier graph, same s_suppkey % BFS_SEED_MOD seeds, but
+    propagating proximity-weighted TRUST MASS instead of hop counts
+    (restart lands only on seeds). PAGERANK_ITERS iterations compiled
+    into ONE job, integer fixed point, no new action-per-round
+    (VERDICT r7 #7); oracle unrolls the identical recurrence."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("dst"),
+    )
+    seeds = supp.filter(F.col("s_suppkey") % BFS_SEED_MOD == 0).select(
+        (F.col("s_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("id")
+    )
+    return graph_ops.personalized_pagerank(
+        edges, seeds, iterations=PAGERANK_ITERS
+    )
+
+
 def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components as a public graph key (VERDICT-r6-era
     machinery made first-class): the operators/dedup.py min-label +
@@ -4222,6 +4247,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- (A) new in round 8 --
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
+    "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

@@ -201,3 +201,53 @@ def test_lpa_tie_breaks_on_smallest_label(spark):
     }
     assert got[5] == 1
     assert got == _lpa_replay(edges, 1)
+
+
+# --- personalized_pagerank -------------------------------------------------
+
+
+def _replay_ppr(edges, seeds, iters):
+    # undirected symmetrization, self-loops dropped, integer fixed point
+    sym = sorted({(s, d) for a, b in edges for s, d in ((a, b), (b, a)) if s != d})
+    nodes = sorted({s for s, _ in sym})
+    outdeg = {}
+    for s, _ in sym:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seeds = set(seeds)
+    ranks = {n: 1_000_000 if n in seeds else 0 for n in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for s, d in sym:
+            contrib[d] = contrib.get(d, 0) + (ranks[s] * 1000) // outdeg[s]
+        ranks = {
+            n: (150_000 if n in seeds else 0)
+            + (17 * contrib.get(n, 0)) // 20_000
+            for n in nodes
+        }
+    return {n: r / 1_000_000 for n, r in ranks.items()}
+
+
+def test_ppr_matches_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (5,)], "id long")
+    got = {
+        r["node_id"]: r["ppr"]
+        for r in graph.personalized_pagerank(df, seeds, 4).collect()
+    }
+    assert got == _replay_ppr(EDGES, [1, 5], 4)
+
+
+def test_ppr_mass_is_seed_local(spark):
+    # two disconnected components; seeding only one must leave the
+    # other at EXACTLY zero — the TrustRank property
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["node_id"]: r["ppr"]
+        for r in graph.personalized_pagerank(df, seeds, 5).collect()
+    }
+    assert got[10] == got[11] == got[12] == 0.0
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+    # non-seed rank comes only from propagation; seed holds restart mass
+    assert got[1] > got[3]

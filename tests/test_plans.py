@@ -515,6 +515,16 @@ def test_graph_bfs_compiles_rounds_without_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_graph_ppr_compiles_rounds_without_cartesian(spark):
+    """graph_ppr: same Pregel shape as graph_pagerank — K iterations in
+    one job, keyed joins + partial-combining sums; no cartesian/nested-
+    loop join anywhere, no window over the edge stream."""
+    plan = _plan(spark, "graph_ppr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_win_sessionize_one_exchange_one_sort(spark):
     """win_sessionize: one hash exchange on user_id must feed ALL the
     window passes (lag → island cumsum → per-session row_number) with a
