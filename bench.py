@@ -168,6 +168,10 @@ BENCH_KEYS = (
     "graph_lpa",
     "profile_table",
     "graph_cc",
+    # round-8 additions
+    "layout_zorder_pruned",
+    "vec_ivf_append",
+    "graph_ppr",
 )
 
 

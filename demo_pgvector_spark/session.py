@@ -70,6 +70,29 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+class scoped_conf:
+    """Set an arbitrary runtime conf for a bounded scope and restore the
+    previous value on exit (the generic sibling of
+    ``scoped_shuffle_partitions``; same sequential-rows safety
+    argument). ``value=None`` is a no-op."""
+
+    def __init__(self, spark: SparkSession, key: str, value):
+        self._spark, self._key, self._value = spark, key, value
+        self._prev: str | None = None
+        self._had = False
+
+    def __enter__(self):
+        if self._value is not None:
+            self._prev = self._spark.conf.get(self._key, None)
+            self._had = self._prev is not None
+            self._spark.conf.set(self._key, str(self._value))
+
+    def __exit__(self, *exc):
+        if self._value is not None and self._had:
+            self._spark.conf.set(self._key, self._prev)
+        return False
+
+
 class scoped_shuffle_partitions:
     """Set ``spark.sql.shuffle.partitions`` for a bounded scope and
     restore the previous value on exit. Two consumers: streaming drains

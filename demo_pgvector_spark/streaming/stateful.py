@@ -176,15 +176,23 @@ def run_funnel_stream(
     schema_ddl: str,
     delay: str = "1 day",
     ts_col: str = "ts",
-    state_partitions: int = 4,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a staged landing directory (one micro-batch per file, mtime
     order) through the watermarked funnel machine; return the emitted
     rows as a batch DataFrame via the parquet-file-sink read-back (no
     driver materialization). The trailing no-data batch of
     ``availableNow`` fires the event-time timeouts with the final
-    watermark — that is where 'expired' rows for quiet users emit."""
-    from demo_pgvector_spark.session import scoped_shuffle_partitions
+    watermark — that is where 'expired' rows for quiet users emit.
+
+    Tuning (measured A/B, SCALE.md round 8): the priced cost is the
+    Python state worker crossing Arrow per (state partition ×
+    micro-batch). Larger Arrow batches cut the crossing count
+    (maxRecordsPerBatch 10k → 1M: ~9.3 → ~7.2 s at sf0.1), and
+    state_partitions=8 beats the old 4 by ~2× (6.3 vs 13.5 s same-box:
+    more state machines run concurrently; 16 adds nothing over 8 on 32
+    cores). Both scoped to the drain, not session-global."""
+    from demo_pgvector_spark.session import scoped_conf, scoped_shuffle_partitions
 
     stream = (
         spark.readStream.schema(schema_ddl)
@@ -193,7 +201,9 @@ def run_funnel_stream(
     )
     out = funnel_sessions(stream.withWatermark(ts_col, delay))
     out_dir = checkpoint_dir.rstrip("/") + ".out"
-    with scoped_shuffle_partitions(spark, state_partitions):
+    with scoped_shuffle_partitions(spark, state_partitions), scoped_conf(
+        spark, "spark.sql.execution.arrow.maxRecordsPerBatch", 1_000_000
+    ):
         q = (
             out.writeStream.outputMode("append")
             .format("parquet")
