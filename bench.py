@@ -172,6 +172,7 @@ BENCH_KEYS = (
     "layout_zorder_pruned",
     "vec_ivf_append",
     "graph_ppr",
+    "dedup_incremental",
 )
 
 

@@ -103,6 +103,9 @@ MMR_LAMBDA = 0.5
 # a top-8 split put every sf0.01 row in bucket 0, gating nothing; a
 # 16-bit split yields ~30-4000 buckets across sf0.01-sf0.1.
 ZORDER_BUCKET_BITS = 16
+# dedup_incremental: the corpus/batch split — doc_id % MOD == 0 is the
+# newly-arrived batch (~10%), the rest the already-deduped corpus.
+DEDUP_BATCH_MOD = 10
 # layout_zorder_pruned: the rectangle query against the z-ordered
 # layout — [x_lo, x_hi] × [y_lo, y_hi] over (l_partkey, l_suppkey).
 # Deliberately UNALIGNED to the 256-wide tiles (300..700 spans x-tiles

@@ -203,6 +203,102 @@ def minhash_pairs(
     return joined.select("id_a", "id_b", jac.alias("jaccard"))
 
 
+def minhash_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs ONLY between a
+    NEW batch and the existing corpus, plus within-batch pairs — never
+    corpus × corpus. The daily-crawl production shape (the dedup twin of
+    ``ivf_append``): yesterday's 100 TB corpus is already deduped, so
+    re-running ``minhash_pairs`` over the union re-pays the full
+    pair-enumeration for pairs that cannot be new. Output
+    (id_a, id_b, jaccard, pair_kind) with id_a < id_b and pair_kind ∈
+    {'batch_batch', 'cross'} — exactly ``minhash_pairs`` over the union
+    RESTRICTED to pairs touching the batch (same signatures, same
+    bands; pinned in tests/test_dedup.py and by the oracle, which
+    replays the full computation + the restriction).
+
+    Plan: within-batch pairs use the same bucket-local collect_list
+    enumeration as ``minhash_pairs`` over batch rows only; cross pairs
+    are a (band, key) hash JOIN of batch bands against corpus bands —
+    O(batch bands + bucket hits), never corpus-sized. At 100 TB the
+    corpus band table is a write-once index maintained at ingest
+    (bucketed/partitioned by key so this join co-locates without a
+    corpus-side shuffle); here it is recomputed because the testdata is
+    raw parquet. ``max_bucket_size`` caps the CORPUS side per bucket —
+    one pathological bucket (license header) would otherwise join every
+    batch member against thousands of corpus docs."""
+    b_sig = minhash_signatures(batch, id_col, text_col)
+    c_sig = minhash_signatures(corpus, id_col, text_col)
+    b_banded = b_sig.select(
+        F.col(id_col).alias("_bid"), F.explode(_band_keys()).alias("bk")
+    ).select("_bid", "bk.band", "bk.key")
+    c_banded = c_sig.select(
+        F.col(id_col).alias("_cid"), F.explode(_band_keys()).alias("bk")
+    ).select("_cid", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        c_counts = c_banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        c_banded = c_banded.join(
+            c_counts.filter(F.col("_n") <= max_bucket_size), ["band", "key"]
+        ).drop("_n")
+    cross = (
+        b_banded.join(c_banded, ["band", "key"])
+        .select(
+            F.least("_bid", "_cid").alias("id_a"),
+            F.greatest("_bid", "_cid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("pair_kind", F.lit("cross"))
+    )
+    within_buckets = (
+        b_banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("_bid")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    within = (
+        within_buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) ->"
+                    " transform(slice(_ids, i + 2, size(_ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("pair_kind", F.lit("batch_batch"))
+    )
+    cand = cross.unionByName(within)
+    sh = with_shingles(
+        corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+            batch.select(F.col(id_col), F.col(text_col))
+        ),
+        text_col,
+    ).select(F.col(id_col), "shingles")
+    joined = cand.join(
+        sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+            "shingles", "sh_a"
+        ),
+        "id_a",
+    ).join(
+        sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+            "shingles", "sh_b"
+        ),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return joined.select("id_a", "id_b", jac.alias("jaccard"), "pair_kind")
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -17,6 +17,7 @@ Parity rules are documented in registry.py's module docstring.
 from __future__ import annotations
 
 from demo_pgvector_spark.fixtures import (
+    DEDUP_BATCH_MOD,
     _BPE_CHUNK_TOKENS,
     _CHUNK_TOKENS,
     _EXTS,
@@ -1118,6 +1119,24 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sh sa ON c.id_a = sa.doc_id
 JOIN sh sb ON c.id_b = sb.doc_id
+"""
+
+
+# Incremental near-dup pairs (registry q_dedup_incremental, operators/
+# dedup.py minhash_pairs_incremental): the operator computes ONLY
+# batch-touching pairs (batch = doc_id % DEDUP_BATCH_MOD = 0, corpus =
+# the rest); because signatures and bands are per-document, that set is
+# EXACTLY the full minhash_pairs output restricted to pairs with a
+# batch member — so the oracle replays the full computation and applies
+# the restriction, proving both the pairs and the never-corpus×corpus
+# contract (pair_kind).
+O_DEDUP_INCREMENTAL = f"""
+WITH pairs AS MATERIALIZED ({O_DEDUP_MINHASH_PAIRS})
+SELECT id_a, id_b, jaccard,
+       CASE WHEN id_a % {DEDUP_BATCH_MOD} = 0 AND id_b % {DEDUP_BATCH_MOD} = 0
+            THEN 'batch_batch' ELSE 'cross' END AS pair_kind
+FROM pairs
+WHERE id_a % {DEDUP_BATCH_MOD} = 0 OR id_b % {DEDUP_BATCH_MOD} = 0
 """
 
 

@@ -48,6 +48,7 @@ from demo_pgvector_spark.fixtures import (
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
     TS_USER_MOD,
+    DEDUP_BATCH_MOD,
     ZORDER_BOX,
     ZORDER_BUCKET_BITS,
     RAG_PROMPT,
@@ -106,6 +107,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_CC,
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
+    O_DEDUP_INCREMENTAL,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
@@ -3260,6 +3262,28 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pairs (operators/dedup.py
+    minhash_pairs_incremental): a newly-arrived batch
+    (doc_id % DEDUP_BATCH_MOD == 0, ~10%) is deduped against the
+    already-clean corpus (the rest) WITHOUT re-pairing corpus × corpus —
+    the daily-crawl production shape, the dedup twin of
+    ``vec_ivf_append``. Candidates = batch bands ⋈ corpus bands
+    (hash join on (band, key)) plus batch-local bucket enumeration;
+    exact-Jaccard verification as the full row. The oracle replays the
+    FULL minhash pair computation and restricts it to batch-touching
+    pairs — proving the incremental path loses nothing and adds
+    nothing."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0)
+    out = dedup_ops.minhash_pairs_incremental(corpus, batch)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "pair_kind"
+    )
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram-Jaccard pairs via AllPairs prefix filtering
     (operators/dedup.py ngram_jaccard_pairs; Bayardo 2007): word
@@ -3479,7 +3503,8 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "l_partkey",
         "l_suppkey",
-        ZORDER_BOX,
+        DEDUP_BATCH_MOD,
+    ZORDER_BOX,
         bucket_bits=ZORDER_BUCKET_BITS,
     )
     return (
@@ -4248,6 +4273,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
+    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

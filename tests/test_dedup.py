@@ -337,3 +337,35 @@ def test_semdedup_margins_hold_on_real_testdata():
             )
         assert argmax_margin >= 1e-6, (sf_dir, argmax_margin)
         assert tau_margin >= 1e-6, (sf_dir, tau_margin)
+
+
+def test_incremental_equals_full_restricted_to_batch(corpus_df, spark):
+    """minhash_pairs_incremental must emit EXACTLY the full
+    minhash_pairs output restricted to pairs touching the batch — no
+    lost cross pair, no invented one, never corpus x corpus."""
+    batch_ids = {1, 4}
+    corpus = corpus_df.filter(~F.col("doc_id").isin(list(batch_ids)))
+    batch = corpus_df.filter(F.col("doc_id").isin(list(batch_ids)))
+    inc = dedup.minhash_pairs_incremental(corpus, batch).collect()
+    full = dedup.minhash_pairs(corpus_df).collect()
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in full
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in inc
+    )
+    assert got == want and len(got) > 0
+    for r in inc:
+        both = r["id_a"] in batch_ids and r["id_b"] in batch_ids
+        assert r["pair_kind"] == ("batch_batch" if both else "cross")
+        assert r["id_a"] in batch_ids or r["id_b"] in batch_ids
+
+
+def test_incremental_never_pairs_corpus_with_corpus(corpus_df):
+    # batch = only the unrelated doc -> no candidate touches it, so the
+    # output must be EMPTY even though the corpus contains near-dups
+    corpus = corpus_df.filter(F.col("doc_id") != 4)
+    batch = corpus_df.filter(F.col("doc_id") == 4)
+    assert dedup.minhash_pairs_incremental(corpus, batch).count() == 0
