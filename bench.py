@@ -173,6 +173,7 @@ BENCH_KEYS = (
     "vec_ivf_append",
     "graph_ppr",
     "dedup_incremental",
+    "join_interval",
 )
 
 

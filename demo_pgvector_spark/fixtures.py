@@ -106,6 +106,14 @@ ZORDER_BUCKET_BITS = 16
 # dedup_incremental: the corpus/batch split — doc_id % MOD == 0 is the
 # newly-arrived batch (~10%), the rest the already-deduped corpus.
 DEDUP_BATCH_MOD = 10
+# join_interval: pure interval-overlap join (no equi key) — shipment
+# activity windows from orders (day index from 1992-01-01, length
+# o_orderkey %% 30) against synthesized promo windows from part (start
+# (p_partkey*7) %% 2400, length 10 + p_partkey %% 45). Grid cell 64
+# days: every interval touches <= 2 cells.
+IOJ_A_MOD = 20
+IOJ_B_MOD = 10
+IOJ_CELL = 64
 # layout_zorder_pruned: the rectangle query against the z-ordered
 # layout — [x_lo, x_hi] × [y_lo, y_hi] over (l_partkey, l_suppkey).
 # Deliberately UNALIGNED to the 256-wide tiles (300..700 spans x-tiles

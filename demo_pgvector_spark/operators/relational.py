@@ -85,6 +85,64 @@ def range_join(
     return lineitem.join(orders, cond, "inner")
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    cell: int = 64,
+) -> DataFrame:
+    """Interval × interval OVERLAP join with NO equi key — the join
+    ``join_range`` cannot express: ``a_start ≤ b_end AND b_start ≤
+    a_end`` alone gives Catalyst nothing to hash on, so the naive plan
+    is a BroadcastNestedLoopJoin (O(|A|·|B|) comparisons — a scale
+    killer even when the OUTPUT is small). Grid bucketing manufactures
+    the equi key: every interval explodes to the ``cell``-width grid
+    cells it touches, the join runs as a plain HASH join on the cell,
+    and the exact overlap predicate rides along. A pair overlapping
+    across several shared cells would duplicate, so each pair is OWNED
+    by exactly one cell — the cell containing max(a_start, b_start),
+    the left edge of the overlap — which removes the duplicate-pair
+    dedup shuffle entirely (the classic spatial-join ownership trick).
+
+    All-integer (BIGINT bounds, `div` grid math): bit-exact parity.
+    Cost: |A|·(len/cell + 1) + |B|·(len/cell + 1) exploded rows, one
+    hash exchange each side; per-cell work is density-bounded, so
+    ``cell`` tunes the explode-factor vs bucket-occupancy trade like
+    every spatial grid. Plan pinned no-nested-loop in
+    tests/test_plans.py."""
+    ac = a.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {cell}"), F.expr(f"{a_end} div {cell}")
+            )
+        ),
+    )
+    bc = b.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {cell}"), F.expr(f"{b_end} div {cell}")
+            )
+        ),
+    )
+    return (
+        ac.join(bc, "_cell")
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (
+                F.col("_cell")
+                == F.expr(f"greatest({a_start}, {b_start}) div {cell}")
+            )
+        )
+        .drop("_cell")
+    )
+
+
 def group_ranked(
     vals: DataFrame,
     keys: tuple[str, ...],

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from demo_pgvector_spark.fixtures import (
     DEDUP_BATCH_MOD,
+    IOJ_A_MOD,
+    IOJ_B_MOD,
     _BPE_CHUNK_TOKENS,
     _CHUNK_TOKENS,
     _EXTS,
@@ -3294,6 +3296,33 @@ SELECT (x | (y << 1)) >> {2 * 16 - ZORDER_BUCKET_BITS} AS bucket,
        MIN(xr) AS x_min, MAX(xr) AS x_max,
        MIN(yr) AS y_min, MAX(yr) AS y_max
 FROM z4 GROUP BY bucket
+"""
+
+
+# Pure interval-overlap join (registry q_join_interval, operators/
+# relational.py interval_overlap_join): the oracle is the PLAIN
+# inequality join — DuckDB's optimizer handles the small replay, while
+# the Spark side must manufacture a hash key via grid cells; identical
+# results prove the grid + ownership trick loses/invents nothing.
+# All-integer interval bounds, exact parity.
+O_JOIN_INTERVAL = f"""
+WITH a AS (
+  SELECT o_orderkey AS a_id,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS a_start,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              + o_orderkey % 30 AS BIGINT) AS a_end
+  FROM orders WHERE o_orderkey % {IOJ_A_MOD} = 0
+),
+b AS (
+  SELECT p_partkey AS b_id,
+         CAST((p_partkey * 7) % 2400 AS BIGINT) AS b_start,
+         CAST((p_partkey * 7) % 2400 + 10 + p_partkey % 45 AS BIGINT) AS b_end
+  FROM part WHERE p_partkey % {IOJ_B_MOD} = 0
+)
+SELECT b_id, COUNT(*) AS n_overlaps,
+       MIN(a_id) AS a_min, MAX(a_id) AS a_max
+FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+GROUP BY b_id
 """
 
 

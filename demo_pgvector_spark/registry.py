@@ -49,6 +49,9 @@ from demo_pgvector_spark.fixtures import (
     TRI_QTY_MIN,
     TS_USER_MOD,
     DEDUP_BATCH_MOD,
+    IOJ_A_MOD,
+    IOJ_B_MOD,
+    IOJ_CELL,
     ZORDER_BOX,
     ZORDER_BUCKET_BITS,
     RAG_PROMPT,
@@ -108,6 +111,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
     O_DEDUP_INCREMENTAL,
+    O_JOIN_INTERVAL,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
     O_LAYOUT_ZORDER,
@@ -2078,6 +2082,43 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-overlap join with NO equi key (operators/
+    relational.py interval_overlap_join): shipment activity windows
+    from orders against synthesized promo windows from part, matched on
+    ``a_start ≤ b_end AND b_start ≤ a_end`` alone — the join class that
+    naively plans as an O(|A|·|B|) nested loop. Grid bucketing (64-day
+    cells, exploded ≤ 2 cells/interval) turns it into a HASH join with
+    the left-edge ownership rule replacing the pair-dedup shuffle;
+    plan pinned no-nested-loop in tests/test_plans.py. All-integer
+    bounds; the oracle runs the plain inequality join, proving the grid
+    path is lossless."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    part = tables.load(spark, sf_dir, "part")
+    day0 = F.lit("1992-01-01").cast("date")
+    a_start = F.datediff(F.col("o_orderdate").cast("date"), day0).cast(
+        "bigint"
+    )
+    a = orders.filter(F.col("o_orderkey") % IOJ_A_MOD == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        a_start.alias("a_start"),
+        (a_start + F.col("o_orderkey") % 30).alias("a_end"),
+    )
+    b_start = ((F.col("p_partkey") * 7) % 2400).cast("bigint")
+    b = part.filter(F.col("p_partkey") % IOJ_B_MOD == 0).select(
+        F.col("p_partkey").alias("b_id"),
+        b_start.alias("b_start"),
+        (b_start + 10 + F.col("p_partkey") % 45).alias("b_end"),
+    )
+    j = rel_ops.interval_overlap_join(a, b, cell=IOJ_CELL)
+    return j.groupBy("b_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("a_id").alias("a_min"),
+        F.max("a_id").alias("a_max"),
+    )
+
+
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
     in one pass (partial-aggregable; Spark expands grouping sets before
@@ -3504,6 +3545,9 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         DEDUP_BATCH_MOD,
+    IOJ_A_MOD,
+    IOJ_B_MOD,
+    IOJ_CELL,
     ZORDER_BOX,
         bucket_bits=ZORDER_BUCKET_BITS,
     )
@@ -4274,6 +4318,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    "join_interval": (q_join_interval, O_JOIN_INTERVAL),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

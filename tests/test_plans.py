@@ -515,6 +515,17 @@ def test_graph_bfs_compiles_rounds_without_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_join_interval_is_hash_join_not_nested_loop(spark):
+    """join_interval: the overlap predicate alone would plan as a
+    BroadcastNestedLoopJoin; the exploded grid cell must carry the join
+    as a HASH join with the overlap + ownership as residual."""
+    plan = _plan(spark, "join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # the cell explode
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_graph_ppr_compiles_rounds_without_cartesian(spark):
     """graph_ppr: same Pregel shape as graph_pagerank — K iterations in
     one job, keyed joins + partial-combining sums; no cartesian/nested-
