@@ -174,6 +174,7 @@ BENCH_KEYS = (
     "graph_ppr",
     "dedup_incremental",
     "join_interval",
+    "ts_interpolate",
 )
 
 

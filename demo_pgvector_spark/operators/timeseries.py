@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
 
 def resample_ffill(
     events: DataFrame,
@@ -93,4 +95,92 @@ def resample_ffill(
             F.last("v_last", ignorenulls=True).over(w).alias("value_ff"),
             F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
         )
+    )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, bucket, value_li, n_obs): the LINEAR-interpolation
+    complement of ``resample_ffill`` — pandas
+    ``resample().interpolate('linear')`` at bucket granularity. Observed
+    buckets keep their in-bucket last value (the ffill pick); gap
+    buckets get ``v0 + (v1 − v0) · (i − i0)/(i1 − i0)`` between the
+    surrounding observed buckets. The grid spans each key's [first,
+    last] span, so both neighbors always exist at a gap — no
+    extrapolation case.
+
+    Same three-stage distributed shape as ``resample_ffill`` (per-bucket
+    aggregate, span-sized exploded grid, one exchange + one in-partition
+    sort of GRID rows); the prev/next lookups are two frames over the
+    SAME window partitioning, so no extra shuffle. Float contract: the
+    interpolation is the identical IEEE expression on both engines
+    (integer bucket-index differences cast to double, one divide, one
+    multiply, one add — same parenthesization), then 6dp display
+    rounding; operands are parquet doubles, so parity is exact."""
+    qty, unit = step.split()
+    unit = unit.rstrip("s")
+    if qty != "1" or unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"resample_interpolate supports steps of '1 hour'/'1 day'/"
+            f"'1 minute'; got {step!r}"
+        )
+    unit_s = _UNIT_SECONDS[unit]
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.max_by(
+            F.col(value_col), F.struct(F.col(ts_col), F.col(id_col))
+        ).alias("v_last"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    grid = (
+        events.groupBy(key_col)
+        .agg(
+            F.date_trunc(unit, F.min(ts_col)).alias("b0"),
+            F.date_trunc(unit, F.max(ts_col)).alias("b1"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("b0", "b1", F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    # integer bucket index; only DIFFERENCES feed the interpolation, so
+    # any constant epoch/timezone offset cancels
+    idx = F.expr(f"unix_timestamp(bucket) div {unit_s}")
+    obs_idx = F.when(F.col("v_last").isNotNull(), F.col("_i"))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left").withColumn("_i", idx)
+    j = (
+        j.withColumn("_vp", F.last("v_last", ignorenulls=True).over(w_prev))
+        .withColumn("_ip", F.last(obs_idx, ignorenulls=True).over(w_prev))
+        .withColumn("_vn", F.first("v_last", ignorenulls=True).over(w_next))
+        .withColumn("_in", F.first(obs_idx, ignorenulls=True).over(w_next))
+    )
+    frac = (F.col("_i") - F.col("_ip")).cast("double") / (
+        F.col("_in") - F.col("_ip")
+    ).cast("double")
+    value_li = F.when(F.col("v_last").isNotNull(), F.col("v_last")).otherwise(
+        F.col("_vp") + (F.col("_vn") - F.col("_vp")) * frac
+    )
+    return j.select(
+        key_col,
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        value_li.alias("value_li"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
     )

@@ -3490,6 +3490,70 @@ FROM filled
 """
 
 
+# Linear-interpolation resampling (registry q_ts_interpolate,
+# operators/timeseries.py resample_interpolate): same obs/grid CTEs as
+# O_TS_RESAMPLE, then prev/next observed (value, bucket-index) frames
+# and the IDENTICAL IEEE interpolation expression the Spark side uses —
+# integer index differences cast to double, one divide, one multiply,
+# one add, 6dp display rounding. Index differences make any constant
+# epoch offset cancel.
+O_TS_INTERPOLATE = f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id % {TS_USER_MOD} = 0
+),
+ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+           AS n_obs
+  FROM ev
+),
+obs AS (
+  SELECT user_id, bucket, value AS v_last, n_obs FROM ranked WHERE rn = 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', mn),
+                                date_trunc('hour', mx),
+                                INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM ev
+        GROUP BY user_id)
+),
+idxd AS (
+  SELECT g.user_id, g.bucket, o.v_last, COALESCE(o.n_obs, 0) AS n_obs,
+         CAST(FLOOR(epoch(g.bucket)) AS BIGINT) // 3600 AS i,
+         CASE WHEN o.v_last IS NOT NULL
+              THEN CAST(FLOOR(epoch(g.bucket)) AS BIGINT) // 3600 END AS oi
+  FROM grid g LEFT JOIN obs o
+    ON o.user_id = g.user_id AND o.bucket = g.bucket
+),
+framed AS (
+  SELECT user_id, bucket, v_last, n_obs, i,
+         last_value(v_last IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         last_value(oi IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ip,
+         first_value(v_last IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         first_value(oi IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS i_n
+  FROM idxd
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       ROUND(CASE WHEN v_last IS NOT NULL THEN v_last
+                  ELSE vp + (vn - vp) * (CAST(i - ip AS DOUBLE)
+                                         / CAST(i_n - ip AS DOUBLE)) END,
+             6) AS value_li,
+       CAST(n_obs AS BIGINT) AS n_obs
+FROM framed
+"""
+
+
 def _lpa_oracle(iters: int) -> str:
     """Unrolled synchronous label propagation (registry q_graph_lpa,
     operators/graph.py label_propagation): per round a neighbor-label

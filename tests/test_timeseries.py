@@ -52,3 +52,29 @@ def test_resample_rejects_multi_unit_steps(spark):
     )
     with pytest.raises(ValueError, match="single-unit"):
         resample_ffill(df, step="2 hours")
+
+
+def test_interpolate_known_values(spark):
+    from demo_pgvector_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        # user 1: obs at 10:00 (v=2.0) and 13:00 (v=8.0) -> 11:00=4.0, 12:00=6.0
+        _ev(1, 1, "2024-01-01 10:30:00", 2.0),
+        _ev(2, 1, "2024-01-01 13:10:00", 8.0),
+        # user 2: single observation -> one-row grid, no gaps
+        _ev(3, 2, "2024-01-01 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (r["value_li"], r["n_obs"])
+        for r in resample_interpolate(df, step="1 hour").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (2.0, 1),
+        (1, "2024-01-01 11:00:00"): (4.0, 0),
+        (1, "2024-01-01 12:00:00"): (6.0, 0),
+        (1, "2024-01-01 13:00:00"): (8.0, 1),
+        (2, "2024-01-01 05:00:00"): (7.0, 1),
+    }
