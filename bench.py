@@ -175,6 +175,7 @@ BENCH_KEYS = (
     "dedup_incremental",
     "join_interval",
     "ts_interpolate",
+    "profile_skew",
 )
 
 

@@ -325,6 +325,51 @@ def sessionize(
     )
 
 
+def profile_skew(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostic for a prospective join/agg key: the
+    top-``top_n`` hottest keys with their absolute and per-mille share,
+    plus the global skew summary every row carries (n_keys, and the
+    max-key-over-mean ratio ×100) — the numbers that decide between a
+    plain hash join, salting, and AQE skew handling BEFORE burning the
+    shuffle. Companion to ``profile_columns`` (values) and
+    ``join_skew_salted`` (the cure this operator diagnoses).
+
+    All-integer output (BIGINT counts, ``div`` ratios) — bit-exact
+    parity. Plan: one partial-combining count aggregate per consumer;
+    the hot-key list is a TakeOrdered over the n_keys-sized count table
+    and the summary a single-row aggregate broadcast back — two passes
+    over the counts (the profile_table two-scan precedent: fusing them
+    needs a single-partition window over every key). Output is
+    top_n rows regardless of table size."""
+    counts = df.groupBy(F.col(key_col).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key_value").asc()).limit(
+        int(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key_value").asc())
+    return (
+        top.join(F.broadcast(summary))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "key_value",
+            "cnt",
+            F.expr("(cnt * 1000) div n_rows").alias("per_mille"),
+            "n_keys",
+            F.expr("(max_cnt * n_keys * 100) div n_rows").alias("skew_x100"),
+        )
+    )
+
+
 def profile_columns(
     df: DataFrame,
     int_cols: tuple[str, ...] = (),

@@ -3490,6 +3490,31 @@ FROM filled
 """
 
 
+# Join-key skew diagnostic (registry q_profile_skew, operators/
+# relational.py profile_skew): per-key counts → top-N + single-row
+# summary, all-BIGINT ratios via integer division.
+O_PROFILE_SKEW = """
+WITH c AS (
+  SELECT event_type AS key_value, COUNT(*) AS cnt
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         MAX(cnt) AS max_cnt FROM c
+),
+top AS (
+  SELECT key_value, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value ASC) AS rank
+  FROM c ORDER BY cnt DESC, key_value ASC LIMIT 5
+)
+SELECT CAST(rank AS BIGINT) AS rank, key_value, cnt,
+       CAST((cnt * 1000) // n_rows AS BIGINT) AS per_mille,
+       n_keys,
+       CAST((max_cnt * n_keys * 100) // n_rows AS BIGINT) AS skew_x100
+FROM top CROSS JOIN t
+"""
+
+
 # Linear-interpolation resampling (registry q_ts_interpolate,
 # operators/timeseries.py resample_interpolate): same obs/grid CTEs as
 # O_TS_RESAMPLE, then prev/next observed (value, bucket-index) frames

@@ -112,6 +112,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_PAGERANK,
     O_DEDUP_INCREMENTAL,
     O_JOIN_INTERVAL,
+    O_PROFILE_SKEW,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -3570,6 +3571,20 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/relational.py profile_skew)
+    over the exact hot key ``join_skew_salted`` cures — events.
+    event_type, four distinct values: the top keys with count +
+    per-mille share and the global max-over-mean ratio, the numbers
+    that pick plain hash vs salting vs AQE skew join BEFORE paying the
+    shuffle. All-integer output, TakeOrdered + single-row summary
+    broadcast (two passes over the n_keys-sized count table, the
+    profile_table two-scan precedent)."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return rel_ops.profile_skew(ev, "event_type", top_n=5)
+
+
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling (operators/timeseries.py
     resample_interpolate) — pandas ``resample().interpolate('linear')``
@@ -4340,6 +4355,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "join_interval": (q_join_interval, O_JOIN_INTERVAL),
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
+    "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
