@@ -176,6 +176,7 @@ BENCH_KEYS = (
     "join_interval",
     "ts_interpolate",
     "profile_skew",
+    "sketch_countmin",
 )
 
 

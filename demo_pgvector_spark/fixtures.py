@@ -114,6 +114,9 @@ DEDUP_BATCH_MOD = 10
 IOJ_A_MOD = 20
 IOJ_B_MOD = 10
 IOJ_CELL = 64
+# sketch_countmin: probe set for the frequency-estimate row — the
+# distinct user_ids with user_id %% CM_PROBE_MOD == 0 (~8%% of keys).
+CM_PROBE_MOD = 13
 # layout_zorder_pruned: the rectangle query against the z-ordered
 # layout — [x_lo, x_hi] × [y_lo, y_hi] over (l_partkey, l_suppkey).
 # Deliberately UNALIGNED to the 256-wide tiles (300..700 spans x-tiles

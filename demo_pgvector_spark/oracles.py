@@ -17,6 +17,7 @@ Parity rules are documented in registry.py's module docstring.
 from __future__ import annotations
 
 from demo_pgvector_spark.fixtures import (
+    CM_PROBE_MOD,
     DEDUP_BATCH_MOD,
     IOJ_A_MOD,
     IOJ_B_MOD,
@@ -3488,6 +3489,48 @@ SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        ROUND(value_ff, 6) AS value_ff, CAST(n_obs AS BIGINT) AS n_obs
 FROM filled
 """
+
+
+# Count-min sketch frequency estimates (registry q_sketch_countmin,
+# operators/sketch.py): the oracle replays the EXACT sketch — same
+# salted-md5 hash rows, same d×w cells, same min-over-rows estimate —
+# plus the true count per probe, so the row gates both the sketch
+# arithmetic and the overestimate property (est ≥ exact always).
+# All-BIGINT.
+_O_CM_H = (
+    "CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || "
+    "CAST({item} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % {w}"
+)
+
+O_SKETCH_COUNTMIN = f"""
+WITH cells AS (
+  SELECT r.i AS r,
+         {_O_CM_H.format(item='user_id', w=256)} AS bucket,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) r
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {{cm_mod}} = 0
+),
+pb AS (
+  SELECT p.user_id, r.i AS r,
+         {_O_CM_H.format(item='p.user_id', w=256)} AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS i) r
+),
+est AS (
+  SELECT pb.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM pb LEFT JOIN cells c ON c.r = pb.r AND c.bucket = pb.bucket
+  GROUP BY pb.user_id
+),
+ex AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+  WHERE user_id % {{cm_mod}} = 0 GROUP BY user_id
+)
+SELECT e.user_id, e.est, x.exact_cnt
+FROM est e JOIN ex x ON x.user_id = e.user_id
+"""
+O_SKETCH_COUNTMIN = O_SKETCH_COUNTMIN.replace("{cm_mod}", str(CM_PROBE_MOD))
 
 
 # Join-key skew diagnostic (registry q_profile_skew, operators/

@@ -48,6 +48,7 @@ from demo_pgvector_spark.fixtures import (
     SUPP_NODE_OFFSET,
     TRI_QTY_MIN,
     TS_USER_MOD,
+    CM_PROBE_MOD,
     DEDUP_BATCH_MOD,
     IOJ_A_MOD,
     IOJ_B_MOD,
@@ -113,6 +114,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_DEDUP_INCREMENTAL,
     O_JOIN_INTERVAL,
     O_PROFILE_SKEW,
+    O_SKETCH_COUNTMIN,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -216,6 +218,7 @@ from demo_pgvector_spark.operators import graph as graph_ops
 from demo_pgvector_spark.operators import ingest as ingest_ops
 from demo_pgvector_spark.operators import ivf as ivf_ops
 from demo_pgvector_spark.operators import layout as layout_ops
+from demo_pgvector_spark.operators import sketch as sketch_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
@@ -3546,7 +3549,8 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "l_partkey",
         "l_suppkey",
-        DEDUP_BATCH_MOD,
+        CM_PROBE_MOD,
+    DEDUP_BATCH_MOD,
     IOJ_A_MOD,
     IOJ_B_MOD,
     IOJ_CELL,
@@ -3569,6 +3573,34 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("y_max"),
         )
     )
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation (operators/sketch.py; Cormode &
+    Muthukrishnan 2005): a 4×256-cell BIGINT sketch of events.user_id
+    built in ONE partial-combining pass, probed for every
+    user_id % CM_PROBE_MOD key; each probe also carries its exact count
+    so the row gates the overestimate property (est ≥ exact) along with
+    the arithmetic. The 100 TB case: constant-memory mergeable
+    frequency state (cell-wise sum across partitions/days/streams)
+    where an exact per-key table would carry the full key domain
+    through the shuffle. Salted-md5 hash rows — bit-identical on both
+    engines, no float anywhere."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    sk = sketch_ops.countmin_build(ev, "user_id")
+    probes = (
+        ev.filter(F.col("user_id") % CM_PROBE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    est = sketch_ops.countmin_estimate(sk, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") % CM_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "user_id")
 
 
 def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4356,6 +4388,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_interval": (q_join_interval, O_JOIN_INTERVAL),
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
     "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
+    "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

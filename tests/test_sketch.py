@@ -1,0 +1,57 @@
+"""Count-min sketch (operators/sketch.py): overestimate guarantee,
+exactness under no-collision, and cell-wise mergeability — the property
+that makes the sketch an ingest-maintained artifact at scale."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import sketch
+
+ITEMS = [i % 7 for i in range(200)] + [999] * 50 + list(range(100, 120))
+
+
+def _df(spark, items):
+    return spark.createDataFrame([(x,) for x in items], "item long")
+
+
+def test_estimates_overapproximate_and_hit_exact_without_collisions(spark):
+    df = _df(spark, ITEMS)
+    sk = sketch.countmin_build(df, "item")
+    probes = df.select("item").distinct()
+    est = {
+        r["item"]: r["est"]
+        for r in sketch.countmin_estimate(sk, probes, "item").collect()
+    }
+    truth = Counter(ITEMS)
+    assert set(est) == set(truth)
+    for k, c in truth.items():
+        assert est[k] >= c, (k, est[k], c)
+    # w=256 >> 28 distinct items: collisions are possible but the heavy
+    # hitter's min-over-4-rows estimate must stay tight
+    assert est[999] == truth[999]
+
+
+def test_sketches_merge_by_cellwise_sum(spark):
+    half1, half2 = ITEMS[: len(ITEMS) // 2], ITEMS[len(ITEMS) // 2 :]
+    merged = (
+        sketch.countmin_build(_df(spark, half1), "item")
+        .unionByName(sketch.countmin_build(_df(spark, half2), "item"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketch.countmin_build(_df(spark, ITEMS), "item")
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in whole.collect())
+    assert a == b
+
+
+def test_unseen_probe_estimates_zero_or_collision(spark):
+    df = _df(spark, [1, 2, 3])
+    sk = sketch.countmin_build(df, "item")
+    probes = _df(spark, [777777])
+    [r] = sketch.countmin_estimate(sk, probes, "item").collect()
+    assert r["est"] >= 0  # zero unless all 4 rows collide with real items
+    assert r["est"] <= 3
