@@ -3549,12 +3549,7 @@ def q_layout_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         "l_partkey",
         "l_suppkey",
-        CM_PROBE_MOD,
-    DEDUP_BATCH_MOD,
-    IOJ_A_MOD,
-    IOJ_B_MOD,
-    IOJ_CELL,
-    ZORDER_BOX,
+        ZORDER_BOX,
         bucket_bits=ZORDER_BUCKET_BITS,
     )
     return (
