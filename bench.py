@@ -177,6 +177,7 @@ BENCH_KEYS = (
     "ts_interpolate",
     "profile_skew",
     "sketch_countmin",
+    "dedup_url",
 )
 
 

@@ -299,6 +299,46 @@ def minhash_pairs_incremental(
     return joined.select("id_a", "id_b", jac.alias("jaccard"), "pair_kind")
 
 
+def url_canonicalize(url: F.Column) -> F.Column:
+    """Canonical form of a crawl URL — the key web-corpus pipelines
+    dedup fetches on BEFORE content dedup ever runs (the same page
+    fetched as http/https, with/without www., trailing slash, or
+    tracking query params is one document): lowercase → strip scheme →
+    strip leading www. → drop the query string → strip trailing
+    slashes. Pure scan-fused string expressions, identical regex
+    semantics on Spark (Java regex) and DuckDB (RE2) for the patterns
+    used (anchored literals + character classes only)."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.substring_index(c, "?", 1)
+    return F.regexp_replace(c, "/+$", "")
+
+
+def dedup_url(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(canon_url, n_raw, n_distinct_raw, keeper_id) per canonical URL:
+    group the corpus by ``url_canonicalize`` and keep the smallest id —
+    the fetch-level dedup pass upstream of ``exact_dedup`` (bytes) and
+    ``minhash_pairs`` (near-dup). One partial-combining hash aggregate;
+    the canonical key is computed scan-fused, so the exchange carries
+    canonical URLs, not raw variants."""
+    return (
+        docs.select(
+            url_canonicalize(F.col(url_col)).alias("canon_url"),
+            F.col(url_col).alias("_raw"),
+            F.col(id_col),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("_raw").alias("n_distinct_raw"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

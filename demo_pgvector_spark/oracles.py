@@ -1125,6 +1125,49 @@ JOIN sh sb ON c.id_b = sb.doc_id
 """
 
 
+# URL-canonicalization dedup (registry q_dedup_url, operators/dedup.py
+# url_canonicalize/dedup_url): the testdata has no URL column, so the
+# row synthesizes one deterministically from c_custkey (the
+# join_edit_distance word-wheel precedent) — every div-4 block of keys
+# emits the SAME canonical URL as four raw variants (scheme / www. /
+# trailing slash / utm query, one of eight fully uppercased). Both
+# engines synthesize and canonicalize with identical string ops.
+O_DEDUP_URL = """
+WITH raw AS (
+  SELECT c_custkey AS doc_id,
+         CASE WHEN c_custkey % 8 = 5 THEN upper(u) ELSE u END AS url
+  FROM (
+    SELECT c_custkey,
+      (CASE WHEN c_custkey % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      || (CASE WHEN c_custkey % 4 = 1 THEN 'www.' ELSE '' END)
+      || 'shop' || CAST((c_custkey // 4) % 100 AS VARCHAR) || '.example.com'
+      || '/p/' || CAST((c_custkey // 4) // 100 AS VARCHAR)
+      || (CASE WHEN c_custkey % 4 = 2 THEN '/' ELSE '' END)
+      || (CASE WHEN c_custkey % 4 = 3
+               THEN '?utm_source=feed&utm_campaign=c'
+                    || CAST(c_custkey % 9 AS VARCHAR)
+               ELSE '' END) AS u
+    FROM customer
+  )
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           split_part(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '?', 1),
+           '/+$', '') AS canon_url
+  FROM raw
+)
+SELECT canon_url, COUNT(*) AS n_raw,
+       COUNT(DISTINCT url) AS n_distinct_raw,
+       MIN(doc_id) AS keeper_id
+FROM canon GROUP BY canon_url
+"""
+
+
 # Incremental near-dup pairs (registry q_dedup_incremental, operators/
 # dedup.py minhash_pairs_incremental): the operator computes ONLY
 # batch-touching pairs (batch = doc_id % DEDUP_BATCH_MOD = 0, corpus =

@@ -112,6 +112,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
     O_DEDUP_INCREMENTAL,
+    O_DEDUP_URL,
     O_JOIN_INTERVAL,
     O_PROFILE_SKEW,
     O_SKETCH_COUNTMIN,
@@ -3308,6 +3309,44 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (operators/dedup.py url_canonicalize
+    → dedup_url): the fetch-level pass crawl pipelines run BEFORE any
+    content dedup — http/https, www., trailing-slash, utm-query and
+    case variants of one URL are one document. The testdata has no URL
+    column, so the row synthesizes one from c_custkey (every div-4 key
+    block = one canonical URL as four raw variants, one of eight
+    uppercased — the join_edit_distance synthesis precedent); the
+    canonical key is computed scan-fused so the single exchange carries
+    canonical URLs. Oracle replays synthesis + canonicalization with
+    identical string ops."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = F.concat(
+        F.lit("shop"),
+        F.expr("(c_custkey div 4) % 100").cast("string"),
+        F.lit(".example.com/p/"),
+        F.expr("(c_custkey div 4) div 100").cast("string"),
+    )
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(k % 4 == 1, F.lit("www.")).otherwise(F.lit("")),
+        base,
+        F.when(k % 4 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 3,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (k % 9).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    url = F.when(k % 8 == 5, F.upper(url)).otherwise(url)
+    docs = cust.select(k.alias("doc_id"), url.alias("url"))
+    return dedup_ops.dedup_url(docs)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup pairs (operators/dedup.py
     minhash_pairs_incremental): a newly-arrived batch
@@ -4384,6 +4423,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
     "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
     "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
+    "dedup_url": (q_dedup_url, O_DEDUP_URL),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

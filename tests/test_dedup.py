@@ -369,3 +369,20 @@ def test_incremental_never_pairs_corpus_with_corpus(corpus_df):
     corpus = corpus_df.filter(F.col("doc_id") != 4)
     batch = corpus_df.filter(F.col("doc_id") == 4)
     assert dedup.minhash_pairs_incremental(corpus, batch).count() == 0
+
+
+def test_url_canonicalize_variants_collapse(spark):
+    variants = [
+        (1, "https://www.Example.com/a/b"),
+        (2, "http://example.com/a/b/"),
+        (3, "EXAMPLE.COM/a/b?utm_source=x&utm_campaign=y"),
+        (4, "https://example.com/a/b"),
+        (5, "https://example.com/a/c"),  # different path — stays apart
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    rows = {r["canon_url"]: r for r in dedup.dedup_url(df).collect()}
+    assert set(rows) == {"example.com/a/b", "example.com/a/c"}
+    hit = rows["example.com/a/b"]
+    assert hit["n_raw"] == 4 and hit["n_distinct_raw"] == 4
+    assert hit["keeper_id"] == 1
+    assert rows["example.com/a/c"]["n_raw"] == 1
