@@ -178,6 +178,7 @@ BENCH_KEYS = (
     "profile_skew",
     "sketch_countmin",
     "dedup_url",
+    "decon_bloom",
 )
 
 

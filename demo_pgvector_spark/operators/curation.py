@@ -99,6 +99,118 @@ def _with_gram_hashes(
     )
 
 
+BLOOM_M = 1 << 17  # bloom positions; ~10x the eval gram count at sf0.1
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(j: int, gram_sql: str, m: int) -> str:
+    """SQL for hash row ``j``'s bloom position of a gram string — the
+    repo's salted-md5 scheme (count-min / ticket precedent) so DuckDB
+    replays it bit-identically. Production would derive k positions
+    from ONE xxhash64 via Kirsch-Mitzenmacher double hashing; under
+    ANSI mode the unsigned wrap that needs is inexpressible, and DuckDB
+    has no xxhash64 to replay it — md5 costs k digests per gram and
+    buys an exact cross-engine contract."""
+    return (
+        f"cast(conv(substring(md5(concat('{j}', ':', {gram_sql})), 1, 8),"
+        f" 16, 10) as bigint) % {m}"
+    )
+
+
+def _with_gram_strings(
+    df: DataFrame, text_col: str, n: int, out: str = "_gstr"
+) -> DataFrame:
+    """Like ``_with_gram_hashes`` but keeps the gram STRINGS (the bloom
+    positions re-hash per function, so the 8-byte key shortcut does not
+    apply). Same tokenize-once discipline."""
+    return (
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN size(_toks) < {n} THEN array() "
+                f"ELSE array_distinct(transform(sequence(0, size(_toks) - {n}), "
+                f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) END"
+            ),
+        )
+        .drop("_toks")
+    )
+
+
+def bloom_build(
+    eval_docs: DataFrame,
+    n: int = DECON_N,
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The eval set's bloom filter as a relation: the DISTINCT set bit
+    positions (≤ min(m, k·|grams|) rows). Bounded-memory contract: the
+    exact eval-gram set (``decontaminate``) grows with the eval corpus;
+    the bloom is capped at m positions FOREVER — the membership
+    structure a 100 TB pipeline broadcasts when the eval suite is
+    itself large. Mergeable by union (bit-OR ≡ DISTINCT over unioned
+    position sets)."""
+    grams = (
+        _with_gram_strings(eval_docs, text_col, n)
+        .select(F.explode("_gstr").alias("gram"))
+        .distinct()
+    )
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos(j, "gram", m)) for j in range(k)])
+    )
+    return grams.select(pos.alias("pos")).distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Decontamination through the bloom filter: (id, n_grams, n_maybe,
+    bloom_contaminated) — a gram is a MAYBE-hit iff all k of its
+    positions are set. No false negatives by construction (every true
+    overlap flags; pinned against ``decontaminate`` in
+    tests/test_curation.py), false positives bounded by the standard
+    (1 − e^{−kn/m})^k. Plan: positions table broadcast, one explode +
+    left join + two partial-combining aggregates (gram-level ALL-k
+    test, then per-doc rollup)."""
+    bloom = F.broadcast(bloom_build(eval_docs, n, text_col, m, k))
+    tg = _with_gram_strings(train, text_col, n).select(
+        F.col(id_col), F.explode_outer("_gstr").alias("gram")
+    )
+    probes = tg.select(
+        id_col,
+        "gram",
+        F.explode(
+            F.when(
+                F.col("gram").isNull(), F.array().cast("array<bigint>")
+            ).otherwise(
+                F.array(*[F.expr(_bloom_pos(j, "gram", m)) for j in range(k)])
+            )
+        ).alias("pos"),
+    )
+    gram_hits = (
+        probes.join(bloom.withColumn("_set", F.lit(1)), "pos", "left")
+        .groupBy(id_col, "gram")
+        .agg((F.count("_set") == k).alias("_maybe"))
+    )
+    per_doc = gram_hits.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count_if(F.col("_maybe")).alias("n_maybe"),
+    )
+    return train.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_maybe", F.lit(0)).alias("n_maybe"),
+        (F.coalesce("n_maybe", F.lit(0)) > 0).alias("bloom_contaminated"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

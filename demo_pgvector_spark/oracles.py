@@ -1884,6 +1884,66 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # keys — the 100 TB posture); the oracle joins on the gram STRINGS
 # themselves, so a hash collision would surface as a parity mismatch
 # rather than hide inside identical wrong answers.
+# Bloom-filter decontamination (registry q_decon_bloom, operators/
+# curation.py bloom_build/bloom_decontaminate): exact replay of the
+# bloom — same salted-md5 positions, same all-k maybe test — so the
+# row gates the bounded-memory screen's arithmetic; the no-false-
+# negative property vs the exact screen is pinned in pytest.
+_O_BLOOM_POS = (
+    "CAST(('0x' || substr(md5('{j}' || ':' || {g}), 1, 8))::UBIGINT"
+    " AS BIGINT) % {m}"
+)
+
+
+def _bloom_oracle(m: int, k: int) -> str:
+    hs = ", ".join(_O_BLOOM_POS.format(j=j, g="gram", m=m) for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 13 THEN []
+              ELSE list_distinct(list_transform(
+                range(len(w) - 12),
+                i -> array_to_string(w[i + 1:i + 13], ' ')
+              )) END AS g
+  FROM toks
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 41 = 0
+),
+bloom AS (
+  SELECT DISTINCT unnest([{hs}]) AS pos FROM eg
+),
+tg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 41 <> 0
+),
+probe AS (
+  SELECT doc_id, gram, unnest([{hs}]) AS pos FROM tg
+),
+gh AS (
+  SELECT p.doc_id, p.gram, COUNT(b.pos) = {k} AS maybe
+  FROM probe p LEFT JOIN bloom b USING (pos)
+  GROUP BY p.doc_id, p.gram
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (maybe) AS n_maybe
+  FROM gh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_grams, 0) AS n_grams,
+       COALESCE(pd.n_maybe, 0) AS n_maybe,
+       COALESCE(pd.n_maybe, 0) > 0 AS bloom_contaminated
+FROM documents d LEFT JOIN pd USING (doc_id)
+WHERE d.doc_id % 41 <> 0
+"""
+
+
+O_DECON_BLOOM = _bloom_oracle(curation_ops.BLOOM_M, curation_ops.BLOOM_K)
+
+
 O_TEXT_DECONTAMINATE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

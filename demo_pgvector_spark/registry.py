@@ -111,6 +111,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_CC,
     O_GRAPH_LPA,
     O_GRAPH_PAGERANK,
+    O_DECON_BLOOM,
     O_DEDUP_INCREMENTAL,
     O_DEDUP_URL,
     O_JOIN_INTERVAL,
@@ -4248,6 +4249,24 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_ops.decontaminate(docs.filter(~split), docs.filter(split))
 
 
+def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM filter (operators/curation.py
+    bloom_build → bloom_decontaminate) — the bounded-memory variant of
+    ``text_decontaminate``: the exact broadcast gram set grows with the
+    eval corpus, the bloom is capped at BLOOM_M positions forever and
+    merges by union. Same 13-gram/41-split scheme; a gram is a
+    maybe-hit iff all k salted-md5 positions are set — no false
+    negatives by construction (pinned vs the exact screen in
+    tests/test_curation.py), false positives bounded by
+    (1−e^{−kn/m})^k. Oracle replays the bloom bit-identically."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    split = F.col("doc_id") % 41 == 0
+    return curation_ops.bloom_decontaminate(
+        docs.filter(~split), docs.filter(split)
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
     complement to the dense vec_* retrieval family. Two scans, zero
@@ -4424,6 +4443,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
     "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
     "dedup_url": (q_dedup_url, O_DEDUP_URL),
+    "decon_bloom": (q_decon_bloom, O_DECON_BLOOM),
     # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),

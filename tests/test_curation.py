@@ -559,3 +559,40 @@ def test_sample_priority_is_append_stable(spark):
     }
     for doc_id in set(s1) & set(s2):
         assert s1[doc_id] == s2[doc_id]
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark, docs_df):
+    """Every document the EXACT screen flags must also flag through the
+    bloom (a true overlap's positions are all set by construction);
+    n_maybe >= n_overlap per doc; short docs stay clean."""
+    eval_docs = docs_df.filter("doc_id = 0")
+    train = docs_df.filter("doc_id != 0")
+    exact = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(train, eval_docs).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in curation.bloom_decontaminate(train, eval_docs).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_grams"] == e["n_grams"], d
+        assert b["n_maybe"] >= e["n_overlap"], d
+        if e["contaminated"]:
+            assert b["bloom_contaminated"], d
+    assert bloom[2]["n_grams"] == 0 and not bloom[2]["bloom_contaminated"]
+
+
+def test_bloom_build_bounded_and_mergeable(spark, docs_df):
+    from pyspark.sql import functions as F
+
+    whole = curation.bloom_build(docs_df)
+    parts = curation.bloom_build(docs_df.filter("doc_id < 2")).unionByName(
+        curation.bloom_build(docs_df.filter("doc_id >= 2"))
+    ).distinct()
+    a = sorted(r["pos"] for r in whole.collect())
+    assert a == sorted(r["pos"] for r in parts.collect())  # union == bit-OR
+    assert len(a) <= curation.BLOOM_M
+    assert all(0 <= p < curation.BLOOM_M for p in a)
