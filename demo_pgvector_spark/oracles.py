@@ -1143,23 +1143,43 @@ WITH raw AS (
       || 'shop' || CAST((c_custkey // 4) % 100 AS VARCHAR) || '.example.com'
       || '/p/' || CAST((c_custkey // 4) // 100 AS VARCHAR)
       || (CASE WHEN c_custkey % 4 = 2 THEN '/' ELSE '' END)
-      || (CASE WHEN c_custkey % 4 = 3
+      || (CASE WHEN c_custkey % 8 = 6
+               THEN '#sec' || CAST(c_custkey % 5 AS VARCHAR)
+               ELSE '' END)
+      || (CASE WHEN c_custkey % 8 = 3
+               THEN '?page=' || CAST(c_custkey % 3 AS VARCHAR)
+                    || '&utm_source=feed&utm_campaign=c'
+                    || CAST(c_custkey % 9 AS VARCHAR)
+               WHEN c_custkey % 8 = 7
                THEN '?utm_source=feed&utm_campaign=c'
                     || CAST(c_custkey % 9 AS VARCHAR)
                ELSE '' END) AS u
     FROM customer
   )
 ),
-canon AS (
+-- lowercase -> strip scheme/www -> strip fragment -> remove ONLY
+-- tracking params ('g': Spark's regexp_replace is replace-all) ->
+-- clean a dangling '?'/'&'
+canon0 AS (
   SELECT doc_id, url,
          regexp_replace(
-           split_part(
-             regexp_replace(
-               regexp_replace(lower(url), '^https?://', ''),
-               '^www\\.', ''),
-             '?', 1),
-           '/+$', '') AS canon_url
+           regexp_replace(
+             split_part(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://', ''),
+                 '^www\\.', ''),
+               '#', 1),
+             '(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+           '[?&]+$', '') AS c
   FROM raw
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(split_part(c, '?', 1), '/+$', '')
+         || (CASE WHEN strpos(c, '?') > 0
+                  THEN '?' || split_part(c, '?', 2) ELSE '' END)
+           AS canon_url
+  FROM canon0
 )
 SELECT canon_url, COUNT(*) AS n_raw,
        COUNT(DISTINCT url) AS n_distinct_raw,
@@ -1183,6 +1203,33 @@ SELECT id_a, id_b, jaccard,
             THEN 'batch_batch' ELSE 'cross' END AS pair_kind
 FROM pairs
 WHERE id_a % {DEDUP_BATCH_MOD} = 0 OR id_b % {DEDUP_BATCH_MOD} = 0
+"""
+
+
+# Corpus band index summary (registry q_dedup_index_write →
+# operators/dedup.py band_index_write + band_index_append): the Spark
+# side writes the index as CORPUS rows (doc_id % MOD != 0) then APPENDS
+# the batch (doc_id % MOD = 0) and summarizes the read-back layout; the
+# oracle bands the FULL documents table in one shot — a green row
+# therefore proves write + append ≡ full re-band (banding is a pure
+# per-document function; the ivf_append argument), not merely that some
+# parquet landed on disk.
+O_DEDUP_INDEX = f"""
+WITH {_O_SHINGLES},
+{_O_MINHASH},
+bands AS (
+  SELECT doc_id, u.i AS band,
+         CAST(minhash[2 * u.i + 1] AS VARCHAR) || '_' ||
+         CAST(minhash[2 * u.i + 2] AS VARCHAR) AS key
+  FROM mh CROSS JOIN (SELECT unnest(range({_O_BANDS_N})) AS i) u
+),
+bk AS (
+  SELECT band, key, COUNT(*) AS n_docs FROM bands GROUP BY band, key
+)
+SELECT band, CAST(SUM(n_docs) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       COUNT(*) FILTER (WHERE n_docs >= 2) AS n_multi
+FROM bk GROUP BY band
 """
 
 

@@ -113,6 +113,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_PAGERANK,
     O_DECON_BLOOM,
     O_DEDUP_INCREMENTAL,
+    O_DEDUP_INDEX,
     O_DEDUP_URL,
     O_JOIN_INTERVAL,
     O_PROFILE_SKEW,
@@ -3313,14 +3314,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (operators/dedup.py url_canonicalize
     → dedup_url): the fetch-level pass crawl pipelines run BEFORE any
-    content dedup — http/https, www., trailing-slash, utm-query and
-    case variants of one URL are one document. The testdata has no URL
-    column, so the row synthesizes one from c_custkey (every div-4 key
-    block = one canonical URL as four raw variants, one of eight
-    uppercased — the join_edit_distance synthesis precedent); the
-    canonical key is computed scan-fused so the single exchange carries
-    canonical URLs. Oracle replays synthesis + canonicalization with
-    identical string ops."""
+    content dedup — http/https, www., trailing-slash, fragment,
+    utm-query and case variants of one URL are one document, while a
+    SEMANTIC query param (?page=N) is a distinct document and must NOT
+    collapse (ADVICE r8 semantics). The testdata has no URL column, so
+    the row synthesizes one from c_custkey (every div-4 key block = one
+    canonical URL as raw variants: scheme/www/trailing-slash, one of
+    eight uppercased, one of eight fragment-suffixed, one of eight
+    utm-only — all collapsing — and one of eight carrying ?page=N plus
+    utm params, which keeps its page group; the join_edit_distance
+    synthesis precedent); the canonical key is computed scan-fused so
+    the single exchange carries canonical URLs. Oracle replays
+    synthesis + canonicalization with identical string ops ('g' flag on
+    the DuckDB side where Spark replaces all matches)."""
     tune_session(spark)
     cust = tables.load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -3336,12 +3342,26 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
         F.when(k % 4 == 2, F.lit("/")).otherwise(F.lit("")),
         F.when(
-            k % 4 == 3,
+            k % 8 == 6,
+            F.concat(F.lit("#sec"), (k % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 8 == 3,
+            F.concat(
+                F.lit("?page="),
+                (k % 3).cast("string"),
+                F.lit("&utm_source=feed&utm_campaign=c"),
+                (k % 9).cast("string"),
+            ),
+        )
+        .when(
+            k % 8 == 7,
             F.concat(
                 F.lit("?utm_source=feed&utm_campaign=c"),
                 (k % 9).cast("string"),
             ),
-        ).otherwise(F.lit("")),
+        )
+        .otherwise(F.lit("")),
     )
     url = F.when(k % 8 == 5, F.upper(url)).otherwise(url)
     docs = cust.select(k.alias("doc_id"), url.alias("url"))
@@ -3365,6 +3385,89 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0)
     batch = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0)
     out = dedup_ops.minhash_pairs_incremental(corpus, batch)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "pair_kind"
+    )
+
+
+# Band-index layout cache: the index is a write-ONCE ingest artifact
+# (the whole point — pay shingle+minhash+band once, scan forever), so
+# one process builds it once per sf_dir (corpus written, batch
+# APPENDED) and every later indexed-incremental call measures the index
+# SCAN, not the build (the _ivf_layout / join_bucketed precedent).
+# Dirs are atexit-reclaimed.
+_BANDIDX_CACHE: dict[str, str] = {}
+
+
+def _band_index_layout(spark: SparkSession, sf_dir: str) -> str:
+    path = _BANDIDX_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_bandidx_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs = tables.load(spark, sf_dir, "documents")
+    p = os.path.join(work, "bands")
+    dedup_ops.band_index_write(
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0), p
+    )
+    dedup_ops.band_index_append(
+        docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0), p
+    )
+    _BANDIDX_CACHE[sf_dir] = p
+    return p
+
+
+def q_dedup_index_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized corpus band index (VERDICT r8 #3;
+    operators/dedup.py band_index_write / band_index_append): the
+    corpus' (doc_id, band, key) rows persisted partitioned-by-band at
+    ingest, the batch APPENDED — then summarized per band (row count,
+    distinct keys, ≥2-doc buckets) from the READ-BACK layout. The
+    oracle bands the full documents table in one shot, so this row
+    oracle-gates append ≡ full re-band, and the summary is exactly the
+    occupancy profile an operator would consult to cap pathological
+    buckets. 100 TB: the index build is the one-time shingle+minhash
+    pass; every later incremental-dedup run scans ~6 small rows/doc
+    instead of re-hashing corpus text."""
+    tune_session(spark)
+    idx = spark.read.parquet(_band_index_layout(spark, sf_dir))
+    bk = idx.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n_docs"))
+    return bk.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum("n_docs").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_multi"),
+    )
+
+
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` served from the MATERIALIZED band index
+    (VERDICT r8 #3): the corpus side of the candidate join is a plain
+    SCAN of the ``band_index_write`` layout — the corpus text is never
+    re-shingled or re-hashed for banding (pinned in tests/test_dedup.py:
+    a hand-tampered index changes the candidates, proving the operator
+    trusts the index; plus a plan pin that the index path is scanned).
+    The corpus frame is touched only to verify candidate HITS with
+    exact Jaccard. Shares ``O_DEDUP_INCREMENTAL`` — the indexed path
+    must lose nothing and add nothing vs the re-banding path. The index
+    holds corpus+appended-batch rows (one layout per process); this
+    consumer reads the corpus "version" via a partition-friendly id
+    predicate, standing in for the version column a real ingest table
+    carries."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % DEDUP_BATCH_MOD == 0)
+    idx = spark.read.parquet(_band_index_layout(spark, sf_dir))
+    c_bands = idx.filter(F.col("doc_id") % DEDUP_BATCH_MOD != 0).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "key"
+    )
+    out = dedup_ops.minhash_pairs_incremental(
+        corpus, batch, corpus_bands=c_bands
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "pair_kind"
     )
@@ -4433,6 +4536,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # three round-8 keys land, the YOUNGEST (D) re-anchors yield slots
     # (new keys always outrank re-anchoring carries).
     # =====================================================================
+    # -- (A) new in round 9 --
+    "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
+    "dedup_incremental_indexed": (
+        q_dedup_incremental_indexed,
+        O_DEDUP_INCREMENTAL,
+    ),
     # -- (A) new in round 8 --
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),

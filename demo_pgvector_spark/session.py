@@ -88,8 +88,17 @@ class scoped_conf:
             self._spark.conf.set(self._key, str(self._value))
 
     def __exit__(self, *exc):
-        if self._value is not None and self._had:
-            self._spark.conf.set(self._key, self._prev)
+        if self._value is not None:
+            if self._had:
+                self._spark.conf.set(self._key, self._prev)
+            else:
+                # The key had no prior value (not even a session default):
+                # leaving the override set would leak it past the scope
+                # (ADVICE r8). unset() restores the true "absent" state.
+                try:
+                    self._spark.conf.unset(self._key)
+                except Exception:
+                    pass  # conf locked down — nothing to restore
         return False
 
 

@@ -378,11 +378,106 @@ def test_url_canonicalize_variants_collapse(spark):
         (3, "EXAMPLE.COM/a/b?utm_source=x&utm_campaign=y"),
         (4, "https://example.com/a/b"),
         (5, "https://example.com/a/c"),  # different path — stays apart
+        (6, "https://example.com/a/b#sec2"),  # fragment-only diff collapses
     ]
     df = spark.createDataFrame(variants, "doc_id long, url string")
     rows = {r["canon_url"]: r for r in dedup.dedup_url(df).collect()}
     assert set(rows) == {"example.com/a/b", "example.com/a/c"}
     hit = rows["example.com/a/b"]
-    assert hit["n_raw"] == 4 and hit["n_distinct_raw"] == 4
+    assert hit["n_raw"] == 5 and hit["n_distinct_raw"] == 5
     assert hit["keeper_id"] == 1
     assert rows["example.com/a/c"]["n_raw"] == 1
+
+
+def test_url_canonicalize_keeps_semantic_params(spark):
+    """ADVICE r8: only TRACKING params are stripped — ?page=2 documents
+    are distinct; tracking params are removed wherever they sit in the
+    query; a tracking-only query collapses to the bare path."""
+    variants = [
+        (1, "https://shop.com/p?page=2"),
+        (2, "http://www.shop.com/p?page=2&utm_source=x"),
+        (3, "https://shop.com/p?utm_source=x&page=2&gclid=abc"),
+        (4, "https://shop.com/p?page=3"),  # different page — stays apart
+        (5, "https://shop.com/p?fbclid=zzz"),  # tracking-only -> bare path
+        (6, "https://shop.com/p"),
+        (7, "https://shop.com/p/?utm_campaign=y#frag"),  # slash+frag+utm
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    rows = {r["canon_url"]: r for r in dedup.dedup_url(df).collect()}
+    assert set(rows) == {
+        "shop.com/p?page=2",
+        "shop.com/p?page=3",
+        "shop.com/p",
+    }
+    assert rows["shop.com/p?page=2"]["n_raw"] == 3
+    assert rows["shop.com/p?page=2"]["keeper_id"] == 1
+    assert rows["shop.com/p"]["n_raw"] == 3  # ids 5, 6, 7
+    assert rows["shop.com/p"]["keeper_id"] == 5
+
+
+def test_incremental_guards_against_overlapping_ids(corpus_df):
+    """ADVICE r8: corpus/batch id disjointness is a documented
+    precondition, but a violating caller must not receive (id, id)
+    self-pairs at jaccard 1.0 from the cross join."""
+    corpus = corpus_df  # doc 1 present on BOTH sides
+    batch = corpus_df.filter(F.col("doc_id") == 1)
+    out = dedup.minhash_pairs_incremental(corpus, batch)
+    assert out.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_band_index_append_equals_full_reband(corpus_df, spark, tmp_path):
+    """band_index_write(corpus) + band_index_append(batch) must be
+    row-for-row identical to band_index(corpus ∪ batch) — banding is a
+    pure per-document function (the ivf_append argument)."""
+    p = str(tmp_path / "bands")
+    corpus = corpus_df.filter(F.col("doc_id") % 2 == 1)
+    batch = corpus_df.filter(F.col("doc_id") % 2 == 0)
+    dedup.band_index_write(corpus, p)
+    dedup.band_index_append(batch, p)
+    got = sorted(
+        (r["doc_id"], int(r["band"]), r["key"])
+        for r in spark.read.parquet(p).collect()
+    )
+    want = sorted(
+        (r["doc_id"], int(r["band"]), r["key"])
+        for r in dedup.band_index(corpus_df).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_incremental_indexed_trusts_the_index(corpus_df, spark, tmp_path):
+    """With corpus_bands given, the operator must NOT re-band the corpus
+    text: (a) a faithful index reproduces the re-banding path exactly;
+    (b) a TAMPERED index (corpus doc 2's bands deleted) silently loses
+    doc 2's cross pairs — the candidates follow the index, proving the
+    corpus side is the scan, not a recompute; (c) the physical plan
+    scans the index parquet path."""
+    batch_ids = {1, 4}
+    corpus = corpus_df.filter(~F.col("doc_id").isin(list(batch_ids)))
+    batch = corpus_df.filter(F.col("doc_id").isin(list(batch_ids)))
+    p = str(tmp_path / "bands")
+    dedup.band_index_write(corpus, p)
+    idx = spark.read.parquet(p).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "key"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6), r["pair_kind"])
+            for r in df.collect()
+        )
+
+    full = rows(dedup.minhash_pairs_incremental(corpus, batch))
+    indexed_df = dedup.minhash_pairs_incremental(
+        corpus, batch, corpus_bands=idx
+    )
+    assert rows(indexed_df) == full and len(full) > 0
+    assert "bands" in indexed_df._jdf.queryExecution().executedPlan().toString() or \
+        "bands" in indexed_df._jdf.queryExecution().toString()
+
+    tampered = idx.filter(F.col("doc_id") != 2)
+    lost = rows(
+        dedup.minhash_pairs_incremental(corpus, batch, corpus_bands=tampered)
+    )
+    assert lost == [t for t in full if 2 not in (t[0], t[1])]
+    assert lost != full  # doc 2 really had cross pairs to lose

@@ -135,3 +135,21 @@ def test_group_ranked_is_exact_global_rank(spark):
         assert sorted(i[0] for i in items) == list(range(n))  # 0..n-1, no gaps
         ordered = [v for _rn, v, _n in sorted(items)]
         assert ordered == sorted(ordered)              # rank order = value order
+
+
+def test_scoped_conf_unsets_previously_absent_key(spark):
+    """ADVICE r8: scoped_conf must RESTORE absence — a key with no prior
+    value (and no session default) is unset after the block, not leaked."""
+    from demo_pgvector_spark.session import scoped_conf
+
+    key = "spark.sql.optimizer.excludedRules"  # settable, no default
+    assert spark.conf.get(key, None) is None
+    with scoped_conf(spark, key, "org.example.NoSuchRule"):
+        assert spark.conf.get(key, None) == "org.example.NoSuchRule"
+    assert spark.conf.get(key, None) is None
+
+    # and a key WITH a prior value is restored to it
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "3"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
