@@ -230,6 +230,7 @@ from demo_pgvector_spark.operators import timeseries as ts_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators.similarity import knn_join, mmr_rerank, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
+from demo_pgvector_spark.streaming import sketches as stream_sketch_ops
 from demo_pgvector_spark.streaming import joins as stream_join_ops
 from demo_pgvector_spark.streaming import late as stream_late_ops
 from demo_pgvector_spark.streaming import stateful as stream_stateful_ops
@@ -3755,6 +3756,59 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel_ops.profile_skew(ev, "event_type", top_n=5)
 
 
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min rollup (VERDICT r8 #5;
+    streaming/sketches.py): events staged as three batch files
+    (event_id % 3), drained through a real ``readStream`` →
+    ``foreachBatch`` with maxFilesPerTrigger=1 — three separate sketch
+    epochs, each building its OWN d×w sketch and folding it into the
+    versioned sketch table by cell-wise sum (the mergeability pinned in
+    tests/test_sketch.py, exercised as the per-day/per-stream rollup it
+    claims to be). Probing the FINAL table must match the one-shot
+    batch sketch bit-for-bit, so this row shares ``O_SKETCH_COUNTMIN``
+    — the oracle replays the sketch over the whole event table,
+    proving Σ epoch-sketches ≡ sketch(Σ epochs) end to end. Retried
+    epochs are skipped via an epoch marker (cell addition is not
+    idempotent); state is d×w BIGINTs forever, whatever the stream
+    length."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    _, landing = _stage_late_batches(
+        "cmsk",
+        sf_dir,
+        [f"event_id % 3 = {b}" for b in range(3)],
+        select="event_id, user_id",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_cmsk_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    root = os.path.join(work, "sketch")
+    stream_sketch_ops.run_countmin_stream(
+        stream, root, "user_id", checkpoint_dir=os.path.join(work, "ckpt")
+    )
+    sk = stream_sketch_ops.read_sketch(spark, root)
+    ev = tables.load(spark, sf_dir, "events")
+    probes = (
+        ev.filter(F.col("user_id") % CM_PROBE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    est = sketch_ops.countmin_estimate(sk, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") % CM_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "user_id")
+
+
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling (operators/timeseries.py
     resample_interpolate) — pandas ``resample().interpolate('linear')``
@@ -4537,6 +4591,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (new keys always outrank re-anchoring carries).
     # =====================================================================
     # -- (A) new in round 9 --
+    "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
         q_dedup_incremental_indexed,

@@ -1,0 +1,125 @@
+"""Streaming count-min rollup: per-micro-batch frequency sketches merged
+cell-wise into a versioned sketch table (VERDICT r8 #5).
+
+The batch sketch (operators/sketch.py) is MERGEABLE — two sketches over
+disjoint data combine by cell-wise addition into exactly the sketch of
+the union (pinned in tests/test_sketch.py). That property IS the
+streaming contract: each micro-batch builds its own d×w sketch in one
+partial-combining pass, and ``foreachBatch`` folds it into the running
+sketch table — constant d×w state regardless of how many events or
+epochs have flowed, the per-day/per-stream rollup the sketch family
+claims, proven end-to-end here.
+
+Exactly-once story: unlike the ingest upsert (idempotent by
+construction), cell-wise ADDITION is not idempotent — a retried epoch
+would double-count. ``foreachBatch`` delivers (batch, epoch_id) with a
+stable epoch_id across retries, so the sink records the last applied
+epoch next to the table pointer and SKIPS an epoch it has already
+folded in — the standard transactional-sink recipe for non-idempotent
+merges (documented in the Structured Streaming programming guide).
+Storage reuses the versioned-parquet + atomic-pointer table from
+streaming/ingest.py; the epoch marker is written before the pointer
+swap is observable to a retry of the SAME epoch only, so a crash
+between the two re-applies at most the crashed epoch against the
+still-previous version — the swap and marker are both per-epoch
+atomic os.replace writes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from demo_pgvector_spark.operators import sketch as sketch_ops
+from demo_pgvector_spark.streaming import ingest as ingest_ops
+
+SKETCH_SCHEMA_DDL = "r int, bucket bigint, cnt bigint"
+
+_EPOCH_MARKER = "_LAST_EPOCH"
+
+
+def _last_epoch(root: str) -> int:
+    try:
+        with open(os.path.join(root, _EPOCH_MARKER), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _mark_epoch(root: str, epoch_id: int) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{_EPOCH_MARKER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(epoch_id))
+    os.replace(tmp, os.path.join(root, _EPOCH_MARKER))
+
+
+def countmin_sink(
+    root: str,
+    item_col: str,
+    depth: int = sketch_ops.CM_DEPTH,
+    width: int = sketch_ops.CM_WIDTH,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function maintaining a running count-min
+    sketch table: per epoch, build the micro-batch's own sketch (ONE
+    partial-combining aggregate over the batch) and fold it into the
+    committed sketch by cell-wise sum — the merge side is always
+    ≤ 2·d·w rows, so the fold costs O(sketch), not O(history). An
+    already-applied epoch (retry) is skipped via the epoch marker."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _last_epoch(root):
+            return  # retried epoch already folded in — addition is not
+            # idempotent, so the marker, not the merge, carries safety
+        spark = batch.sparkSession
+        delta = sketch_ops.countmin_build(batch, item_col, depth, width)
+        existing = ingest_ops.read_table(spark, root, SKETCH_SCHEMA_DDL)
+        merged = (
+            existing.unionByName(delta)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        ingest_ops.commit_table(merged, root)
+        _mark_epoch(root, epoch_id)
+
+    return apply
+
+
+def run_countmin_stream(
+    stream_df: DataFrame,
+    root: str,
+    item_col: str,
+    checkpoint_dir: str,
+    depth: int = sketch_ops.CM_DEPTH,
+    width: int = sketch_ops.CM_WIDTH,
+    batch_shuffle_partitions: int | None = 8,
+) -> None:
+    """Drain ``stream_df`` through the count-min sink with an
+    availableNow trigger. The per-epoch jobs aggregate into ≤ d·w cells,
+    so the default scopes the shuffle narrow (the late-data-row
+    argument: session-wide 32 partitions schedule mostly-empty tasks
+    for a 1024-cell result); a production deployment drops the trigger
+    and the sketch table becomes a continuously-maintained ingest
+    artifact queried independently of the stream."""
+    from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(
+        stream_df.sparkSession, batch_shuffle_partitions
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                countmin_sink(root, item_col, depth, width)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def read_sketch(spark, root: str) -> DataFrame:
+    """The committed sketch relation (empty before the first commit)."""
+    return ingest_ops.read_table(spark, root, SKETCH_SCHEMA_DDL)

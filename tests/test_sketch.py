@@ -55,3 +55,31 @@ def test_unseen_probe_estimates_zero_or_collision(spark):
     [r] = sketch.countmin_estimate(sk, probes, "item").collect()
     assert r["est"] >= 0  # zero unless all 4 rows collide with real items
     assert r["est"] <= 3
+
+
+def test_streaming_sink_folds_epochs_and_skips_retries(spark, tmp_path):
+    """streaming/sketches.py countmin_sink: folding three epoch batches
+    must equal the one-shot sketch of their union, and re-applying an
+    epoch (foreachBatch retry) must change NOTHING — cell addition is
+    not idempotent, so the epoch marker carries the exactly-once
+    guarantee."""
+    from demo_pgvector_spark.streaming import sketches as ssk
+
+    root = str(tmp_path / "sketch")
+    sink = ssk.countmin_sink(root, "item")
+    thirds = [ITEMS[0::3], ITEMS[1::3], ITEMS[2::3]]
+    for epoch, chunk in enumerate(thirds):
+        sink(_df(spark, chunk), epoch)
+
+    def cells():
+        return sorted(tuple(r) for r in ssk.read_sketch(spark, root).collect())
+
+    whole = sorted(
+        tuple(r) for r in sketch.countmin_build(_df(spark, ITEMS), "item").collect()
+    )
+    assert cells() == whole
+
+    # retry of every already-applied epoch: table must not move
+    for epoch, chunk in enumerate(thirds):
+        sink(_df(spark, chunk), epoch)
+    assert cells() == whole
