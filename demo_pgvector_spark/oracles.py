@@ -52,6 +52,7 @@ from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
+from demo_pgvector_spark.operators import skew as skew_ops
 
 
 _ORACLE_QVEC = (
@@ -2243,6 +2244,49 @@ FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type, d.type_min_id
 ORDER BY e.event_type
 """
+
+
+# Diagnose-then-cure join (registry q_join_skew_adaptive →
+# operators/skew.py adaptive_join): the oracle replays BOTH halves of
+# the contract — the DECISION (the same integer per-mille hottest-key
+# share over each case's key; event_type ≈ 200‰ → 'salted', user_id
+# ≤ 8‰ → 'plain' on every testdata sf) and the RESULT (the plain join
+# rollup, because salting must not change a row — the
+# join_skew_salted invariant extended to the branch that picks it).
+O_JOIN_SKEW_ADAPTIVE_TMPL = """
+WITH ev AS (SELECT event_id, event_type, user_id FROM events),
+tcnt AS (SELECT COUNT(*) AS cnt FROM ev GROUP BY event_type),
+tstat AS (SELECT MAX(cnt) AS mx, CAST(SUM(cnt) AS BIGINT) AS n FROM tcnt),
+tdim AS (SELECT event_type, MIN(event_id) AS dim_id FROM ev GROUP BY event_type),
+tjoin AS (
+  SELECT COUNT(*) AS n_rows, CAST(SUM(e.event_id) AS BIGINT) AS sum_big_ids,
+         CAST(SUM(d.dim_id) AS BIGINT) AS sum_dim_ids
+  FROM ev e JOIN tdim d ON e.event_type = d.event_type
+),
+ucnt AS (SELECT COUNT(*) AS cnt FROM ev GROUP BY user_id),
+ustat AS (SELECT MAX(cnt) AS mx, CAST(SUM(cnt) AS BIGINT) AS n FROM ucnt),
+udim AS (SELECT user_id, MIN(event_id) AS dim_id FROM ev GROUP BY user_id),
+ujoin AS (
+  SELECT COUNT(*) AS n_rows, CAST(SUM(e.event_id) AS BIGINT) AS sum_big_ids,
+         CAST(SUM(d.dim_id) AS BIGINT) AS sum_dim_ids
+  FROM ev e JOIN udim d ON e.user_id = d.user_id
+)
+SELECT 'event_type' AS case_name,
+       CASE WHEN (mx * 1000) // n >= {hot_pm} THEN 'salted'
+            ELSE 'plain' END AS strategy,
+       n_rows, sum_big_ids, sum_dim_ids
+FROM tstat, tjoin
+UNION ALL
+SELECT 'user_id' AS case_name,
+       CASE WHEN (mx * 1000) // n >= {hot_pm} THEN 'salted'
+            ELSE 'plain' END AS strategy,
+       n_rows, sum_big_ids, sum_dim_ids
+FROM ustat, ujoin
+"""
+
+O_JOIN_SKEW_ADAPTIVE = O_JOIN_SKEW_ADAPTIVE_TMPL.format(
+    hot_pm=skew_ops.SKEW_HOT_PER_MILLE
+)
 
 
 # Product-quantization top-k (operators/ann.py pq_topk): fully

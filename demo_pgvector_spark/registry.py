@@ -128,6 +128,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TS_RESAMPLE,
     O_VEC_MMR_RERANK,
     O_WIN_SESSIONIZE,
+    O_JOIN_SKEW_ADAPTIVE,
     O_JOIN_SKEW_SALTED,
     O_JOIN_EDIT_DISTANCE,
     O_JOIN_RANGE,
@@ -726,6 +727,41 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_join_skew_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnose-then-cure join (VERDICT r8 #6; operators/skew.py
+    adaptive_join): the operator consumes its own ``profile_skew``-shape
+    summary and picks plain vs salted — demonstrated on BOTH branches in
+    one row: events joined to a per-key dim on event_type (4 keys,
+    hottest ≈ 200‰ of rows → 'salted') and on user_id (thousands of
+    keys, ≤ 8‰ → 'plain'). Each case's joined result is rolled up to
+    (n_rows, Σ big ids, Σ dim ids); the oracle replays the DECISION
+    (same integer per-mille formula) and the RESULT as the plain join —
+    the salted branch must not change a row. One extra pre-pass
+    aggregate per case is the entire diagnostic cost."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+
+    def run_case(key: str) -> DataFrame:
+        big = ev.select("event_id", key)
+        dim = big.groupBy(key).agg(F.min("event_id").alias("dim_id"))
+        joined, strategy = skew_ops.adaptive_join(big, dim, key=key)
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_big_ids"),
+            F.sum("dim_id").alias("sum_dim_ids"),
+        ).select(
+            F.lit(key).alias("case_name"),
+            F.lit(strategy).alias("strategy"),
+            "n_rows",
+            "sum_big_ids",
+            "sum_dim_ids",
+        )
+
+    return run_case("event_type").unionByName(run_case("user_id"))
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4592,6 +4628,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
     # -- (A) new in round 9 --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
+    "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
         q_dedup_incremental_indexed,

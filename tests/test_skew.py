@@ -72,3 +72,39 @@ def test_salted_join_rejects_small_side_preserving_how(spark, skewed_df):
     for how in ("right", "full", "full_outer", "right_outer", "cross"):
         with pytest.raises(ValueError, match="big-side-preserving"):
             skew.salted_join(skewed_df, dim, "key", how=how)
+
+
+def test_adaptive_join_picks_salted_on_hot_key(spark, skewed_df, dim_df):
+    """80% of rows share key 0 (>= 50 per-mille) → 'salted', and the
+    result must equal the plain join row-for-row."""
+    joined, strategy = skew.adaptive_join(skewed_df, dim_df, "key")
+    assert strategy == "salted"
+    plain = skewed_df.join(dim_df, "key").select("row_id", "key", "name")
+    got = joined.select("row_id", "key", "name")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_adaptive_join_picks_plain_on_uniform_key(spark, dim_df):
+    """1000 distinct keys, perfectly uniform: the hottest key holds
+    1 per-mille of rows — far under the 50-per-mille gate → 'plain'."""
+    rows = [(i, i % 1000) for i in range(5000)]
+    big = spark.createDataFrame(rows, "row_id long, key long")
+    dim = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1000)], "key long, name string"
+    )
+    joined, strategy = skew.adaptive_join(big, dim, "key")
+    assert strategy == "plain"
+    assert joined.count() == 5000
+
+
+def test_adaptive_join_threshold_is_exact(spark):
+    """The decision flips exactly at hot_per_mille — integer math, no
+    float drift: 100 rows, hottest key holds 5 → 50 per-mille."""
+    rows = [(i, 0 if i < 5 else i) for i in range(100)]
+    big = spark.createDataFrame(rows, "row_id long, key long")
+    dim = big.select("key").distinct().withColumn("name", F.lit("x"))
+    _, at = skew.adaptive_join(big, dim, "key", hot_per_mille=50)
+    _, above = skew.adaptive_join(big, dim, "key", hot_per_mille=51)
+    assert (at, above) == ("salted", "plain")
