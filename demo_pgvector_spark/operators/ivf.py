@@ -470,3 +470,78 @@ def kmeans_lloyd(
             base.unpersist()
 
     return assign_clusters_auto(vectors, cents, id_col, vec_col), cents
+
+
+# Per-cluster occupancy-share drift (integer per-mille) at/above which
+# the maintenance loop schedules a re-train. Integer so the decision
+# replays bit-exactly in SQL (the adaptive-join precedent).
+IVF_DRIFT_PER_MILLE = 20
+
+
+def ivf_drift(
+    layout: DataFrame,
+    train_counts: DataFrame,
+    drift_per_mille: int = IVF_DRIFT_PER_MILLE,
+) -> DataFrame:
+    """Centroid-drift diagnostic (VERDICT r8 #7) — the missing third
+    step of the IVF maintenance loop (``ivf_append`` per batch →
+    ``ivf_compact`` on file-count → re-train when THIS says so): compare
+    each cluster's CURRENT occupancy share against its TRAINING-time
+    share and flag a re-train when any cluster drifted ≥
+    ``drift_per_mille``. Appends assign new vectors to frozen centroids,
+    so a shifting corpus distribution shows up precisely as occupancy
+    drift — recall degrades as clusters overgrow their training shape.
+
+    Output: one row per cluster (cluster, n_train, n_now,
+    share_train_pm, share_now_pm, drift_pm, retrain) where ``retrain``
+    is the GLOBAL 0/1 decision (max drift ≥ threshold) carried on every
+    row. Plan: the ``profile_skew`` shape — one partial-combining count
+    over the layout (the cluster column is the partition key, so the
+    scan reads directory names + row counts, not vectors), broadcast
+    k-row joins for shares and the global max. All-integer math.
+
+    ``train_counts`` (cluster, n_train) is captured when the quantizer
+    is trained — a k-row artifact a real deployment persists next to
+    the centroids; the caller provides it here (the registry row
+    recomputes it from the training slice, the raw-parquet stand-in)."""
+    now = layout.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_now")
+    )
+    train = train_counts.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+    )
+    j = (
+        # no broadcast hint: Spark can't broadcast a side of a FULL
+        # outer join (the hint would just log a warning); both sides
+        # are k rows, so the exchange is trivial either way
+        now.join(train, "cluster", "full_outer")
+        .select(
+            "cluster",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_now", F.lit(0)).alias("n_now"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_train").alias("_tt"), F.sum("n_now").alias("_tn")
+    )
+    shared = j.join(F.broadcast(totals)).select(
+        "cluster",
+        "n_train",
+        "n_now",
+        F.expr("(n_train * 1000) div _tt").alias("share_train_pm"),
+        F.expr("(n_now * 1000) div _tn").alias("share_now_pm"),
+        F.expr("abs((n_train * 1000) div _tt - (n_now * 1000) div _tn)").alias(
+            "drift_pm"
+        ),
+    )
+    mx = shared.agg(F.max("drift_pm").alias("_mx"))
+    return shared.join(F.broadcast(mx)).select(
+        "cluster",
+        "n_train",
+        "n_now",
+        "share_train_pm",
+        "share_now_pm",
+        "drift_pm",
+        (F.col("_mx") >= drift_per_mille).cast("int").alias("retrain"),
+    )

@@ -52,6 +52,7 @@ from demo_pgvector_spark.functions import textstats
 from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
+from demo_pgvector_spark.operators import ivf as ivf_ops
 from demo_pgvector_spark.operators import skew as skew_ops
 
 
@@ -2287,6 +2288,53 @@ FROM ustat, ujoin
 O_JOIN_SKEW_ADAPTIVE = O_JOIN_SKEW_ADAPTIVE_TMPL.format(
     hot_pm=skew_ops.SKEW_HOT_PER_MILLE
 )
+
+
+# IVF occupancy-drift diagnostic (registry q_vec_ivf_drift ->
+# operators/ivf.py ivf_drift): replays the SAME seed-centroid
+# assignment as O_VEC_IVF_TOPK, splits it into the training slice
+# (vec_id % 5 != 0 -- the ivf_append layout's base corpus) vs the full
+# grown corpus, and reproduces the integer per-mille share-drift math
+# plus the global retrain flag. A green row proves the maintenance
+# loop's re-train TRIGGER computes the same decision on both engines.
+O_VEC_IVF_DRIFT = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+train AS (
+  SELECT cluster, COUNT(*) AS n_train FROM assign
+  WHERE vec_id % 5 != 0 GROUP BY cluster
+),
+now_t AS (SELECT cluster, COUNT(*) AS n_now FROM assign GROUP BY cluster),
+j AS (
+  SELECT COALESCE(n.cluster, t.cluster) AS cluster,
+         COALESCE(t.n_train, 0) AS n_train,
+         COALESCE(n.n_now, 0) AS n_now
+  FROM now_t n FULL OUTER JOIN train t ON n.cluster = t.cluster
+),
+tot AS (
+  SELECT CAST(SUM(n_train) AS BIGINT) AS tt,
+         CAST(SUM(n_now) AS BIGINT) AS tn FROM j
+),
+s AS (
+  SELECT cluster, n_train, n_now,
+         (n_train * 1000) // tt AS share_train_pm,
+         (n_now * 1000) // tn AS share_now_pm,
+         abs((n_train * 1000) // tt - (n_now * 1000) // tn) AS drift_pm
+  FROM j, tot
+)
+SELECT CAST(cluster AS INT) AS cluster, n_train, n_now,
+       share_train_pm, share_now_pm, drift_pm,
+       CAST((SELECT MAX(drift_pm) FROM s) >= {ivf_ops.IVF_DRIFT_PER_MILLE}
+            AS INT) AS retrain
+FROM s
+"""
 
 
 # Product-quantization top-k (operators/ann.py pq_topk): fully

@@ -196,6 +196,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_ANN_JOIN,
     O_VEC_ANN_TOPK,
     O_VEC_COSINE_DIST,
+    O_VEC_IVF_DRIFT,
     O_VEC_IVF_TOPK,
     O_VEC_IVFPQ_PRUNED,
     O_VEC_IVFPQ_TOPK,
@@ -4203,6 +4204,31 @@ def q_vec_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("similarity_score", F.round("similarity_score", 6))
 
 
+def q_vec_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF maintenance loop's re-train TRIGGER (VERDICT r8 #7;
+    operators/ivf.py ivf_drift): per-cluster occupancy share of the
+    grown ``ivf_append`` layout vs the training-time counts of its 4/5
+    base corpus, with the integer per-mille drift and the global
+    retrain flag — closing append → compact → re-train-on-drift. Here
+    the appended 1/5 is a uniform sample, so the row records the
+    steady-state NO-retrain decision on both engines (the skewed-append
+    trigger firing is pytest-gated in tests/test_ivf.py). The layout
+    side is one partial-combining count over the partition column —
+    directory metadata, not vector payloads."""
+    tune_session(spark)
+    work = _ivf_layout(spark, sf_dir, "ivf_append")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = _seed_vectors(spark, sf_dir)
+    train_counts = (
+        ivf_ops.assign_clusters_auto(
+            emb.filter(F.col("vec_id") % 5 != 0), cents
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    return ivf_ops.ivf_drift(spark.read.parquet(work), train_counts)
+
+
 def q_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → keeper assignment (the stage after pair generation in a
     training-data dedup pipeline): connected components over the minhash
@@ -4629,6 +4655,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- (A) new in round 9 --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
     "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
+    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
         q_dedup_incremental_indexed,

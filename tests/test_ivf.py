@@ -232,3 +232,36 @@ def test_ivf_compact_preserves_rows_and_merges_files(spark, clustered_df, tmp_pa
     )
     assert rows(compacted) == rows(grown)
     assert n_files(compacted) < n_files(grown)
+
+
+def test_ivf_drift_trigger_fires_on_skewed_append_only(spark):
+    """ivf_drift (the maintenance loop's re-train trigger): a uniform
+    append leaves every cluster's occupancy share in place → retrain=0;
+    an append concentrated on one cluster moves shares past the
+    per-mille gate → retrain=1 on every row (global flag)."""
+    from demo_pgvector_spark.operators import ivf
+
+    train = spark.createDataFrame(
+        [(c, 25) for c in range(4)], "cluster int, n_train long"
+    )
+
+    def layout(extra_in_zero: int):
+        rows = [(c * 25 + i, c) for c in range(4) for i in range(25)]
+        rows += [(1000 + i, 0) for i in range(extra_in_zero)]
+        return spark.createDataFrame(rows, "vec_id long, cluster int")
+
+    steady = {r["cluster"]: r for r in ivf.ivf_drift(layout(0), train).collect()}
+    assert all(r["drift_pm"] == 0 and r["retrain"] == 0 for r in steady.values())
+
+    # 25 extra rows all in cluster 0: share 250‰ -> 400‰, drift 150
+    skewed = {r["cluster"]: r for r in ivf.ivf_drift(layout(25), train).collect()}
+    assert skewed[0]["drift_pm"] == 150
+    assert all(r["retrain"] == 1 for r in skewed.values())
+    # a cluster unseen at training time surfaces with n_train=0
+    ghost = ivf.ivf_drift(
+        layout(0).withColumn(
+            "cluster", F.when(F.col("vec_id") == 0, 9).otherwise(F.col("cluster"))
+        ),
+        train,
+    ).filter(F.col("cluster") == 9).first()
+    assert ghost["n_train"] == 0 and ghost["n_now"] == 1
