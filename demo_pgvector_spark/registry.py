@@ -4636,46 +4636,107 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r08 records).
-    # Round-8 rotation, per SURVEY §2's contract and VERDICT r7 #1/#5:
-    # (A) keys NEW this round (never driver-verified) — inserted at the
-    # top as they land; (B) the SIXTEEN keys whose latest driver row is
-    # round 4 — four rounds stale, rotated in FIRST exactly as the
-    # verdict ordered; (C) the four keys whose implementation or oracle
-    # changed in round 8 (a green r7 row does not survive a diff:
-    # timeseries.py step guard voids ts_resample; curation.py integer-
-    # div priority + oracle voids sample_priority; graph.py tie-break
-    # rewrite voids graph_lpa; the BFS oracle's self-loop filter voids
-    # graph_bfs); (D) the 27 round-5-green carries — the oldest
-    # remaining rows — re-anchor in the leftover slots. Round-7-green
-    # keys (13 new + 37 re-verified) carry and sit at 51+; if more than
-    # three round-8 keys land, the YOUNGEST (D) re-anchors yield slots
-    # (new keys always outrank re-anchoring carries).
+    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r09 records).
+    # Round-9 rotation, per SURVEY §2's contract and VERDICT r8 #1:
+    # (A) the five keys NEW this round (never driver-verified);
+    # (B) the SEVEN keys whose latest driver row is round 5 — the
+    # oldest rows in the registry, rotated in FIRST exactly as the
+    # verdict ordered (one of them is the flagship vec_sim_topk);
+    # (C) the two keys whose implementation or oracle changed in round
+    # 9 (a green r8 row does not survive a diff: dedup.py's
+    # url_canonicalize semantics rewrite voids dedup_url; the
+    # self-pair guard in minhash_pairs_incremental voids
+    # dedup_incremental);
+    # (D) ALL thirty-two round-6-green carries — every remaining row
+    # older than round 7 re-anchors this round, leaving nothing in the
+    # registry staler than r7 after the sweep;
+    # (E) four round-7 re-anchors fill the leftover slots (the
+    # heaviest iterative/stateful shapes first). Round-7/8-green keys
+    # otherwise carry at 51+ under the unchanged-code rule;
+    # tools/parity.py re-verifies EVERY key locally each round
+    # regardless of window position.
     # =====================================================================
     # -- (A) new in round 9 --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
-    "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
-    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
         q_dedup_incremental_indexed,
         O_DEDUP_INCREMENTAL,
     ),
-    # -- (A) new in round 8 --
+    "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
+    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
+    # -- (B) round-5-stale keys, rotated in first (VERDICT r8 #1) --
+    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
+    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
+    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
+    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
+    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
+    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
+    # -- (C) implementation changed in round 9 — must re-verify --
+    "dedup_url": (q_dedup_url, O_DEDUP_URL),
+    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    # -- (D) all round-6-green carries re-anchor (nothing older than
+    # r7 remains after this sweep) --
+    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
+    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
+    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
+    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
+    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
+    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
+    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
+    "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
+    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
+    "src_route": (q_src_route, O_SRC_ROUTE),
+    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
+    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
+    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
+    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
+    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
+    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
+    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
+    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
+    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
+    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
+    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
+    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
+    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
+    # -- (E) oldest round-7 carries re-anchor in the spare slots --
+    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
+    "stream_stateful_funnel": (
+        q_stream_stateful_funnel,
+        O_STREAM_STATEFUL_FUNNEL,
+    ),
+    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
+    # =====================================================================
+    # position 51+ — carries under the unchanged-code rule (round-7 or
+    # round-8 driver rows, all ≤ 2 rounds old); tools/parity.py
+    # re-verifies ALL keys locally each round regardless of position.
+    # =====================================================================
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
-    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "join_interval": (q_join_interval, O_JOIN_INTERVAL),
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
     "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
     "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
-    "dedup_url": (q_dedup_url, O_DEDUP_URL),
     "decon_bloom": (q_decon_bloom, O_DECON_BLOOM),
-    # -- (B) round-4-stale keys, rotated in first (VERDICT r7 #1) --
     "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
     "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
-    "stream_session_windows": (q_stream_session_windows, O_STREAM_SESSION_WINDOWS),
+    "stream_session_windows": (
+        q_stream_session_windows,
+        O_STREAM_SESSION_WINDOWS,
+    ),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
@@ -4689,12 +4750,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
-    # -- (C) implementation/oracle changed in round 8 — must re-verify --
     "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
     "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
     "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
     "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
-    # -- (D) oldest green carries re-anchor (latest driver row: round 5) --
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
@@ -4713,25 +4772,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
     "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
-    "agg_percentiles_approx": (q_agg_percentiles_approx, O_AGG_PERCENTILES_APPROX),
+    "agg_percentiles_approx": (
+        q_agg_percentiles_approx,
+        O_AGG_PERCENTILES_APPROX,
+    ),
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
-    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
-    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
-    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
-    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
-    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
-    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
-    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
-    # =====================================================================
-    # position 51+ — carries under the unchanged-code rule (round-7
-    # driver rows for everything down to proj_sim_family; round-6 rows
-    # below that); tools/parity.py re-verifies ALL keys locally each
-    # round regardless of window position.
-    # =====================================================================
-    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
-    "stream_stateful_funnel": (q_stream_stateful_funnel, O_STREAM_STATEFUL_FUNNEL),
-    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
-    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
@@ -4774,38 +4819,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
     "str_scalars": (q_str_scalars, O_STR_SCALARS),
     "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
-    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
-    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
-    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
-    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
-    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
-    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
-    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
-    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
-    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
-    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
-    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
-    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
-    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
-    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
-    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
-    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
-    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
-    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
-    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
-    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
-    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
-    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
-    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
-    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
-    "src_route": (q_src_route, O_SRC_ROUTE),
-    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
-    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
-    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
-    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
-    "json_metadata": (q_json_metadata, O_JSON_METADATA),
-    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
 }
 
 

@@ -29,30 +29,35 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-8 plan (SURVEY §2 preamble "Round-8 window rotation";
+    # -- round-9 plan (SURVEY §2 preamble "Round-9 window rotation";
     # registry.py block comments are the same contract) --
-    # (B) the SIXTEEN keys whose latest driver row was round 4 — four
-    # rounds stale, rotated in FIRST per VERDICT r7 #1:
-    "stream_windows", "filt_predicates", "stream_session_windows",
-    "text_fingerprint", "text_quality", "text_lang_id",
-    "join_lineitem_orders", "tpch_q6", "vec_cosine_dist", "stream_dedup",
-    "tpch_q3", "cluster_kmeans", "emb_generate", "agg_word_counts",
-    "filt_files", "sink_stdout",
-    # (C) implementation/oracle changed in round 8 — the green r7 row
-    # is voided by the diff (timeseries.py step guard; curation.py
-    # integer-div priority; graph.py LPA tie-break; BFS oracle
-    # self-loop filter):
-    "ts_resample", "sample_priority", "graph_lpa", "graph_bfs",
-    # (D) the oldest green carries re-anchor (latest driver row round
-    # 5). Round-7-green keys (the 13 r7-new + the re-verified dedup/
-    # stream/curate families) carry at 51+ under the unchanged-code
-    # rule. The YOUNGEST (D) entries yield slots as new round-8 keys
-    # land (new keys outrank re-anchoring carries), so only the oldest
-    # core is pinned here:
-    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
-    "win_range_frame", "seq_funnel", "agg_percentiles",
+    # (A) new this round (never driver-verified):
+    "stream_countmin", "dedup_index_write", "dedup_incremental_indexed",
+    "join_skew_adaptive", "vec_ivf_drift",
+    # (B) the SEVEN keys whose latest driver row was round 5 — the
+    # oldest rows in the registry, rotated in FIRST per VERDICT r8 #1
+    # (vec_sim_topk is the flagship):
+    "vec_sim_topk", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
+    "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
+    # (C) implementation changed in round 9 — the green r8 row is
+    # voided by the diff (url_canonicalize semantics rewrite; the
+    # incremental self-pair guard):
+    "dedup_url", "dedup_incremental",
+    # (D) all thirty-two round-6-green carries re-anchor — after this
+    # sweep nothing in the registry is staler than round 7:
+    "agg_context_concat", "chunk_bpe", "chunk_bpe_pretrained",
+    "chunk_docling", "classify_source_type", "extract_year",
+    "ins_chunk_txn", "join_skew_salted", "json_metadata", "meta_sidecar",
+    "pack_sequences", "rag_prompts", "sample_mixture",
+    "sample_stratified", "src_convert_epub", "src_route",
+    "text_bm25_topk", "text_decontaminate", "text_keywords",
+    "text_perplexity", "text_quality_model", "text_scrub", "tpch_q12",
+    "tpch_q20", "tpch_q8", "tpch_q9", "upsert_model", "upsert_source",
+    "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
+    "win_range_numeric",
+    # (E) oldest round-7 carries re-anchor in the spare slots:
+    "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
+    "graph_triangles",
 }
 
 
