@@ -179,6 +179,12 @@ BENCH_KEYS = (
     "sketch_countmin",
     "dedup_url",
     "decon_bloom",
+    # round-9 additions
+    "dedup_index_write",
+    "dedup_incremental_indexed",
+    "stream_countmin",
+    "join_skew_adaptive",
+    "vec_ivf_drift",
 )
 
 

@@ -353,10 +353,17 @@ def band_index_write(
     the batch-vs-corpus candidate join reads it directly; a cluster
     deployment would additionally BUCKET each band partition by ``key``
     so the join co-locates with zero corpus-side shuffle
-    (relational.write_bucketed is that path)."""
-    band_index(docs, id_col, text_col).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(path)
+    (relational.write_bucketed is that path).
+
+    The repartition before the write co-locates each band into ONE
+    file: without it every shuffle partition writes a sliver into every
+    band dir (32 partitions × 6 bands ≈ 200 files per write) and the
+    steady-state index SCAN becomes file-listing-bound — measured 40%
+    slower than re-banding at 10× before the fix (SCALE.md round 9),
+    the same small-files tax ``ivf_compact`` exists to repay."""
+    band_index(docs, id_col, text_col).repartition("band").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path)
 
 
 def band_index_append(
@@ -368,10 +375,13 @@ def band_index_append(
     corpus ∪ batch (the ``ivf_append`` argument; oracle-gated by
     ``dedup_index_write``'s summary row and pinned row-for-row in
     tests/test_dedup.py). O(batch) work per ingest tick, never
-    O(corpus)."""
-    band_index(batch, id_col, text_col).write.mode("append").partitionBy(
-        "band"
-    ).parquet(path)
+    O(corpus); each append adds ONE file per band (repartition — the
+    band_index_write rationale), so file count grows per batch, not
+    per batch × shuffle width, and a periodic rewrite (the
+    ``ivf_compact`` shape) repays even that."""
+    band_index(batch, id_col, text_col).repartition("band").write.mode(
+        "append"
+    ).partitionBy("band").parquet(path)
 
 
 TRACKING_PARAM_RE = "(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?"
