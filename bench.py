@@ -183,6 +183,7 @@ BENCH_KEYS = (
     "dedup_index_write",
     "dedup_incremental_indexed",
     "stream_countmin",
+    "stream_bloom",
     "join_skew_adaptive",
     "vec_ivf_drift",
 )

@@ -164,12 +164,13 @@ def bloom_build(
 
 def bloom_decontaminate(
     train: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None,
     n: int = DECON_N,
     id_col: str = "doc_id",
     text_col: str = "text",
     m: int = BLOOM_M,
     k: int = BLOOM_K,
+    bloom_positions: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination through the bloom filter: (id, n_grams, n_maybe,
     bloom_contaminated) — a gram is a MAYBE-hit iff all k of its
@@ -178,8 +179,17 @@ def bloom_decontaminate(
     tests/test_curation.py), false positives bounded by the standard
     (1 − e^{−kn/m})^k. Plan: positions table broadcast, one explode +
     left join + two partial-combining aggregates (gram-level ALL-k
-    test, then per-doc rollup)."""
-    bloom = F.broadcast(bloom_build(eval_docs, n, text_col, m, k))
+    test, then per-doc rollup).
+
+    ``bloom_positions``: a PREBUILT position table (the
+    ``stream_bloom`` ingest artifact, one ``pos`` column) — when given,
+    ``eval_docs`` is not touched; the filter is whatever the stream
+    (or a prior ``bloom_build``) committed, built with the same
+    (n, m, k)."""
+    if bloom_positions is not None:
+        bloom = F.broadcast(bloom_positions.select("pos"))
+    else:
+        bloom = F.broadcast(bloom_build(eval_docs, n, text_col, m, k))
     tg = _with_gram_strings(train, text_col, n).select(
         F.col(id_col), F.explode_outer("_gstr").alias("gram")
     )

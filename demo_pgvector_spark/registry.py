@@ -2716,6 +2716,8 @@ def _stage_late_batches(
     sf_dir: str,
     batch_conds: list[str],
     select: str = "event_id, ts, event_type",
+    table: str = "events",
+    order_by: str = "event_id",
 ) -> tuple[str, str]:
     """Return (work_dir, landing_dir) with the batch files staged,
     caching per (tag, sf_dir, staging-args digest) for process lifetime.
@@ -2734,7 +2736,7 @@ def _stage_late_batches(
     import duckdb
 
     digest = hashlib.sha256(
-        "\x1f".join([select, *batch_conds]).encode()
+        "\x1f".join([select, table, order_by, *batch_conds]).encode()
     ).hexdigest()[:16]
     cache_key = (tag, sf_dir, digest)
     cached = _LATE_LANDING_CACHE.get(cache_key)
@@ -2748,8 +2750,8 @@ def _stage_late_batches(
         path = os.path.join(landing, f"batch-{b}.parquet")
         duckdb.sql(
             f"COPY (SELECT {select}"
-            f" FROM '{sf_dir}/events.parquet'"
-            f" WHERE {cond} ORDER BY event_id)"
+            f" FROM '{sf_dir}/{table}.parquet'"
+            f" WHERE {cond} ORDER BY {order_by})"
             f" TO '{path}' (FORMAT parquet)"
         )
         os.utime(path, (1_000_000 + b * 1000, 1_000_000 + b * 1000))
@@ -4486,6 +4488,51 @@ def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination bloom filter as an INGEST-MAINTAINED
+    streaming artifact (streaming/sketches.py bloom_sink — the
+    membership twin of ``stream_countmin``): the eval set lands as
+    three batch files drained through a real ``readStream`` →
+    ``foreachBatch``, each epoch folding its own position set into the
+    versioned table by DISTINCT union ≡ bit-OR — which is IDEMPOTENT,
+    so exactly-once needs no epoch marker (contrast the count-min
+    sink). Decontaminating the training corpus against the FINAL table
+    must equal the one-shot batch bloom bit-for-bit, so this row shares
+    ``O_DECON_BLOOM`` — proving OR-of-epoch-blooms ≡ bloom-of-union end
+    to end. The nightly-eval-suite-update production shape; state ≤
+    BLOOM_M positions forever."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    _, landing = _stage_late_batches(
+        "blsk",
+        sf_dir,
+        [f"doc_id % 41 = 0 AND (doc_id // 41) % 3 = {b}" for b in range(3)],
+        select="doc_id, text",
+        table="documents",
+        order_by="doc_id",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_blsk_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    root = os.path.join(work, "bloom")
+    stream_sketch_ops.run_bloom_stream(
+        stream, root, checkpoint_dir=os.path.join(work, "ckpt")
+    )
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_ops.bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        None,
+        bloom_positions=stream_sketch_ops.read_bloom(spark, root),
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
     complement to the dense vec_* retrieval family. Two scans, zero
@@ -4658,6 +4705,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
     # -- (A) new in round 9 --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
+    "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
         q_dedup_incremental_indexed,
@@ -4723,6 +4771,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # round-8 driver rows, all ≤ 2 rounds old); tools/parity.py
     # re-verifies ALL keys locally each round regardless of position.
     # =====================================================================
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),

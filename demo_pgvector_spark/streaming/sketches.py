@@ -1,5 +1,8 @@
-"""Streaming count-min rollup: per-micro-batch frequency sketches merged
-cell-wise into a versioned sketch table (VERDICT r8 #5).
+"""Streaming sketch/membership rollups: per-micro-batch count-min
+sketches merged cell-wise into a versioned sketch table (VERDICT r8
+#5), and the eval-set bloom filter maintained the same way by
+idempotent bit-OR (``bloom_sink`` below) — the two ingest-maintained
+artifacts the batch operators promise.
 
 The batch sketch (operators/sketch.py) is MERGEABLE — two sketches over
 disjoint data combine by cell-wise addition into exactly the sketch of
@@ -123,3 +126,65 @@ def run_countmin_stream(
 def read_sketch(spark, root: str) -> DataFrame:
     """The committed sketch relation (empty before the first commit)."""
     return ingest_ops.read_table(spark, root, SKETCH_SCHEMA_DDL)
+
+
+BLOOM_SCHEMA_DDL = "pos bigint"
+
+
+def bloom_sink(
+    root: str,
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function maintaining the eval-set BLOOM filter
+    (operators/curation.py bloom_build) as a versioned position table —
+    the decontamination index kept current as eval suites land
+    nightly, the membership twin of ``countmin_sink``. Per epoch: build
+    the micro-batch's own position set and fold by DISTINCT union,
+    which IS bit-OR on the m-bit filter (union ≡ bit-OR pinned in
+    tests/test_curation.py).
+
+    Exactly-once contrast with the count-min sink: bit-OR is
+    IDEMPOTENT — re-setting a set bit changes nothing — so
+    at-least-once epoch delivery composes to exactly-once table state
+    with NO epoch marker (the upsert-sink argument, not the
+    marker recipe); a retried epoch just re-commits an identical
+    version. State is ≤ BLOOM_M positions forever."""
+    from demo_pgvector_spark.operators import curation as curation_ops
+
+    def apply(batch: DataFrame, _epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = curation_ops.bloom_build(batch, text_col=text_col)
+        existing = ingest_ops.read_table(spark, root, BLOOM_SCHEMA_DDL)
+        merged = existing.unionByName(delta).distinct()
+        ingest_ops.commit_table(merged, root)
+
+    return apply
+
+
+def run_bloom_stream(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    batch_shuffle_partitions: int | None = 8,
+) -> None:
+    """Drain ``stream_df`` through the bloom sink (availableNow trigger;
+    the run_countmin_stream shape — narrow scoped shuffle because the
+    fold's result is ≤ BLOOM_M narrow rows)."""
+    from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(
+        stream_df.sparkSession, batch_shuffle_partitions
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(bloom_sink(root, text_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def read_bloom(spark, root: str) -> DataFrame:
+    """The committed bloom position table (empty before first commit)."""
+    return ingest_ops.read_table(spark, root, BLOOM_SCHEMA_DDL)

@@ -32,8 +32,8 @@ WINDOW_REQUIRED = {
     # -- round-9 plan (SURVEY §2 preamble "Round-9 window rotation";
     # registry.py block comments are the same contract) --
     # (A) new this round (never driver-verified):
-    "stream_countmin", "dedup_index_write", "dedup_incremental_indexed",
-    "join_skew_adaptive", "vec_ivf_drift",
+    "stream_countmin", "stream_bloom", "dedup_index_write",
+    "dedup_incremental_indexed", "join_skew_adaptive", "vec_ivf_drift",
     # (B) the SEVEN keys whose latest driver row was round 5 — the
     # oldest rows in the registry, rotated in FIRST per VERDICT r8 #1
     # (vec_sim_topk is the flagship):
@@ -55,9 +55,10 @@ WINDOW_REQUIRED = {
     "tpch_q20", "tpch_q8", "tpch_q9", "upsert_model", "upsert_source",
     "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
     "win_range_numeric",
-    # (E) oldest round-7 carries re-anchor in the spare slots:
+    # (E) oldest round-7 carries re-anchor in the spare slots
+    # (graph_triangles yielded its slot to stream_bloom — new keys
+    # outrank re-anchoring carries; it carries green r7 at position 51):
     "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
-    "graph_triangles",
 }
 
 

@@ -83,3 +83,34 @@ def test_streaming_sink_folds_epochs_and_skips_retries(spark, tmp_path):
     for epoch, chunk in enumerate(thirds):
         sink(_df(spark, chunk), epoch)
     assert cells() == whole
+
+
+def test_streaming_bloom_sink_is_idempotent_bitor(spark, tmp_path):
+    """streaming/sketches.py bloom_sink: OR-folding three epoch batches
+    must equal the one-shot bloom of their union, and re-applying any
+    epoch changes NOTHING — bit-OR is idempotent, so this sink needs no
+    epoch marker (contrast countmin_sink)."""
+    from demo_pgvector_spark.operators import curation
+    from demo_pgvector_spark.streaming import sketches as ssk
+
+    docs = [(i, f"alpha beta gamma delta epsilon zeta eta theta iota "
+                f"kappa lam mu word{i} tail{i % 3}") for i in range(9)]
+
+    def _docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    root = str(tmp_path / "bloom")
+    sink = ssk.bloom_sink(root)
+    for epoch in range(3):
+        sink(_docs(docs[epoch::3]), epoch)
+
+    def positions():
+        return sorted(r["pos"] for r in ssk.read_bloom(spark, root).collect())
+
+    whole = sorted(
+        r["pos"] for r in curation.bloom_build(_docs(docs)).collect()
+    )
+    assert positions() == whole and len(whole) > 0
+
+    sink(_docs(docs[1::3]), 1)  # retried epoch: table must not move
+    assert positions() == whole
