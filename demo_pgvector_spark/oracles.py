@@ -3855,10 +3855,10 @@ framed AS (
   FROM idxd
 )
 SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
-       ROUND(CASE WHEN v_last IS NOT NULL THEN v_last
-                  ELSE vp + (vn - vp) * (CAST(i - ip AS DOUBLE)
-                                         / CAST(i_n - ip AS DOUBLE)) END,
-             6) AS value_li,
+       CAST(FLOOR((CASE WHEN v_last IS NOT NULL THEN v_last
+                        ELSE vp + (vn - vp) * (CAST(i - ip AS DOUBLE)
+                                               / CAST(i_n - ip AS DOUBLE))
+                        END) * 1000000 + 0.5) AS BIGINT) AS value_li_e6,
        CAST(n_obs AS BIGINT) AS n_obs
 FROM framed
 """

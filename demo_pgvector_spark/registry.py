@@ -3856,14 +3856,26 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed buckets. Same span-sized-grid plan as ``ts_resample``; the
     prev/next lookups are window frames over the SAME partitioning (no
     extra shuffle). Both engines evaluate the identical IEEE expression
-    over identical operands, so 6dp parity is exact."""
+    over identical operands — but the 10× replica gate caught a display
+    lesson: interpolation at gap midpoints produces values like
+    110.37531249999999 whose decimal-ROUND differs across engines
+    (DuckDB's double ROUND returned ...313 for a value strictly below
+    the midpoint). The display contract is therefore the
+    engine-independent floor(x·1e6 + 0.5) BIGINT — multiply, add,
+    floor: three IEEE ops both engines execute bit-identically on the
+    bit-identical operand (SCALE.md round 9)."""
     tune_session(spark)
     ev = tables.load(spark, sf_dir, "events").filter(
         F.col("user_id") % TS_USER_MOD == 0
     )
     out = ts_ops.resample_interpolate(ev, step="1 hour")
     return out.select(
-        "user_id", "bucket", F.round("value_li", 6).alias("value_li"), "n_obs"
+        "user_id",
+        "bucket",
+        F.floor(F.col("value_li") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_li_e6"),
+        "n_obs"
     )
 
 
@@ -4724,6 +4736,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- (C) implementation changed in round 9 — must re-verify --
     "dedup_url": (q_dedup_url, O_DEDUP_URL),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
     # -- (D) all round-6-green carries re-anchor (nothing older than
     # r7 remains after this sweep) --
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
@@ -4764,19 +4777,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_stream_stateful_funnel,
         O_STREAM_STATEFUL_FUNNEL,
     ),
-    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
-    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule (round-7 or
     # round-8 driver rows, all ≤ 2 rounds old); tools/parity.py
     # re-verifies ALL keys locally each round regardless of position.
+    # graph_pagerank / graph_triangles yielded their (E) slots to
+    # stream_bloom and the re-verifying ts_interpolate (new/changed keys
+    # outrank re-anchors) and carry green r7 rows here.
     # =====================================================================
+    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
     "join_interval": (q_join_interval, O_JOIN_INTERVAL),
-    "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
     "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
     "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
     "decon_bloom": (q_decon_bloom, O_DECON_BLOOM),

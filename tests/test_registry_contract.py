@@ -41,8 +41,10 @@ WINDOW_REQUIRED = {
     "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
     # (C) implementation changed in round 9 — the green r8 row is
     # voided by the diff (url_canonicalize semantics rewrite; the
-    # incremental self-pair guard):
-    "dedup_url", "dedup_incremental",
+    # incremental self-pair guard; ts_interpolate's display contract
+    # became the engine-independent floor-scale BIGINT after the 10x
+    # replica gate caught a DuckDB double-ROUND midpoint divergence):
+    "dedup_url", "dedup_incremental", "ts_interpolate",
     # (D) all thirty-two round-6-green carries re-anchor — after this
     # sweep nothing in the registry is staler than round 7:
     "agg_context_concat", "chunk_bpe", "chunk_bpe_pretrained",
@@ -56,9 +58,10 @@ WINDOW_REQUIRED = {
     "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
     "win_range_numeric",
     # (E) oldest round-7 carries re-anchor in the spare slots
-    # (graph_triangles yielded its slot to stream_bloom — new keys
-    # outrank re-anchoring carries; it carries green r7 at position 51):
-    "join_edit_distance", "stream_stateful_funnel", "graph_pagerank",
+    # (graph_triangles and graph_pagerank yielded theirs to stream_bloom
+    # and the re-verifying ts_interpolate — new/changed keys outrank
+    # re-anchoring carries; both carry green r7 rows at positions 51-52):
+    "join_edit_distance", "stream_stateful_funnel",
 }
 
 
