@@ -186,6 +186,7 @@ BENCH_KEYS = (
     "stream_bloom",
     "join_skew_adaptive",
     "vec_ivf_drift",
+    "layout_zorder_append",
 )
 
 

@@ -103,6 +103,41 @@ def zorder_write(
     )
 
 
+def zorder_append(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bucket_bits: int = 16,
+) -> None:
+    """Incremental Z-order maintenance — the ``ivf_append`` /
+    ``band_index_append`` contract for the layout pillar: a new batch's
+    Morton buckets are a pure per-row function of (x, y), so appending
+    the bucketed batch into an existing ``zorder_write`` layout is
+    row-for-row identical to a full rewrite of the union (oracle-gated
+    by ``layout_zorder_append``'s shared pruned-scan oracle; pinned
+    row-for-row in tests/test_layout.py) — the daily-ingest path that
+    makes the layout a maintained artifact instead of a
+    rebuild-the-world compaction. O(batch) work per tick; each append
+    adds one file per TOUCHED tile (``repartition`` on the bucket), so
+    file count grows per batch and a periodic per-tile rewrite (the
+    ``ivf_compact`` shape) repays it. Pruned reads before and after an
+    append return exactly the union's rows — partition pruning never
+    sees file lineage, only dir names."""
+    z = morton_z(F.col(x_col), F.col(y_col))
+    shift = 2 * ZBITS - bucket_bits
+    (
+        df.withColumn("z_bucket", F.shiftright(z, shift))
+        .withColumn("_z", z)
+        .repartition(F.col("z_bucket"))
+        .sortWithinPartitions("z_bucket", "_z")
+        .drop("_z")
+        .write.mode("append")
+        .partitionBy("z_bucket")
+        .parquet(path)
+    )
+
+
 def _spread_py(v: int, bits: int) -> int:
     """Pure-Python bit spread (abc -> 0a0b0c), mirror of _spread16."""
     out = 0

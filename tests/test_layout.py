@@ -103,3 +103,34 @@ def test_zorder_pruned_scan_reads_only_intersecting_tiles(spark, tmp_path):
     m = re.search(r"partition count: (\d+)", plan)
     if m:  # formatting varies; the PartitionFilters assert is the contract
         assert int(m.group(1)) <= n_buckets, plan
+
+
+def test_zorder_append_equals_full_rewrite(spark, tmp_path):
+    """zorder_append (the layout pillar's ivf_append twin): write 4/5,
+    append 1/5 — the resulting table must be ROW-FOR-ROW the full
+    rewrite of the union, and the pruned rectangle scan over the
+    appended layout must return exactly the rewrite's rows."""
+    rows = [(i, (i * 37) % 200, (i * 91) % 200) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    grown = str(tmp_path / "grown")
+    full = str(tmp_path / "full")
+    layout.zorder_write(df.filter(F.col("id") % 5 != 0), grown, "x", "y",
+                        bucket_bits=6)
+    layout.zorder_append(df.filter(F.col("id") % 5 == 0), grown, "x", "y",
+                         bucket_bits=6)
+    layout.zorder_write(df, full, "x", "y", bucket_bits=6)
+
+    def rows_of(path):
+        return sorted(
+            (r["id"], r["x"], r["y"], int(r["z_bucket"]))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows_of(grown) == rows_of(full) and len(rows_of(grown)) == 2000
+
+    box = (40, 90, 100, 150)
+    a = sorted(map(tuple, layout.zorder_pruned_scan(
+        spark, grown, "x", "y", box, bucket_bits=6).select("id").collect()))
+    b = sorted(map(tuple, layout.zorder_pruned_scan(
+        spark, full, "x", "y", box, bucket_bits=6).select("id").collect()))
+    assert a == b and len(a) > 0
