@@ -187,6 +187,7 @@ BENCH_KEYS = (
     "join_skew_adaptive",
     "vec_ivf_drift",
     "layout_zorder_append",
+    "curate_incremental",
 )
 
 

@@ -972,3 +972,124 @@ def quality_model_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
         (z >= F.lit(0.0)).alias("keep"),
     )
+
+
+# Incremental-curation thresholds: near-dup drop at shingle-Jaccard ≥
+# τ; the length screen reuses curate_corpus's 15-token floor. τ = 0.5
+# is exactly representable and both engines derive jaccard from the
+# same integer set sizes, so the threshold comparison replays exactly.
+CURATE_INC_TAU = 0.5
+CURATE_INC_MIN_TOKENS = 15
+
+
+def curate_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    eval_docs: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    min_tokens: int = CURATE_INC_MIN_TOKENS,
+    tau: float = CURATE_INC_TAU,
+    n: int = DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The DAILY-BATCH curation job — ``curate_corpus`` re-expressed
+    for a corpus that is already curated: audit every batch document
+    against the incumbent corpus and the eval suite, touching O(batch)
+    new work plus index scans, never re-curating the corpus. One row
+    per batch doc with four independent verdicts and the final keep:
+
+        (id, exact_dup, too_short, near_dup, contaminated, kept)
+
+    - ``exact_dup``: content hash already in the corpus, OR a
+      smaller-id batch doc carries the same hash (min-id keeper, the
+      exact_dedup convention). The corpus hash set is an
+      ingest-maintained index at scale (one narrow column); here it is
+      a semi-join against the corpus projection.
+    - ``too_short``: token count < ``min_tokens`` (scan-fused).
+    - ``near_dup``: an incremental minhash pair at jaccard ≥ ``tau``
+      connects the doc to the corpus (incumbent wins), or to a
+      SMALLER-id batch doc (min-id keeper). Candidates come from
+      ``minhash_pairs_incremental`` — pass ``corpus_bands`` (the
+      ``band_index_write`` layout) and the corpus is never re-banded.
+    - ``contaminated``: the eval bloom filter flags an n-gram maybe-hit
+      (``bloom_decontaminate`` semantics — no false negatives).
+
+    Verdicts are deliberately INDEPENDENT (each computed over the whole
+    batch), not cascaded: the row is the audit record a pipeline logs
+    per ingest tick, and any drop policy — including the cascade — is a
+    boolean projection over it. ``kept`` is the conjunction of the four
+    nots. Every stage is deterministic, so the whole audit has a DuckDB
+    oracle."""
+    from demo_pgvector_spark.operators import dedup as dedup_ops
+
+    b_hash = batch.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h")
+    )
+    c_hash = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("_h")
+    ).distinct()
+    in_corpus = b_hash.join(c_hash, "_h", "left_semi").select(
+        F.col(id_col), F.lit(True).alias("_in_corpus")
+    )
+    h_min = b_hash.groupBy("_h").agg(F.min(id_col).alias("_mn"))
+    exact = (
+        b_hash.join(h_min, "_h")
+        .join(in_corpus, id_col, "left")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce("_in_corpus", F.lit(False))
+                | (F.col(id_col) > F.col("_mn"))
+            ).alias("exact_dup"),
+        )
+    )
+    short = batch.select(
+        F.col(id_col),
+        (
+            F.size(F.split(F.lower(F.col(text_col)), " ")) < min_tokens
+        ).alias("too_short"),
+    )
+    pairs = dedup_ops.minhash_pairs_incremental(
+        corpus, batch, id_col, text_col, corpus_bands=corpus_bands
+    ).filter(F.col("jaccard") >= tau)
+    batch_ids = batch.select(id_col)
+    nd_cross = (
+        pairs.filter(F.col("pair_kind") == "cross")
+        .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .join(batch_ids, id_col, "left_semi")
+    )
+    nd_within = pairs.filter(F.col("pair_kind") == "batch_batch").select(
+        F.col("id_b").alias(id_col)
+    )
+    nd = (
+        nd_cross.unionByName(nd_within)
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    bloom = bloom_decontaminate(
+        batch, eval_docs, n=n, id_col=id_col, text_col=text_col
+    ).select(id_col, F.col("bloom_contaminated").alias("contaminated"))
+    out = (
+        batch.select(id_col)
+        .join(exact, id_col)
+        .join(short, id_col)
+        .join(nd, id_col, "left")
+        .join(bloom, id_col)
+        .select(
+            id_col,
+            "exact_dup",
+            "too_short",
+            F.coalesce("_nd", F.lit(False)).alias("near_dup"),
+            "contaminated",
+        )
+    )
+    return out.withColumn(
+        "kept",
+        ~(
+            F.col("exact_dup")
+            | F.col("too_short")
+            | F.col("near_dup")
+            | F.col("contaminated")
+        ),
+    )

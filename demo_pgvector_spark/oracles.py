@@ -1993,6 +1993,98 @@ WHERE d.doc_id % 41 <> 0
 O_DECON_BLOOM = _bloom_oracle(curation_ops.BLOOM_M, curation_ops.BLOOM_K)
 
 
+def _curate_incremental_oracle() -> str:
+    """Daily-batch curation audit replay (registry q_curate_incremental
+    -> operators/curation.py curate_incremental). Splits: eval =
+    doc_id % 41 = 0; batch = % {bm} = 0 excluding eval; corpus = the
+    rest. Four INDEPENDENT verdicts per batch doc: exact (corpus hash
+    membership / smaller-id batch twin), length, near-dup (the full
+    minhash pair set restricted to non-eval batch-touching pairs at
+    jaccard >= tau — cross pairs drop the batch side, within-batch
+    pairs drop the larger id), bloom contamination (the _bloom_oracle
+    machinery probed with BATCH docs only). kept = none of the four."""
+    m, k = curation_ops.BLOOM_M, curation_ops.BLOOM_K
+    bm = DEDUP_BATCH_MOD
+    tau = curation_ops.CURATE_INC_TAU
+    mt = curation_ops.CURATE_INC_MIN_TOKENS
+    n = curation_ops.DECON_N
+    hs = ", ".join(_O_BLOOM_POS.format(j=j, g="gram", m=m) for j in range(k))
+    return f"""
+WITH b AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {bm} = 0 AND doc_id % 41 <> 0
+),
+c AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {bm} <> 0 AND doc_id % 41 <> 0
+),
+bh AS (SELECT doc_id, sha256(text) AS h FROM b),
+ch AS (SELECT DISTINCT sha256(text) AS h FROM c),
+bmin AS (SELECT h, MIN(doc_id) AS mn FROM bh GROUP BY h),
+exact AS (
+  SELECT bh.doc_id,
+         (ch.h IS NOT NULL) OR (bh.doc_id > bmin.mn) AS exact_dup
+  FROM bh LEFT JOIN ch ON bh.h = ch.h JOIN bmin ON bh.h = bmin.h
+),
+shorts AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) < {mt} AS too_short
+  FROM b
+),
+pairs AS MATERIALIZED ({O_DEDUP_MINHASH_PAIRS}),
+nd AS (
+  SELECT DISTINCT d FROM (
+    SELECT CASE WHEN id_a % {bm} = 0 THEN id_a ELSE id_b END AS d
+    FROM pairs
+    WHERE jaccard >= {tau} AND id_a % 41 <> 0 AND id_b % 41 <> 0
+      AND ((id_a % {bm} = 0) <> (id_b % {bm} = 0))
+    UNION ALL
+    SELECT id_b FROM pairs
+    WHERE jaccard >= {tau} AND id_a % 41 <> 0 AND id_b % 41 <> 0
+      AND id_a % {bm} = 0 AND id_b % {bm} = 0
+  )
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN []
+              ELSE list_distinct(list_transform(
+                range(len(w) - {n - 1}),
+                i -> array_to_string(w[i + 1:i + {n}], ' ')
+              )) END AS g
+  FROM toks
+),
+eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 41 = 0),
+bloom AS (SELECT DISTINCT unnest([{hs}]) AS pos FROM eg),
+tg AS (
+  SELECT g2.doc_id, unnest(g2.g) AS gram
+  FROM grams g2 JOIN b ON g2.doc_id = b.doc_id
+),
+probe AS (SELECT doc_id, gram, unnest([{hs}]) AS pos FROM tg),
+gh AS (
+  SELECT p.doc_id, p.gram, COUNT(bl.pos) = {k} AS maybe
+  FROM probe p LEFT JOIN bloom bl USING (pos)
+  GROUP BY p.doc_id, p.gram
+),
+pd AS (
+  SELECT doc_id, COUNT(*) FILTER (maybe) AS n_maybe FROM gh GROUP BY doc_id
+)
+SELECT b.doc_id, e.exact_dup, s.too_short,
+       (nd.d IS NOT NULL) AS near_dup,
+       COALESCE(pd.n_maybe, 0) > 0 AS contaminated,
+       NOT (e.exact_dup OR s.too_short OR (nd.d IS NOT NULL)
+            OR COALESCE(pd.n_maybe, 0) > 0) AS kept
+FROM b
+JOIN exact e ON b.doc_id = e.doc_id
+JOIN shorts s ON b.doc_id = s.doc_id
+LEFT JOIN nd ON nd.d = b.doc_id
+LEFT JOIN pd ON pd.doc_id = b.doc_id
+"""
+
+
+O_CURATE_INCREMENTAL = _curate_incremental_oracle()
+
+
 O_TEXT_DECONTAMINATE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

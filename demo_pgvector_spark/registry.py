@@ -157,6 +157,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_STR_TOKENIZE,
     O_CURATE_CORPUS,
     O_CURATE_FUZZY,
+    O_CURATE_INCREMENTAL,
     O_PACK_SEQUENCES,
     O_SAMPLE_MIXTURE,
     O_SAMPLE_STRATIFIED,
@@ -4703,6 +4704,36 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-BATCH curation job (operators/curation.py
+    curate_incremental) — the round-8/9 maintenance artifacts composed
+    into the pipeline a production corpus actually runs per ingest
+    tick: a new batch (doc_id % DEDUP_BATCH_MOD = 0, eval docs
+    excluded) is audited against the incumbent corpus with four
+    independent verdicts — exact dup (corpus hash membership +
+    smaller-id batch twin), length screen, near dup (incremental
+    minhash at jaccard ≥ τ served from the MATERIALIZED band index —
+    the corpus is never re-banded), and eval-bloom contamination — plus
+    the final keep. O(batch) new work + index scans; the corpus text is
+    touched only for hash projection and candidate-hit verification.
+    The oracle replays all four verdicts (full pair set restricted to
+    non-eval batch-touching pairs; bit-identical bloom)."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    non_eval = F.col("doc_id") % 41 != 0
+    is_batch = F.col("doc_id") % DEDUP_BATCH_MOD == 0
+    corpus = docs.filter(non_eval & ~is_batch)
+    batch = docs.filter(non_eval & is_batch)
+    eval_docs = docs.filter(~non_eval)
+    idx = spark.read.parquet(_band_index_layout(spark, sf_dir))
+    c_bands = idx.filter(
+        (F.col("doc_id") % 41 != 0) & (F.col("doc_id") % DEDUP_BATCH_MOD != 0)
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "key")
+    return curation_ops.curate_incremental(
+        corpus, batch, eval_docs, corpus_bands=c_bands
+    )
+
+
 def q_curate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation cascade with NEAR-duplicate pruning: minhash-LSH
     pairs → jaccard ≥ 0.8 → connected-component keepers replace the
@@ -4785,6 +4816,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_layout_zorder_append,
         O_LAYOUT_ZORDER_PRUNED,
     ),
+    "curate_incremental": (
+        q_curate_incremental,
+        O_CURATE_INCREMENTAL,
+    ),
     # -- (B) round-5-stale keys, rotated in first (VERDICT r8 #1) --
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
@@ -4832,7 +4867,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
     # -- (E) oldest round-7 carries re-anchor in the spare slots --
-    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
     # =====================================================================
     # position 51+ — carries under the unchanged-code rule (round-7 or
     # round-8 driver rows, all ≤ 2 rounds old); tools/parity.py
@@ -4841,6 +4875,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # stream_bloom and the re-verifying ts_interpolate (new/changed keys
     # outrank re-anchors) and carry green r7 rows here.
     # =====================================================================
+    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
     "stream_stateful_funnel": (
         q_stream_stateful_funnel,
         O_STREAM_STATEFUL_FUNNEL,

@@ -596,3 +596,55 @@ def test_bloom_build_bounded_and_mergeable(spark, docs_df):
     assert a == sorted(r["pos"] for r in parts.collect())  # union == bit-OR
     assert len(a) <= curation.BLOOM_M
     assert all(0 <= p < curation.BLOOM_M for p in a)
+
+
+def test_curate_incremental_all_four_verdicts(spark):
+    """curate_incremental on a corpus where every verdict fires: exact
+    corpus twin, exact within-batch twin (min-id keeper), short doc,
+    near-dup of a corpus doc, eval-contaminated doc, and one clean
+    keeper. Verdicts are independent audit flags; kept = none fired."""
+    from demo_pgvector_spark.operators.curation import curate_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill near the old stone bridge "
+            "across the quiet river under the pale morning sky")
+    eval_text = ("evaluation benchmark passage with thirteen plus words "
+                 "that must never leak into any training corpus split "
+                 "or the measured score is meaningless noise")
+    corpus = spark.createDataFrame(
+        [(1, base), (3, "corpus filler about compilers registers and "
+                        "instruction scheduling on wide superscalar "
+                        "pipelines with speculative execution units")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(41, eval_text)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact corpus twin
+            (20, "unique short doc"),                     # too_short
+            (30, base.replace("lazy", "sleepy")),         # near-dup of corpus 1
+            (40, "completely original essay containing the phrase "
+                 + eval_text + " verbatim inside a longer discussion"),
+            (50, "an entirely clean long document discussing gardens "
+                 "orchards beehives and the seasonal rhythm of harvest "
+                 "festivals in quiet mountain villages every autumn"),
+            (60, "twin text that appears twice inside this same batch "
+                 "with enough words to clear the length screen easily "
+                 "for both of its two identical copies"),
+            (70, "twin text that appears twice inside this same batch "
+                 "with enough words to clear the length screen easily "
+                 "for both of its two identical copies"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_incremental(
+        corpus, batch, eval_docs).collect()}
+    assert out[10]["exact_dup"] and not out[10]["kept"]
+    assert out[20]["too_short"] and not out[20]["kept"]
+    assert out[30]["near_dup"] and not out[30]["kept"]
+    assert out[40]["contaminated"] and not out[40]["kept"]
+    assert out[50]["kept"]
+    assert not out[60]["exact_dup"] and out[70]["exact_dup"]  # min-id keeper
+    assert out[60]["kept"] and not out[70]["kept"]

@@ -34,7 +34,7 @@ WINDOW_REQUIRED = {
     # (A) new this round (never driver-verified):
     "stream_countmin", "stream_bloom", "dedup_index_write",
     "dedup_incremental_indexed", "join_skew_adaptive", "vec_ivf_drift",
-    "layout_zorder_append",
+    "layout_zorder_append", "curate_incremental",
     # (B) the SEVEN keys whose latest driver row was round 5 — the
     # oldest rows in the registry, rotated in FIRST per VERDICT r8 #1
     # (vec_sim_topk is the flagship):
@@ -58,12 +58,11 @@ WINDOW_REQUIRED = {
     "tpch_q20", "tpch_q8", "tpch_q9", "upsert_model", "upsert_source",
     "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
     "win_range_numeric",
-    # (E) oldest round-7 carry re-anchors in the spare slot
-    # (graph_triangles, graph_pagerank and stream_stateful_funnel
-    # yielded theirs to stream_bloom, layout_zorder_append and the
-    # re-verifying ts_interpolate — new/changed keys outrank
-    # re-anchoring carries; all three hold green r7 rows at 51-53):
-    "join_edit_distance",
+    # (no (E) re-anchors this round: all four candidate r7 slots went
+    # to the new keys and the re-verifying ts_interpolate — new/changed
+    # keys outrank re-anchoring carries; join_edit_distance,
+    # stream_stateful_funnel, graph_pagerank and graph_triangles hold
+    # green r7 rows at positions 51-54)
 }
 
 
