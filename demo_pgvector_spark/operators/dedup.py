@@ -384,6 +384,24 @@ def band_index_append(
     ).partitionBy("band").parquet(path)
 
 
+def band_index_compact(spark, src_path: str, dst_path: str) -> None:
+    """Compact an appended band index: rewrite so each band dir holds
+    ONE file again (appends add a file per batch; the sliver layout was
+    measured file-listing-bound — SCALE.md round 9). The ``ivf_compact``
+    shape verbatim: read, co-locate per band, write to a FRESH dir
+    (overwriting raw parquet in place while reading it is unsafe; the
+    caller swaps dirs). Row contents untouched, so incremental-dedup
+    runs before and after are identical — pinned in
+    tests/test_dedup.py."""
+    (
+        spark.read.parquet(src_path)
+        .repartition(F.col("band"))
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(dst_path)
+    )
+
+
 TRACKING_PARAM_RE = "(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?"
 
 

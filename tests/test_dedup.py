@@ -481,3 +481,33 @@ def test_incremental_indexed_trusts_the_index(corpus_df, spark, tmp_path):
     )
     assert lost == [t for t in full if 2 not in (t[0], t[1])]
     assert lost != full  # doc 2 really had cross pairs to lose
+
+
+def test_band_index_compact_preserves_rows_and_merges_files(
+    corpus_df, spark, tmp_path
+):
+    """band_index_compact: after several appends the rewrite must leave
+    the row set untouched while collapsing each band dir to one file."""
+    import glob
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dedup.band_index_write(corpus_df.filter("doc_id = 0"), src)
+    for i in (1, 2, 3, 4):
+        dedup.band_index_append(corpus_df.filter(f"doc_id = {i}"), src)
+
+    def rows(p):
+        return sorted(
+            (r["doc_id"], int(r["band"]), r["key"])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    def files_per_band(p):
+        return max(
+            len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{p}/band=*")
+        )
+
+    assert files_per_band(src) >= 5  # one file per append per touched band
+    dedup.band_index_compact(spark, src, dst)
+    assert rows(dst) == rows(src) and len(rows(dst)) > 0
+    assert files_per_band(dst) == 1
