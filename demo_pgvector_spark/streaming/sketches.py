@@ -17,15 +17,22 @@ Exactly-once story: unlike the ingest upsert (idempotent by
 construction), cell-wise ADDITION is not idempotent — a retried epoch
 would double-count. ``foreachBatch`` delivers (batch, epoch_id) with a
 stable epoch_id across retries, so the sink records the last applied
-epoch next to the table pointer and SKIPS an epoch it has already
-folded in — the standard transactional-sink recipe for non-idempotent
-merges (documented in the Structured Streaming programming guide).
-Storage reuses the versioned-parquet + atomic-pointer table from
-streaming/ingest.py; the epoch marker is written before the pointer
-swap is observable to a retry of the SAME epoch only, so a crash
-between the two re-applies at most the crashed epoch against the
-still-previous version — the swap and marker are both per-epoch
-atomic os.replace writes.
+epoch and SKIPS an epoch it has already folded in — the standard
+transactional-sink recipe for non-idempotent merges (documented in the
+Structured Streaming programming guide). Storage reuses the
+versioned-parquet + atomic-pointer table from streaming/ingest.py,
+with one refinement (ADVICE r9): the epoch marker lives INSIDE the
+version directory, written after the version's parquet job and before
+the pointer swap, so the single ``os.replace`` of the pointer commits
+the folded table and its last-applied epoch ATOMICALLY. A crash
+anywhere leaves pointer-visible state self-consistent: before the swap
+the previous version and its own marker stay live (the retry re-folds
+the crashed epoch against the still-previous table — correct, it was
+never visible), after the swap the marker already says the epoch is
+applied (the retry is a no-op). The earlier root-level marker had a
+window between pointer swap and marker write in which a retry would
+re-merge an already-committed delta and double-count; the in-directory
+marker closes it (crash-injection pinned in tests/test_sketch.py).
 """
 
 from __future__ import annotations
@@ -45,19 +52,43 @@ _EPOCH_MARKER = "_LAST_EPOCH"
 
 
 def _last_epoch(root: str) -> int:
+    """Last epoch folded into the POINTER-VISIBLE version (the marker is
+    committed by the same os.replace that publishes the version — see
+    ``_commit_with_epoch``); -1 before the first commit."""
+    v = ingest_ops.current_version(root)
+    if v is None:
+        return -1
     try:
-        with open(os.path.join(root, _EPOCH_MARKER), encoding="utf-8") as fh:
+        with open(
+            os.path.join(root, v, _EPOCH_MARKER), encoding="utf-8"
+        ) as fh:
             return int(fh.read().strip())
     except (FileNotFoundError, ValueError):
         return -1
 
 
-def _mark_epoch(root: str, epoch_id: int) -> None:
+def _commit_with_epoch(df: DataFrame, root: str, epoch_id: int) -> str:
+    """``ingest.commit_table``'s write-then-swap with the epoch marker
+    written INSIDE the not-yet-visible version directory (an
+    underscore-prefixed file, invisible to parquet file discovery like
+    ``_SUCCESS``), so the single atomic pointer ``os.replace`` commits
+    the table version AND its last-applied epoch together (ADVICE r9:
+    a root-level marker written after the swap left a crash window in
+    which a retried epoch re-merged an already-live delta and
+    double-counted)."""
+    v = ingest_ops.current_version(root)
+    nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
     os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, f".{_EPOCH_MARKER}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
+    df.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    with open(
+        os.path.join(root, nxt, _EPOCH_MARKER), "w", encoding="utf-8"
+    ) as fh:
         fh.write(str(epoch_id))
-    os.replace(tmp, os.path.join(root, _EPOCH_MARKER))
+    tmp = os.path.join(root, f".{ingest_ops._POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(nxt)
+    os.replace(tmp, os.path.join(root, ingest_ops._POINTER))
+    return nxt
 
 
 def countmin_sink(
@@ -85,8 +116,7 @@ def countmin_sink(
             .groupBy("r", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        ingest_ops.commit_table(merged, root)
-        _mark_epoch(root, epoch_id)
+        _commit_with_epoch(merged, root, epoch_id)
 
     return apply
 

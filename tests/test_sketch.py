@@ -114,3 +114,47 @@ def test_streaming_bloom_sink_is_idempotent_bitor(spark, tmp_path):
 
     sink(_docs(docs[1::3]), 1)  # retried epoch: table must not move
     assert positions() == whole
+
+
+def test_countmin_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
+    """ADVICE r9: version and epoch marker must commit in ONE atomic
+    pointer swap. Inject a crash between the version write (parquet +
+    in-directory marker) and the pointer os.replace: the retry of the
+    crashed epoch must re-fold it against the still-previous version —
+    never double-count — and the final table must equal the one-shot
+    sketch. The pre-fix root-level marker failed the mirror-image
+    window (pointer swapped, marker stale → retry re-merged)."""
+    import os as _os
+
+    from demo_pgvector_spark.streaming import sketches as ssk
+
+    root = str(tmp_path / "sketch")
+    sink = ssk.countmin_sink(root, "item")
+    thirds = [ITEMS[0::3], ITEMS[1::3], ITEMS[2::3]]
+    sink(_df(spark, thirds[0]), 0)
+
+    real_replace = _os.replace
+    boom = {"armed": True}
+
+    def crashing_replace(src, dst):
+        if boom["armed"] and dst.endswith("_CURRENT") and root in dst:
+            boom["armed"] = False
+            raise OSError("injected crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("demo_pgvector_spark.streaming.sketches.os.replace",
+                        crashing_replace)
+    try:
+        sink(_df(spark, thirds[1]), 1)  # crashes: v2 written, pointer still v1
+    except OSError:
+        pass
+    # pointer-visible state is self-consistent: epoch 1 NOT applied
+    assert ssk._last_epoch(root) == 0
+    sink(_df(spark, thirds[1]), 1)  # retry re-folds epoch 1 exactly once
+    sink(_df(spark, thirds[2]), 2)
+    got = sorted(tuple(r) for r in ssk.read_sketch(spark, root).collect())
+    whole = sorted(
+        tuple(r)
+        for r in sketch.countmin_build(_df(spark, ITEMS), "item").collect()
+    )
+    assert got == whole
