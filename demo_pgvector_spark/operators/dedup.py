@@ -402,7 +402,19 @@ def band_index_compact(spark, src_path: str, dst_path: str) -> None:
     )
 
 
-TRACKING_PARAM_RE = "(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?"
+# Tracking params are matched ONLY at a [?&] boundary (ADVICE r9: the
+# unanchored form matched tracking names EMBEDDED in longer param names
+# — '?last_utm_source=a&page=2' fused into 'last_page=2', '?xfbclid=1'
+# truncated to '?x' — silently collapsing distinct documents, and the
+# mirrored oracle could not catch it). Two passes because a single
+# delimiter-capturing pattern that also consumes the trailing '&'
+# breaks on ADJACENT tracking params (the scan resumes past the
+# consumed delimiter, so the second param keeps no [?&] anchor):
+# pass 1 drops '&'-prefixed tracking params (left-to-right rescan
+# handles adjacency), pass 2 rewrites a leading '?tracking=…&' to '?'.
+# Both are RE2-safe (no lookaround/backrefs) for the DuckDB mirror.
+TRACKING_AMP_RE = "&(utm_[a-z0-9]+|fbclid|gclid)=[^&]*"
+TRACKING_QMARK_RE = "\\?(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?"
 
 
 def url_canonicalize(url: F.Column) -> F.Column:
@@ -426,10 +438,11 @@ def url_canonicalize(url: F.Column) -> F.Column:
     # Fragment first: '#sec' variants of one page are one document, and
     # stripping it here keeps the param patterns below fragment-safe.
     c = F.substring_index(c, "#", 1)
-    # Remove each tracking param WITH its trailing '&' (so a following
-    # semantic param keeps a valid separator), then clean a dangling
-    # '?'/'&' left when tracking params were last (or the only) ones.
-    c = F.regexp_replace(c, TRACKING_PARAM_RE, "")
+    # Remove tracking params only at a [?&] boundary (two-pass — see
+    # the TRACKING_*_RE comment), then clean a dangling '?'/'&' left
+    # when tracking params were last (or the only) ones.
+    c = F.regexp_replace(c, TRACKING_AMP_RE, "")
+    c = F.regexp_replace(c, TRACKING_QMARK_RE, "?")
     c = F.regexp_replace(c, "[?&]+$", "")
     # Trailing-slash strip applies to the path, not a retained query.
     path = F.substring_index(c, "?", 1)

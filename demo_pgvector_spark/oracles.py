@@ -1160,18 +1160,22 @@ WITH raw AS (
   )
 ),
 -- lowercase -> strip scheme/www -> strip fragment -> remove ONLY
--- tracking params ('g': Spark's regexp_replace is replace-all) ->
+-- tracking params AT A [?&] BOUNDARY (ADVICE r9: the unanchored form
+-- matched names embedded in longer params; two passes mirror
+-- dedup.py's TRACKING_AMP_RE/TRACKING_QMARK_RE — 'g': replace-all) ->
 -- clean a dangling '?'/'&'
 canon0 AS (
   SELECT doc_id, url,
          regexp_replace(
            regexp_replace(
-             split_part(
-               regexp_replace(
-                 regexp_replace(lower(url), '^https?://', ''),
-                 '^www\\.', ''),
-               '#', 1),
-             '(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+             regexp_replace(
+               split_part(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\\.', ''),
+                 '#', 1),
+               '&(utm_[a-z0-9]+|fbclid|gclid)=[^&]*', '', 'g'),
+             '\\?(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?', '?', 'g'),
            '[?&]+$', '') AS c
   FROM raw
 ),

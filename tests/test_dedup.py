@@ -415,6 +415,32 @@ def test_url_canonicalize_keeps_semantic_params(spark):
     assert rows["shop.com/p"]["keeper_id"] == 5
 
 
+def test_url_canonicalize_anchors_tracking_params(spark):
+    """ADVICE r9: tracking names are only stripped at a [?&] boundary —
+    a param whose NAME merely contains 'utm_'/'fbclid' as a substring
+    is semantic and must survive intact (the unanchored pattern fused
+    '?last_utm_source=a&page=2' into 'last_page=2' and truncated
+    '?xfbclid=1' to '?x'); adjacent true tracking params must ALL be
+    removed (the single-pass delimiter-capturing form missed the
+    second of '?utm_a=…&utm_b=…')."""
+    variants = [
+        (1, "https://shop.com/p?last_utm_source=a&page=2"),
+        (2, "https://shop.com/p?xfbclid=1"),
+        (3, "https://shop.com/p?utm_a=1&utm_b=2&page=2"),
+        (4, "https://shop.com/p?fbclid=1&gclid=2"),
+        (5, "https://shop.com/p?myutm_x=1"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    rows = {r["canon_url"]: r for r in dedup.dedup_url(df).collect()}
+    assert set(rows) == {
+        "shop.com/p?last_utm_source=a&page=2",  # embedded name kept whole
+        "shop.com/p?xfbclid=1",
+        "shop.com/p?page=2",  # both adjacent utm_* params removed
+        "shop.com/p",  # adjacent tracking-only query -> bare path
+        "shop.com/p?myutm_x=1",
+    }
+
+
 def test_incremental_guards_against_overlapping_ids(corpus_df):
     """ADVICE r8: corpus/batch id disjointness is a documented
     precondition, but a violating caller must not receive (id, id)
