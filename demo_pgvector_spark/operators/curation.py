@@ -186,6 +186,13 @@ def bloom_decontaminate(
     ``eval_docs`` is not touched; the filter is whatever the stream
     (or a prior ``bloom_build``) committed, built with the same
     (n, m, k)."""
+    if eval_docs is None and bloom_positions is None:
+        # ADVICE r9: the Optional eval_docs made this combination
+        # reachable by type; without the guard it died as an opaque
+        # AttributeError deep inside bloom_build's plan builder.
+        raise ValueError(
+            "bloom_decontaminate: provide eval_docs or bloom_positions"
+        )
     if bloom_positions is not None:
         bloom = F.broadcast(bloom_positions.select("pos"))
     else:

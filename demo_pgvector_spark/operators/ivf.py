@@ -525,6 +525,16 @@ def ivf_drift(
     totals = j.agg(
         F.sum("n_train").alias("_tt"), F.sum("n_now").alias("_tn")
     )
+    # ADVICE r9: integer `div` by a 0/NULL total silently yields NULL
+    # share columns on Spark while DuckDB's `//` errors — the engines
+    # would diverge on the degenerate input instead of failing loudly.
+    # The check is one k-row action over the metadata-only aggregate.
+    t = totals.first()
+    if t is None or not t["_tt"] or not t["_tn"]:
+        raise ValueError(
+            "ivf_drift: empty layout or train_counts — occupancy shares "
+            "are undefined when either total count is 0"
+        )
     shared = j.join(F.broadcast(totals)).select(
         "cluster",
         "n_train",

@@ -648,3 +648,14 @@ def test_curate_incremental_all_four_verdicts(spark):
     assert out[50]["kept"]
     assert not out[60]["exact_dup"] and out[70]["exact_dup"]  # min-id keeper
     assert out[60]["kept"] and not out[70]["kept"]
+
+
+def test_bloom_decontaminate_rejects_doubly_missing_filter(spark, docs_df):
+    """ADVICE r9: eval_docs=None with bloom_positions=None is reachable
+    by type since the stream_bloom signature change — it must raise a
+    clear ValueError, not an opaque AttributeError from inside
+    bloom_build's plan builder."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_docs or bloom_positions"):
+        curation.bloom_decontaminate(docs_df, None)

@@ -265,3 +265,23 @@ def test_ivf_drift_trigger_fires_on_skewed_append_only(spark):
         train,
     ).filter(F.col("cluster") == 9).first()
     assert ghost["n_train"] == 0 and ghost["n_now"] == 1
+
+
+def test_ivf_drift_raises_on_empty_totals(spark):
+    """ADVICE r9: a 0/NULL total must fail loudly, not emit NULL share
+    columns (Spark `div`) while DuckDB's `//` errors — the engines
+    would silently diverge on the degenerate input."""
+    import pytest as _pytest
+
+    from demo_pgvector_spark.operators import ivf
+
+    empty_layout = spark.createDataFrame([], "vec_id long, cluster int")
+    empty_train = spark.createDataFrame([], "cluster int, n_train long")
+    train = spark.createDataFrame([(0, 5)], "cluster int, n_train long")
+    layout = spark.createDataFrame([(1, 0)], "vec_id long, cluster int")
+    with _pytest.raises(ValueError, match="total count is 0"):
+        ivf.ivf_drift(empty_layout, empty_train)
+    with _pytest.raises(ValueError, match="total count is 0"):
+        ivf.ivf_drift(empty_layout, train)
+    with _pytest.raises(ValueError, match="total count is 0"):
+        ivf.ivf_drift(layout, empty_train)
