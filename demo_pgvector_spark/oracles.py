@@ -549,6 +549,36 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
 """
 
 
+O_SET_OPS = """
+SELECT 'intersect' AS branch, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+)
+UNION ALL
+SELECT 'except' AS branch, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+)
+"""
+
+
+O_AGG_MULTIDIM = """
+SELECT 'cube' AS branch, l_returnflag AS k1, l_linestatus AS k2,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS metric
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'rollup' AS branch, o_orderpriority AS k1, o_orderstatus AS k2,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS metric
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'gsets' AS branch, l_returnflag AS k1, l_linestatus AS k2,
+       COUNT(*) AS n, CAST(NULL AS DOUBLE) AS metric
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 O_WIN_RANK_TOPN = """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey

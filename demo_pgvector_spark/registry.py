@@ -67,6 +67,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_AGG_CONTEXT_CONCAT,
     O_AGG_CUBE,
     O_AGG_GROUPING_SETS,
+    O_AGG_MULTIDIM,
     O_AGG_APPROX_DISTINCT,
     O_AGG_PERCENTILES,
     O_AGG_PERCENTILES_APPROX,
@@ -144,6 +145,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SEQ_FUNNEL,
     O_SET_EXCEPT,
     O_SET_INTERSECT,
+    O_SET_OPS,
     O_SINK_STDOUT,
     O_SRC_CONVERT_EPUB,
     O_SRC_ROUTE,
@@ -2219,6 +2221,63 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     b = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
     return a.distinct().exceptAll(b.distinct())
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite correctness row for ``set_intersect`` + ``set_except``
+    (round-10 consolidation — the str_scalars/proj_sim_family recipe
+    freeing one window slot for the round-10 full re-anchor sweep):
+    both set operations over the same 1995/2000 customer key sets,
+    branch-tagged union; each branch keeps its own independently
+    planned set-op (intersect = left-semi shape, exceptAll = anti
+    shape — both one exchange on the key)."""
+    tune_session(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    inter = a.intersect(b).select(
+        F.lit("intersect").alias("branch"), "o_custkey"
+    )
+    exc = (
+        a.distinct()
+        .exceptAll(b.distinct())
+        .select(F.lit("except").alias("branch"), "o_custkey")
+    )
+    return inter.unionByName(exc)
+
+
+def q_agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite correctness row for ``agg_cube`` + ``agg_rollup`` +
+    ``agg_grouping_sets`` (round-10 consolidation, freeing two window
+    slots for the full re-anchor sweep): the three multi-dimensional
+    grouping families as a branch-tagged SPARSE union — CUBE over
+    lineitem (returnflag, linestatus), ROLLUP over orders (priority,
+    status), explicit GROUPING SETS via the SQL surface. Each branch
+    keeps its own single-shuffle expanded-grouping-sets plan; the
+    union is plan-level concatenation, no extra exchange."""
+    tune_session(spark)
+    cube = q_agg_cube(spark, sf_dir).select(
+        F.lit("cube").alias("branch"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        F.col("sum_qty").alias("metric"),
+    )
+    rollup = q_agg_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("branch"),
+        F.col("o_orderpriority").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        "n",
+        F.col("sum_price").alias("metric"),
+    )
+    gsets = q_agg_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("branch"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return cube.unionByName(rollup).unionByName(gsets)
 
 
 def q_win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4943,11 +5002,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range": (q_join_range, O_JOIN_RANGE),
-    "agg_cube": (q_agg_cube, O_AGG_CUBE),
-    "agg_rollup": (q_agg_rollup, O_AGG_ROLLUP),
-    "agg_grouping_sets": (q_agg_grouping_sets, O_AGG_GROUPING_SETS),
-    "set_intersect": (q_set_intersect, O_SET_INTERSECT),
-    "set_except": (q_set_except, O_SET_EXCEPT),
+    "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
+    "set_ops": (q_set_ops, O_SET_OPS),
     "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
