@@ -1131,3 +1131,113 @@ def semdedup(
         (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
         "cent_cos",
     )
+
+
+# Token length of the positioned grams substring_pairs chains — every
+# shared verbatim span of >= SUBSTR_GRAM_L tokens appears as a maximal
+# run of consecutive gram hits, so this IS the reporting threshold
+# (Lee et al. 2022 use 50 BPE tokens at web scale; the synthetic docs
+# average ~54 whitespace tokens, so 12 keeps the operator exercised).
+SUBSTR_GRAM_L = 12
+
+
+def substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_l: int = SUBSTR_GRAM_L,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every maximal cross-document
+    VERBATIM token span of length >= ``gram_l`` — the one dedup
+    modality set-based Jaccard/MinHash (minhash_pairs/
+    ngram_jaccard_pairs above) cannot express, because it needs gram
+    POSITIONS, not gram sets. Output one row per maximal shared run:
+    (id_a, id_b, start_a, start_b, span_len), 0-based token offsets,
+    id_a < id_b.
+
+    Distributed form of the paper's suffix-array scan: a positioned
+    gram-chain index + diagonal run-merging —
+
+    1. positioned grams: token i .. i+L-1 per document (one projection,
+       all Catalyst HOFs: split → transform(sequence) → posexplode);
+       docs shorter than L tokens contribute nothing;
+    2. candidate hits: self-join on xxhash64(gram) with id_a < id_b —
+       the shuffle key is 8 bytes, never the L-token string, and
+       candidate volume is Σ_g c_g·(c_g−1)/2 over gram frequencies
+       (GRAM-bounded: only documents sharing a verbatim L-gram ever
+       meet — never |corpus|²; pinned in tests/test_dedup.py);
+    3. run-merging: consecutive hits share a DIAGONAL (pos_a − pos_b);
+       gaps-and-islands (pos_a − row_number per diagonal) merges them
+       into maximal runs — a shared span of m tokens is exactly
+       m−L+1 consecutive hits, reported as span_len = hits+L−1;
+    4. exactness: runs are verified against the ORIGINAL token arrays
+       (slice equality over the merged span), so an xxhash64 collision
+       can only add a candidate that verification removes — the same
+       contract as ngram_jaccard_pairs' verify stage.
+
+    At 100 TB: step 1 is a narrow map over the corpus (at ingest scale
+    the gram index is a persisted artifact, the band-index shape);
+    step 2 shuffles 24-byte rows on an 8-byte key; step 3 shuffles
+    only the hits (dup-pair-bounded); step 4 touches the corpus text
+    again only for documents that actually share a span.
+
+    Reference scope: the reference has no dedup at all (its UNIQUE
+    constraint at config/init.sql:23 is metadata identity); this is
+    pillar coverage per SURVEY §2.8."""
+    spark = docs.sparkSession
+    src = docs.select(id_col, text_col)
+    if _estimated_scan_splits(src) < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    toked = src.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("_toks")
+    )
+    grams = toked.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_toks) < {gram_l} "
+                f"THEN array() "
+                f"ELSE transform(sequence(0, size(_toks) - {gram_l}), "
+                f"i -> concat_ws(' ', slice(_toks, i + 1, {gram_l}))) END"
+            )
+        ).alias("pos", "_gram"),
+    ).select(id_col, "pos", F.xxhash64("_gram").alias("gh"))
+    a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gh"
+    )
+    b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gh"
+    )
+    hits = a.join(b, "gh").where(F.col("id_a") < F.col("id_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("_diag")
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("pos_a")
+    runs = (
+        hits.select("id_a", "id_b", "pos_a", "pos_b", diag)
+        .withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "_diag", "_isl")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(gram_l - 1))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+    # Exactness backstop: re-slice both token arrays over the merged
+    # span and keep only byte-equal runs — O(runs), corpus text touched
+    # only for documents that actually share a candidate span.
+    ta = toked.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = toked.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    return (
+        runs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(
+            F.expr("slice(_ta, cast(start_a + 1 AS INT), cast(span_len AS INT))")
+            == F.expr("slice(_tb, cast(start_b + 1 AS INT), cast(span_len AS INT))")
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )

@@ -2973,6 +2973,41 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
 """
 
 
+# Exact-substring runs (registry q_dedup_substring, operators/dedup.py
+# substring_pairs): positioned 12-token grams → shared-gram self-join
+# (id_a < id_b) → gaps-and-islands run-merging per (pair, diagonal).
+# The oracle replays the whole chain on the raw text, so it also proves
+# the Spark side's xxhash64 candidate stage + slice-verify backstop
+# added and lost nothing. Same tokenization as O_DEDUP_NGRAM
+# (string_split on ' ' over lower(text)).
+O_DEDUP_SUBSTRING = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g0 AS (
+  SELECT doc_id, unnest(range(len(toks) - 11)) AS pos, toks
+  FROM t WHERE len(toks) >= 12
+),
+g AS (
+  SELECT doc_id, pos, array_to_string(toks[pos + 1:pos + 12], ' ') AS gram
+  FROM g0
+),
+hits AS (
+  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       COUNT(*) + 11 AS span_len
+FROM (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS isl
+  FROM hits
+)
+GROUP BY id_a, id_b, pos_a - pos_b, isl
+"""
+
+
 # Brute-force ORDERED-pair containment (registry q_dedup_containment):
 # same completeness contract as O_DEDUP_NGRAM — every shared-gram pair
 # is enumerated and scored, so parity proves the asymmetric prefix

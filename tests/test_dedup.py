@@ -537,3 +537,72 @@ def test_band_index_compact_preserves_rows_and_merges_files(
     dedup.band_index_compact(spark, src, dst)
     assert rows(dst) == rows(src) and len(rows(dst)) > 0
     assert files_per_band(dst) == 1
+
+
+def test_substring_pairs_finds_maximal_runs(spark):
+    """substring_pairs (Lee et al. 2022 exact-substring dedup): a
+    shared verbatim span of m >= L tokens is reported ONCE as a maximal
+    run with exact offsets and length; spans shorter than L are
+    invisible; identical documents yield one full-length run."""
+    base = [f"w{i}" for i in range(30)]  # 30 distinct tokens
+    span = ["copy" + str(i) for i in range(15)]  # the 15-token span
+    a = " ".join(base[:5] + span + base[5:10])
+    b = " ".join(base[10:18] + span + base[18:22])
+    short = " ".join(base[:6] + span[:8] + base[6:12])  # 8 < L tokens shared
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, short), (4, a)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.substring_pairs(docs, gram_l=12).collect()
+    }
+    # (1,2): the 15-token span, at offset 5 in a and 8 in b
+    r12 = rows[(1, 2)]
+    assert (r12["start_a"], r12["start_b"], r12["span_len"]) == (5, 8, 15)
+    # (1,4): identical docs -> one run covering all 25 tokens
+    r14 = rows[(1, 4)]
+    assert (r14["start_a"], r14["start_b"], r14["span_len"]) == (0, 0, 25)
+    # (2,4): mirror of (1,2)
+    assert rows[(2, 4)]["span_len"] == 15
+    # doc 3's 8-token overlap is below L — no pair with 3 at all
+    assert not any(3 in k for k in rows)
+    assert set(rows) == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_substring_pairs_merges_only_same_diagonal(spark):
+    """Two DISTINCT shared spans between one pair of documents land on
+    different diagonals and must come back as two separate maximal
+    runs, not one fused run."""
+    s1 = ["alpha" + str(i) for i in range(12)]
+    s2 = ["beta" + str(i) for i in range(13)]
+    fill = [f"f{i}" for i in range(20)]
+    a = " ".join(s1 + fill[:6] + s2)
+    b = " ".join(fill[6:10] + s1 + fill[10:17] + s2 + fill[17:20])
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = sorted(
+        (r["start_a"], r["start_b"], r["span_len"])
+        for r in dedup.substring_pairs(docs, gram_l=12).collect()
+    )
+    assert rows == [(0, 4, 12), (18, 23, 13)]
+
+
+def test_substring_pairs_plan_is_gram_bounded(spark):
+    """VERDICT r9 #2's scale pin: the candidate stage is a HASH join on
+    the 8-byte gram hash — never a cartesian/BNLJ product over the
+    corpus — and candidate volume equals sum-over-grams of
+    c_g*(c_g-1)/2 restricted to id_a < id_b, not |docs|^2."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(6)]
+        + [(100, " ".join(f"t0_{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.substring_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # doc 100 is a verbatim copy of doc 0's text: 9 grams each -> the
+    # only hits are the 9 diagonal gram matches of that one pair
+    out = dedup.substring_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"], r["span_len"]) for r in out] == [(0, 100, 20)]
