@@ -2195,6 +2195,40 @@ O_TEXT_BM25 = _o_bm25(
 )
 
 
+# Hybrid retrieval fusion (registry q_retrieval_rrf, operators/
+# retrieval.py rrf_fuse): dense cosine top-15 (selection on RAW sim +
+# id, the flagship's contract) and BM25 top-15 (the _o_bm25 replay),
+# each ranked within-list on the ROUNDED display score + id, fused by
+# integer-scaled reciprocal rank (floor(1e9/(60+rank)), BIGINT floor
+# division on both engines), top-10 by (score DESC, id ASC).
+O_RETRIEVAL_RRF = f"""
+WITH q AS ({_ORACLE_QVEC}),
+dense_hits AS (
+  SELECT e.vec_id AS doc_id, {_ORACLE_SIM} AS sim
+  FROM embeddings e, q
+  ORDER BY sim DESC, e.vec_id ASC LIMIT 15
+),
+dense AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY ROUND(sim, 6) DESC, doc_id ASC) AS INT) AS rank_dense
+  FROM dense_hits
+),
+sparse AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_sparse
+  FROM ({_o_bm25(curation_ops.BM25_TERMS, curation_ops.BM25_K1,
+                 curation_ops.BM25_B, 15)}) b
+)
+SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+       d.rank_dense, s.rank_sparse,
+       CAST(COALESCE(1000000000 // (60 + d.rank_dense), 0)
+          + COALESCE(1000000000 // (60 + s.rank_sparse), 0) AS BIGINT)
+         AS rrf_scaled
+FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+ORDER BY rrf_scaled DESC, doc_id ASC LIMIT 10
+"""
+
+
 # Salted-ticket stratified sampling (operators/curation.py
 # sample_stratified): md5-derived ticket, same rates CASE as
 # registry.SAMPLE_RATES/SAMPLE_DEFAULT.

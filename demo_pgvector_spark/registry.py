@@ -143,6 +143,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_PROJ_SIM_FAMILY,
     O_PROJ_SIMILARITY,
     O_RAG_PROMPTS,
+    O_RETRIEVAL_RRF,
     O_SEQ_FUNNEL,
     O_SET_EXCEPT,
     O_SET_INTERSECT,
@@ -231,9 +232,11 @@ from demo_pgvector_spark.operators import sketch as sketch_ops
 from demo_pgvector_spark.operators import multimodal as mm_ops
 from demo_pgvector_spark.operators import rag
 from demo_pgvector_spark.operators import relational as rel_ops
+from demo_pgvector_spark.operators import retrieval as retrieval_ops
 from demo_pgvector_spark.operators import skew as skew_ops
 from demo_pgvector_spark.operators import timeseries as ts_ops
 from demo_pgvector_spark.operators import write as write_ops
+from demo_pgvector_spark.operators import similarity as similarity_ops
 from demo_pgvector_spark.operators.similarity import knn_join, mmr_rerank, sim_topk
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
 from demo_pgvector_spark.streaming import sketches as stream_sketch_ops
@@ -4689,6 +4692,52 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (operators/
+    retrieval.py rrf_fuse; VERDICT r9 #3): the dense cosine top-15
+    (the flagship's scan, operators/similarity.py) and the sparse BM25
+    top-15 (operators/curation.py bm25_topk) fused with integer-scaled
+    RRF (k0=60) into one re-ranked top-10 — the modern RAG retrieval
+    contract the reference's dense-only flagship
+    (src/lib/database.py:299-309) predates. Within-list ranks are
+    computed on the ROUNDED display score + id tiebreak so both
+    engines rank identically; the fused score is pure BIGINT floor
+    division. Plan: exactly the two retrieval scans, then a ≤15-row
+    fusion join — no extra corpus pass (pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    dense_hits = (
+        similarity_ops.similarity_scores(emb, _query_vec(spark, sf_dir))
+        .orderBy(F.col("similarity_score").desc(), F.col("vec_id").asc())
+        .limit(15)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("similarity_score", 6).alias("_s"),
+        )
+    )
+    dense = dense_hits.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    sparse = curation_ops.bm25_topk(
+        docs, curation_ops.BM25_TERMS, k=15
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    return retrieval_ops.rrf_fuse(
+        {"dense": dense, "sparse": sparse}, topk=10
+    )
+
+
 # Per-stratum sampling rates for the canonical registry row (the oracle
 # mirrors this CASE literally): oversample src0, thin src1, keep half of
 # everything else.
@@ -5028,6 +5077,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
     "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
+    "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),

@@ -613,3 +613,19 @@ def test_profile_table_two_scans_stats_not_expanded(spark):
     assert "Expand" in plan
     assert "first(" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_retrieval_rrf_adds_no_corpus_pass(spark):
+    """VERDICT r9 #3's plan contract: the fused plan is EXACTLY the two
+    retrieval pipelines' corpus scans (1 embeddings scan for dense, 2
+    documents scans for BM25's corpus-stats + score passes) plus k-row
+    fusion — no additional corpus pass, no cartesian, and the fusion
+    inputs stay TakeOrderedAndProject-bounded."""
+    plan = _plan(spark, "retrieval_rrf")
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("TakeOrderedAndProject") == 3  # top15 + top15 + top10
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join: bm25's own 1-row corpus-stats
+    # broadcast (the scalar-join shape its standalone plan always had);
+    # the fusion itself must not add another
+    assert plan.count("BroadcastNestedLoopJoin") == 1

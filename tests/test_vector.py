@@ -178,3 +178,37 @@ def test_mmr_scores_are_nondegenerate(spark, sf_dir):
     assert len(got) == 8
     tail_scores = {r["mmr_score"] for r in got if r["mmr_rank"] > 1}
     assert len(tail_scores) > 1
+
+
+def test_rrf_fuse_integer_scores_and_missing_lists(spark):
+    """rrf_fuse: fused score is the exact BIGINT floor sum, documents
+    missing from one list contribute only the other list's term (NULL
+    rank carried through), ties break by ascending id."""
+    from demo_pgvector_spark.operators import retrieval
+
+    dense = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    sparse = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in retrieval.rrf_fuse(
+            {"dense": dense, "sparse": sparse}, topk=10
+        ).collect()
+    }
+    s = 1_000_000_000
+    assert out[2]["rrf_scaled"] == s // 62 + s // 61  # both lists
+    assert out[1]["rrf_scaled"] == s // 61  # dense only
+    assert out[1]["rank_sparse"] is None
+    assert out[4]["rrf_scaled"] == s // 62
+    assert out[4]["rank_dense"] is None
+    # doc 1 (dense rank 1) and doc 4 (sparse rank 2): 1/61 > 1/62
+    ordered = [
+        r["doc_id"]
+        for r in retrieval.rrf_fuse(
+            {"dense": dense, "sparse": sparse}, topk=10
+        ).collect()
+    ]
+    assert ordered[0] == 2 and ordered[1] == 1
