@@ -577,3 +577,75 @@ def test_stateful_funnel_boundaries_and_timeout(spark, tmp_path):
         5: (502, 503, "converted", 0),
         # user 3 pending (t == wm survives), user 99 never clicked
     }
+
+
+def test_curate_sink_is_epoch_idempotent_and_split_invariant(spark, tmp_path):
+    """streaming/curate.py curate_sink: (a) a retried epoch changes
+    neither the staged table nor the verdicts; (b) draining the batch
+    in 1 slice or 3 slices commits the SAME final verdict table as the
+    one-shot curate_incremental call — the audit recomputes over the
+    staged whole, so the within-batch twin verdicts never depend on
+    how the stream happened to split the day."""
+    from demo_pgvector_spark.operators import curation
+    from demo_pgvector_spark.streaming import curate as sc
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(100 + i, base + f" corpustail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, base + " corpustail0 evaltail")], "doc_id long, text string"
+    )
+    # batch: 0 dup-of-corpus, 1 fresh (vocabulary fully distinct from
+    # corpus AND eval — no shared 13-gram, no shingle overlap),
+    # 2 near-twin of 1 (larger id, one word changed), 3 short
+    fresh = " ".join(f"fresh{i}" for i in range(30))
+    batch_rows = [
+        (0, base + " corpustail0"),
+        (1, fresh),
+        (2, fresh.rsplit(" ", 1)[0] + " changedtail"),
+        (3, "too short"),
+    ]
+
+    def drain(root, slices):
+        sink = sc.curate_sink(root, corpus, eval_docs)
+        for epoch, rows in enumerate(slices):
+            sink(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                epoch,
+            )
+        return sorted(
+            tuple(r) for r in sc.read_verdicts(spark, str(root)).collect()
+        )
+
+    one = drain(str(tmp_path / "one"), [batch_rows])
+    three = drain(
+        str(tmp_path / "three"),
+        [batch_rows[:1], batch_rows[1:3], batch_rows[3:]],
+    )
+    assert one == three
+    oneshot = sorted(
+        tuple(r)
+        for r in curation.curate_incremental(
+            corpus,
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+            eval_docs,
+        ).collect()
+    )
+    assert one == oneshot
+    # semantic spot checks: doc 0 exact-dups the corpus, doc 2 near-dups
+    # its smaller-id twin, doc 3 is short
+    v = {t[0]: t for t in one}
+    assert v[0][1] is True and v[2][3] is True and v[3][2] is True
+    assert v[1][5] is True  # the fresh doc is kept
+
+    # retried epoch: re-apply the LAST slice — nothing may move
+    root = str(tmp_path / "three")
+    sink = sc.curate_sink(root, corpus, eval_docs)
+    sink(spark.createDataFrame(batch_rows[3:], "doc_id long, text string"), 2)
+    again = sorted(
+        tuple(r) for r in sc.read_verdicts(spark, root).collect()
+    )
+    assert again == three
