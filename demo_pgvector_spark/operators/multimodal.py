@@ -228,3 +228,179 @@ def decode_external(media: DataFrame, codec: str) -> DataFrame:
         "present in this environment; use the SPKM decoders or install "
         "PIL/torchaudio and implement the parse step here"
     )
+
+
+# --- perceptual near-dup (VERDICT r9 #6): block-mean hash over the ---
+# --- SPKM decode path feeding the banded pair machinery            ---
+
+PHASH_GRID = 8  # 8x8 blocks of a 16x16 image -> 64-bit fingerprint
+PHASH_BANDS = 8  # 8 bands x 8 bits (>= 1 band survives any <=7 flips)
+PHASH_MAX_HAMMING = 3
+
+NEARDUP_GROUPS_MOD = 25
+NEARDUP_MAX_ID = 200
+NEARDUP_W = 16
+NEARDUP_H = 16
+
+
+def fake_images_neardup(
+    docs: DataFrame,
+    groups_mod: int = NEARDUP_GROUPS_MOD,
+    max_id: int = NEARDUP_MAX_ID,
+) -> DataFrame:
+    """Deterministic 16×16 SPKM images with PLANTED near-duplicate
+    structure: docs sharing ``doc_id % groups_mod`` share a base
+    payload (md5 chain seeded by the GROUP, not the doc), and replica
+    ``rep = doc_id // groups_mod`` overwrites ``2·rep`` payload bytes
+    from offset 64 (the start of pixel row 4) with 0xFF. Each 2-byte
+    step saturates one more 2×2 fingerprint block, so the expected
+    Hamming distance between replicas i < j is Binomial(j−i, ½) — close
+    replicas are perceptual near-dups, distant ones drift past the
+    Hamming gate, and unrelated groups share no structure at all.
+    Every byte is recomputable from the row key alone (the SPKM
+    contract), which is what lets the DuckDB oracle replay the whole
+    fingerprint without running the Python decoder."""
+    g = f"(doc_id % {groups_mod})"
+    rep = f"(doc_id div {groups_mod})"
+    nblocks = NEARDUP_W * NEARDUP_H // MD5_BLOCK
+    base = (
+        f"unhex(concat_ws('', transform(sequence(0, {nblocks - 1}), "
+        f"b -> md5(concat('imgnd:', cast({g} as string), ':', "
+        f"cast(b as string))))))"
+    )
+    payload = (
+        f"concat(substring({base}, 1, 64), "
+        f"unhex(repeat('ff', {rep} * 2)), "
+        f"substring({base}, 65 + {rep} * 2, {NEARDUP_W * NEARDUP_H}))"
+    )
+    return docs.filter(F.col("doc_id") < max_id).select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.expr(
+            f"concat(encode('IMG|{NEARDUP_W}|{NEARDUP_H}|', 'UTF-8'), {payload})"
+        ).alias("content"),
+        F.lit(NEARDUP_W).alias("width"),
+        F.lit(NEARDUP_H).alias("height"),
+    )
+
+
+def image_blockhash(media: DataFrame, grid: int = PHASH_GRID) -> DataFrame:
+    """(doc_id, phash_lo, phash_hi): DCT-free perceptual fingerprint
+    over the SPKM decode path — split the pixel grid into
+    ``grid``×``grid`` blocks (floor bounds; a degenerate empty block
+    contributes bit 0) and set bit (by·grid+bx) iff the block mean
+    exceeds the uint8 midpoint, compared INTEGER-exactly as
+    2·block_sum > 255·n_block so any engine replays the bits without a
+    float division. A FIXED threshold (not the global mean) keeps a
+    localized edit's bit flips localized — a global-mean threshold
+    couples every block to every pixel, which is exactly wrong for
+    near-dup detection. The fingerprint is returned as two 32-bit
+    halves so a 64-bit grid never touches the sign bit of a BIGINT on
+    either engine."""
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (tag, w_b, h_b), payload = _split_header(bytes(blob), 2)
+                assert tag == b"IMG", tag
+                w, h = int(w_b), int(h_b)
+                px = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(
+                    h, w
+                ).astype(np.int64)
+                phash = 0
+                for by in range(grid):
+                    r0, r1 = (by * h) // grid, ((by + 1) * h) // grid
+                    for bx in range(grid):
+                        c0, c1 = (bx * w) // grid, ((bx + 1) * w) // grid
+                        blk = px[r0:r1, c0:c1]
+                        if blk.size and 2 * int(blk.sum()) > 255 * blk.size:
+                            phash |= 1 << (by * grid + bx)
+                out.append(
+                    (int(doc_id), phash & 0xFFFFFFFF, phash >> 32)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "phash_lo", "phash_hi"]
+            )
+
+    return media.mapInPandas(
+        fingerprint, "doc_id long, phash_lo long, phash_hi long"
+    )
+
+
+def phash_pairs(
+    media: DataFrame,
+    grid: int = PHASH_GRID,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: block-mean fingerprints fed
+    through the banded pair machinery (the minhash_pairs shape,
+    dedup.py): split the ``grid²``-bit fingerprint into ``bands``
+    equal bands, hash-join same-band buckets (id_a < id_b — never an
+    all-pairs product; ≤ ``max_hamming`` flipped bits corrupt at most
+    ``max_hamming`` bands, so with max_hamming < bands at least one
+    band survives and recall is EXACT), then verify with the exact
+    Hamming distance (bit_count over both xor'd halves). Output
+    (id_a, id_b, hamming)."""
+    nbits = grid * grid
+    assert nbits % bands == 0 and nbits <= 64
+    r = nbits // bands
+    assert max_hamming < bands, "a pair could corrupt every band"
+    fp = image_blockhash(media, grid)
+    half = nbits // 2  # bits below `half` live in phash_lo
+
+    def band_key(b: int) -> str:
+        lo_bit = b * r
+        assert lo_bit // 32 == (lo_bit + r - 1) // 32, "band spans halves"
+        src, off = (
+            ("phash_lo", lo_bit) if lo_bit < half else ("phash_hi", lo_bit - half)
+        )
+        return f"(({src} >> {off}) & {(1 << r) - 1})"
+
+    banded = fp.select(
+        "doc_id",
+        "phash_lo",
+        "phash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(band_key(b)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash_lo", "phash_hi", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash_lo").alias("_la"),
+        F.col("phash_hi").alias("_ha"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash_lo").alias("_lb"),
+        F.col("phash_hi").alias("_hb"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_la", "_ha", "_lb", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "cast(bit_count(_la ^ _lb) + bit_count(_ha ^ _hb) as int)"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

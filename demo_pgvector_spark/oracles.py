@@ -691,6 +691,84 @@ FROM sampled
 # Composite row: the four modality pipelines as a branch-tagged sparse
 # union (round-4 consolidation). The resize branch reuses the image
 # columns for the resized dims/mean.
+def _o_mm_phash() -> str:
+    """Perceptual block-mean-hash near-dup oracle (registry
+    q_mm_phash_dedup, operators/multimodal.py fake_images_neardup →
+    image_blockhash → phash_pairs): recompute every pixel of the
+    planted 16×16 SPKM images from the md5-chain spec (the blobs are
+    never parsed — the hex chain IS the payload), replay the 64
+    integer block-mean bits into the two 32-bit fingerprint halves,
+    band them 8×8, and verify candidates with the exact Hamming
+    distance — mirroring the Spark operator stage for stage."""
+    # block k: by = k//8, bx = k%8; its four pixels (1-based list idx)
+    def blk_sum(k: int) -> str:
+        by, bx = divmod(k, 8)
+        j1 = 32 * by + 2 * bx
+        return f"(p[{j1 + 1}] + p[{j1 + 2}] + p[{j1 + 17}] + p[{j1 + 18}])"
+
+    lo = " + ".join(
+        f"(CASE WHEN 2 * {blk_sum(k)} > 1020 THEN {1 << k} ELSE 0 END)"
+        for k in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 2 * {blk_sum(k + 32)} > 1020 THEN {1 << k} ELSE 0 END)"
+        for k in range(32)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 25 AS g, doc_id // 25 AS rep
+  FROM documents WHERE doc_id < 200
+),
+hx AS (
+  SELECT doc_id,
+         substr(base, 1, 128) || repeat('ff', rep * 2)
+           || substr(base, 129 + rep * 4, 512) AS h
+  FROM (
+    SELECT doc_id, rep,
+           array_to_string(list_transform(range(16),
+             b -> md5('imgnd:' || CAST(g AS VARCHAR) || ':'
+                      || CAST(b AS VARCHAR))), '') AS base
+    FROM m
+  )
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(256),
+           j -> CAST(CAST('0x' || substr(h, 2 * j + 1, 2) AS UBIGINT)
+                     AS BIGINT)) AS p
+  FROM hx
+),
+fp AS (
+  SELECT doc_id,
+         CAST({lo} AS BIGINT) AS phash_lo,
+         CAST({hi} AS BIGINT) AS phash_hi
+  FROM px
+),
+banded AS (
+  SELECT doc_id, phash_lo, phash_hi, band,
+         CASE WHEN band < 4 THEN (phash_lo >> (band * 8)) & 255
+              ELSE (phash_hi >> ((band - 4) * 8)) & 255 END AS key
+  FROM fp, (SELECT unnest(range(8)) AS band) bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.phash_lo AS la, a.phash_hi AS ha,
+         b2.phash_lo AS lb, b2.phash_hi AS hb
+  FROM banded a
+  JOIN banded b2 ON a.band = b2.band AND a.key = b2.key
+                AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+"""
+
+
+O_MM_PHASH_DEDUP = _o_mm_phash()
+
+
 O_MM_MEDIA = f"""
 SELECT 'image' AS branch, doc_id, width, height, n_pixels, mean_intensity,
        max_intensity, min_intensity,

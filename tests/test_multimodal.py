@@ -93,3 +93,69 @@ def test_external_codec_is_explicit_stub(spark, docs_df):
     media = mm.fake_images(docs_df)
     with pytest.raises(NotImplementedError, match="jpeg"):
         mm.decode_external(media, "jpeg")
+
+
+def test_blockhash_fixed_threshold_keeps_edits_local(spark):
+    """image_blockhash: a localized pixel edit flips only the edited
+    blocks' bits — the fixed uint8-midpoint threshold decouples blocks
+    (a global-mean threshold would let one bright patch flip bits
+    anywhere in the image)."""
+    w = h = 16
+    dark = bytes([10] * (w * h))
+    lit = bytearray(dark)
+    for j in range(64, 68):  # pixels (row 4, cols 0-3): blocks 16,17
+        lit[j] = 255
+
+    def img(doc_id, payload):
+        return (doc_id, b"IMG|16|16|" + bytes(payload))
+
+    df = spark.createDataFrame(
+        [img(1, dark), img(2, bytes(lit))], "doc_id long, content binary"
+    )
+    fp = {r["doc_id"]: (r["phash_lo"], r["phash_hi"])
+          for r in mm.image_blockhash(df).collect()}
+    assert fp[1] == (0, 0)  # all-dark image: no bit set
+    lo, hi = fp[2]
+    assert hi == 0 and lo == (1 << 16) | (1 << 17)  # exactly blocks 16,17
+
+
+def test_phash_pairs_banded_recall_is_exact(spark):
+    """phash_pairs: every pair within the Hamming gate is found (<=3
+    flips leave >=5 of 8 bands intact) and pairs past the gate are
+    dropped by verification, not by candidate loss."""
+    w = h = 16
+    base = bytes([10] * (w * h))
+
+    def edit(n):  # saturate the first n 2x2 blocks of row 4
+        b = bytearray(base)
+        for k in range(n):
+            for j in (64 + 2 * k, 65 + 2 * k, 80 + 2 * k, 81 + 2 * k):
+                b[j] = 255
+        return bytes(b)
+
+    rows = [(i, b"IMG|16|16|" + edit(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.phash_pairs(df).collect()}
+    # doc i has exactly i saturated blocks -> hamming(i, j) = j - i
+    expected = {(i, j): j - i for i in range(6) for j in range(i + 1, 6)
+                if j - i <= 3}
+    assert got == expected
+
+
+def test_fake_images_neardup_payload_contract(spark):
+    """The planted corpus honors the SPKM spec: fixed 16x16 header,
+    exactly 256 payload bytes at every replica, group-shared base
+    bytes outside the splice, and the 0xFF splice where the spec says."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    rows = {r["doc_id"]: bytes(r["content"])
+            for r in mm.fake_images_neardup(docs).collect()}
+    assert set(rows) == set(range(60))
+    for d, blob in rows.items():
+        assert blob.startswith(b"IMG|16|16|") and len(blob) == 10 + 256
+    b0, b25, b50 = rows[0][10:], rows[25][10:], rows[50][10:]
+    assert b25[64:66] == b"\xff\xff" and b50[64:68] == b"\xff" * 4
+    assert b0[:64] == b25[:64] == b50[:64]  # shared base before splice
+    assert b0[66:] == b25[66:] and b0[68:] == b50[68:]  # after splice
