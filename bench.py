@@ -188,6 +188,13 @@ BENCH_KEYS = (
     "vec_ivf_drift",
     "layout_zorder_append",
     "curate_incremental",
+    # round-10 additions (the four VERDICT r9 operators; the two
+    # consolidation composites are benched through their standalone
+    # q_ functions already listed above)
+    "dedup_substring",
+    "retrieval_rrf",
+    "stream_curate",
+    "mm_phash_dedup",
 )
 
 

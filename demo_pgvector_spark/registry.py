@@ -4985,28 +4985,91 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r09 records).
-    # Round-9 rotation, per SURVEY §2's contract and VERDICT r8 #1:
-    # (A) the five keys NEW this round (never driver-verified);
-    # (B) the SEVEN keys whose latest driver row is round 5 — the
-    # oldest rows in the registry, rotated in FIRST exactly as the
-    # verdict ordered (one of them is the flagship vec_sim_topk);
-    # (C) the two keys whose implementation or oracle changed in round
-    # 9 (a green r8 row does not survive a diff: dedup.py's
-    # url_canonicalize semantics rewrite voids dedup_url; the
-    # self-pair guard in minhash_pairs_incremental voids
-    # dedup_incremental);
-    # (D) ALL thirty-two round-6-green carries — every remaining row
-    # older than round 7 re-anchors this round, leaving nothing in the
-    # registry staler than r7 after the sweep;
-    # (E) four round-7 re-anchors fill the leftover slots (the
-    # heaviest iterative/stateful shapes first). Round-7/8-green keys
-    # otherwise carry at 51+ under the unchanged-code rule;
-    # tools/parity.py re-verifies EVERY key locally each round
-    # regardless of window position.
+    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r10 records).
+    # Round-10 rotation, per SURVEY §2's contract and VERDICT r9 #1:
+    # (A) the SIX keys new this round, never driver-verified — the four
+    # VERDICT r9 operators (exact-substring dedup #2, RRF hybrid
+    # retrieval #3, the streaming curation tick #4, multimodal
+    # perceptual near-dup #6) plus the two round-10 consolidation
+    # composites (set_ops = set_intersect+set_except; agg_multidim =
+    # agg_cube+agg_rollup+agg_grouping_sets — the str_scalars recipe,
+    # freeing the three slots that make the full re-anchor fit);
+    # (B) the THREE keys whose implementation changed this round — a
+    # green r9 row does not carry across a diff (stream_countmin:
+    # atomic epoch-in-version commit; dedup_url: tracking-param
+    # boundary-anchoring rewrite, oracle changed too; vec_ivf_drift:
+    # the eager zero-totals guard changes the call's execution);
+    # (C) ALL FORTY-ONE remaining round-7 rows re-anchor — with (A)'s
+    # composites carrying the five consolidated r7 slugs, nothing in
+    # the registry is older than round 8 after this sweep, exactly the
+    # VERDICT r9 #1 done-criterion.
+    # Guard-only diffs that no registry input can reach (ADVICE r9:
+    # bloom_decontaminate's both-None ValueError) do NOT void rows:
+    # decon_bloom/stream_bloom/curate_incremental carry r8/r9 green
+    # (pytest pins the guard raises + targeted parity re-run green;
+    # they re-anchor naturally in r11).
     # =====================================================================
-    # -- (A) new in round 9 --
+    # -- (A) new in round 10 --
+    "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
+    "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
+    "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
+    "mm_phash_dedup": (q_mm_phash_dedup, O_MM_PHASH_DEDUP),
+    "set_ops": (q_set_ops, O_SET_OPS),
+    "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
+    # -- (B) implementation changed in round 10 — must re-verify --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
+    "dedup_url": (q_dedup_url, O_DEDUP_URL),
+    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
+    # -- (C) the full round-7 re-anchor sweep --
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
+    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
+    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
+    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
+    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    "stream_join": (q_stream_join, O_STREAM_JOIN),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
+    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
+    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
+    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
+    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
+    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
+    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
+    "graph_cc": (q_graph_cc, O_GRAPH_CC),
+    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
+    "stream_stateful_funnel": (
+        q_stream_stateful_funnel,
+        O_STREAM_STATEFUL_FUNNEL,
+    ),
+    "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
+    "join_asof": (q_join_asof, O_JOIN_ASOF),
+    "join_range": (q_join_range, O_JOIN_RANGE),
+    "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
+    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
+    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
+    "mm_media": (q_mm_media, O_MM_MEDIA),
+    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
+    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
+    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
+    "str_scalars": (q_str_scalars, O_STR_SCALARS),
+    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
+    "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
+    "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
+    "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
+    "profile_table": (q_profile_table, O_PROFILE_TABLE),
+    # =====================================================================
+    # position 51+ — carries under the unchanged-code rule (round-8 or
+    # round-9 driver rows, all ≤ 2 rounds old); tools/parity.py
+    # re-verifies ALL keys locally each round regardless of position.
+    # =====================================================================
     "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
@@ -5014,16 +5077,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         O_DEDUP_INCREMENTAL,
     ),
     "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
-    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
-    "layout_zorder_append": (
-        q_layout_zorder_append,
-        O_LAYOUT_ZORDER_PRUNED,
-    ),
-    "curate_incremental": (
-        q_curate_incremental,
-        O_CURATE_INCREMENTAL,
-    ),
-    # -- (B) round-5-stale keys, rotated in first (VERDICT r8 #1) --
+    "layout_zorder_append": (q_layout_zorder_append, O_LAYOUT_ZORDER_PRUNED),
+    "curate_incremental": (q_curate_incremental, O_CURATE_INCREMENTAL),
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
@@ -5031,12 +5086,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
     "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
-    # -- (C) implementation changed in round 9 — must re-verify --
-    "dedup_url": (q_dedup_url, O_DEDUP_URL),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
-    # -- (D) all round-6-green carries re-anchor (nothing older than
-    # r7 remains after this sweep) --
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
@@ -5069,22 +5120,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    # -- (E) oldest round-7 carries re-anchor in the spare slots --
-    # =====================================================================
-    # position 51+ — carries under the unchanged-code rule (round-7 or
-    # round-8 driver rows, all ≤ 2 rounds old); tools/parity.py
-    # re-verifies ALL keys locally each round regardless of position.
-    # graph_pagerank / graph_triangles yielded their (E) slots to
-    # stream_bloom and the re-verifying ts_interpolate (new/changed keys
-    # outrank re-anchors) and carry green r7 rows here.
-    # =====================================================================
-    "join_edit_distance": (q_join_edit_distance, O_JOIN_EDIT_DISTANCE),
-    "stream_stateful_funnel": (
-        q_stream_stateful_funnel,
-        O_STREAM_STATEFUL_FUNNEL,
-    ),
-    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
-    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
@@ -5138,49 +5173,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         O_AGG_PERCENTILES_APPROX,
     ),
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
-    "graph_cc": (q_graph_cc, O_GRAPH_CC),
-    "layout_zorder": (q_layout_zorder, O_LAYOUT_ZORDER),
-    "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
-    "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
-    "profile_table": (q_profile_table, O_PROFILE_TABLE),
-    "vec_knn_join": (q_vec_knn_join, O_VEC_KNN_JOIN),
-    "join_asof": (q_join_asof, O_JOIN_ASOF),
-    "join_range": (q_join_range, O_JOIN_RANGE),
-    "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
-    "set_ops": (q_set_ops, O_SET_OPS),
-    "win_rank_topn": (q_win_rank_topn, O_WIN_RANK_TOPN),
-    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
-    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
-    "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
-    "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
-    "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
-    "mm_phash_dedup": (q_mm_phash_dedup, O_MM_PHASH_DEDUP),
-    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
-    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
-    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
-    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
-    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
-    "stream_join": (q_stream_join, O_STREAM_JOIN),
-    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
-    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
-    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
-    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
-    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
-    "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
-    "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
-    "chunk_enrich": (q_chunk_enrich, O_CHUNK_ENRICH),
-    "win_chunk_number": (q_win_chunk_number, O_WIN_CHUNK_NUMBER),
-    "mm_media": (q_mm_media, O_MM_MEDIA),
-    "emb_hash_embed": (q_emb_hash_embed, O_EMB_HASH_EMBED),
-    "win_running_total": (q_win_running_total, O_WIN_RUNNING_TOTAL),
-    "text_repetition": (q_text_repetition, O_TEXT_REPETITION),
-    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
-    "tpch_q5": (q_tpch_q5, O_TPCH_Q5),
-    "str_scalars": (q_str_scalars, O_STR_SCALARS),
-    "proj_sim_family": (q_proj_sim_family, O_PROJ_SIM_FAMILY),
 }
 
 

@@ -29,40 +29,39 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-9 plan (SURVEY §2 preamble "Round-9 window rotation";
+    # -- round-10 plan (SURVEY §2 preamble "Round-10 window rotation";
     # registry.py block comments are the same contract) --
-    # (A) new this round (never driver-verified):
-    "stream_countmin", "stream_bloom", "dedup_index_write",
-    "dedup_incremental_indexed", "join_skew_adaptive", "vec_ivf_drift",
-    "layout_zorder_append", "curate_incremental",
-    # (B) the SEVEN keys whose latest driver row was round 5 — the
-    # oldest rows in the registry, rotated in FIRST per VERDICT r8 #1
-    # (vec_sim_topk is the flagship):
-    "vec_sim_topk", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
-    "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
-    # (C) implementation changed in round 9 — the green r8 row is
-    # voided by the diff (url_canonicalize semantics rewrite; the
-    # incremental self-pair guard; ts_interpolate's display contract
-    # became the engine-independent floor-scale BIGINT after the 10x
-    # replica gate caught a DuckDB double-ROUND midpoint divergence):
-    "dedup_url", "dedup_incremental", "ts_interpolate",
-    # (D) all thirty-two round-6-green carries re-anchor — after this
-    # sweep nothing in the registry is staler than round 7:
-    "agg_context_concat", "chunk_bpe", "chunk_bpe_pretrained",
-    "chunk_docling", "classify_source_type", "extract_year",
-    "ins_chunk_txn", "join_skew_salted", "json_metadata", "meta_sidecar",
-    "pack_sequences", "rag_prompts", "sample_mixture",
-    "sample_stratified", "src_convert_epub", "src_route",
-    "text_bm25_topk", "text_decontaminate", "text_keywords",
-    "text_perplexity", "text_quality_model", "text_scrub", "tpch_q12",
-    "tpch_q20", "tpch_q8", "tpch_q9", "upsert_model", "upsert_source",
-    "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
-    "win_range_numeric",
-    # (no (E) re-anchors this round: all four candidate r7 slots went
-    # to the new keys and the re-verifying ts_interpolate — new/changed
-    # keys outrank re-anchoring carries; join_edit_distance,
-    # stream_stateful_funnel, graph_pagerank and graph_triangles hold
-    # green r7 rows at positions 51-54)
+    # (A) new this round (never driver-verified): the four VERDICT r9
+    # operators plus the two consolidation composites whose freed
+    # slots make the full re-anchor sweep fit:
+    "dedup_substring", "retrieval_rrf", "stream_curate",
+    "mm_phash_dedup", "set_ops", "agg_multidim",
+    # (B) implementation changed in round 10 — a green r9 row does not
+    # carry across a diff (stream_countmin: atomic epoch-in-version
+    # commit; dedup_url: tracking-param boundary anchoring, oracle
+    # changed too; vec_ivf_drift: eager zero-totals guard):
+    "stream_countmin", "dedup_url", "vec_ivf_drift",
+    # (C) ALL forty-one remaining round-7 rows re-anchor (VERDICT r9
+    # #1; the five consolidated slugs set_intersect/set_except/
+    # agg_cube/agg_rollup/agg_grouping_sets re-anchor inside (A)'s
+    # composites) — nothing in the registry is older than round 8
+    # after this sweep. Guard-only diffs no registry input reaches
+    # (the bloom_decontaminate both-None ValueError) do not void rows:
+    # decon_bloom/stream_bloom/curate_incremental carry r8/r9 green
+    # with pytest + targeted-parity cover and re-anchor in r11.
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_embedding", "dedup_ngram", "dedup_containment",
+    "dedup_assign", "dedup_semantic", "curate_fuzzy", "curate_corpus",
+    "stream_join", "stream_static_join", "stream_join_outer",
+    "stream_join_right", "stream_join_full", "stream_late_data",
+    "stream_late_update", "stream_ingest", "graph_pagerank",
+    "graph_triangles", "graph_cc", "join_edit_distance",
+    "stream_stateful_funnel", "vec_knn_join", "join_asof", "join_range",
+    "win_rank_topn", "chunk_enrich", "win_chunk_number", "mm_media",
+    "emb_hash_embed", "win_running_total", "text_repetition",
+    "agg_pivot", "tpch_q5", "str_scalars", "proj_sim_family",
+    "layout_zorder", "win_sessionize", "vec_mmr_rerank",
+    "profile_table",
 }
 
 

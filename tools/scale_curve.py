@@ -93,6 +93,15 @@ DEFAULT_KEYS = (
     "graph_pagerank", "graph_triangles", "graph_bfs", "graph_lpa",
     "sample_priority", "layout_zorder", "win_sessionize",
     "vec_mmr_rerank", "ts_resample", "stream_stateful_funnel",
+    # round-10 additions. retrieval_rrf is fixed top-10 (replica-safe:
+    # the curve prices the two retrieval scans). dedup_substring is
+    # EXCLUDED like the other pair rows — replicated corpora make every
+    # replica pair share full-length runs, output quadratic.
+    # stream_curate and mm_phash_dedup are excluded: the stream key's
+    # staged batch audit inherits curate_incremental's replica-pair
+    # quadratics, and the phash corpus is a fixed doc_id<200 slice (a
+    # flat curve would measure nothing).
+    "retrieval_rrf",
 )
 
 
