@@ -517,14 +517,15 @@ GROUP BY l_returnflag
 
 
 O_AGG_CUBE = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
 O_AGG_ROLLUP = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
@@ -566,11 +567,13 @@ SELECT 'except' AS branch, o_custkey FROM (
 
 O_AGG_MULTIDIM = """
 SELECT 'cube' AS branch, l_returnflag AS k1, l_linestatus AS k2,
-       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS metric
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS metric
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'rollup' AS branch, o_orderpriority AS k1, o_orderstatus AS k2,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS metric
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS metric
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 UNION ALL
 SELECT 'gsets' AS branch, l_returnflag AS k1, l_linestatus AS k2,

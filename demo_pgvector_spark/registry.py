@@ -2180,9 +2180,16 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single shuffle)."""
     tune_session(spark)
     li = tables.load(spark, sf_dir, "lineitem")
+    # DECIMAL sum, not double: the cube's grand total reaches ~1e12 at
+    # the 30× replica scale, where double summation error across
+    # partition orders exceeds the half-cent — ROUND(SUM(double), 2)
+    # flips run to run (caught by the 30× gate, round 10). Decimal
+    # aggregation is exact and order-independent on both engines.
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -2190,9 +2197,14 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (priority, status) on orders."""
     tune_session(spark)
     orders = tables.load(spark, sf_dir, "orders")
+    # DECIMAL sum for the same reason as q_agg_cube: the rollup grand
+    # total (~1.1e12 at 30×) sits past the magnitude where double sums
+    # are half-cent-reproducible across partition orders.
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
