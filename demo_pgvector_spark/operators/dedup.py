@@ -1189,9 +1189,15 @@ def substring_pairs(
     src = docs.select(id_col, text_col)
     if _estimated_scan_splits(src) < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
+    # The token arrays feed FOUR plan branches (both candidate-join
+    # sides + both verify sides) — materialize the projection once
+    # (the ngram_jaccard_pairs "tokenize first" pass; at ingest scale
+    # the positioned gram index is a persisted artifact, the
+    # band-index shape) instead of re-scanning and re-splitting the
+    # corpus per branch.
     toked = src.select(
         id_col, F.split(F.lower(F.col(text_col)), " ").alias("_toks")
-    )
+    ).localCheckpoint(eager=True)
     grams = toked.select(
         id_col,
         F.posexplode(
