@@ -347,7 +347,12 @@ def phash_pairs(
     assert nbits % bands == 0 and nbits <= 64
     r = nbits // bands
     assert max_hamming < bands, "a pair could corrupt every band"
-    fp = image_blockhash(media, grid)
+    # Fingerprint ONCE: both self-join sides (and the verify columns)
+    # read the same 3-long-column table, so materialize it instead of
+    # running the Arrow decode twice over the binaries — at ingest
+    # scale this is the persisted fingerprint column, the band-index
+    # shape.
+    fp = image_blockhash(media, grid).localCheckpoint(eager=True)
     half = nbits // 2  # bits below `half` live in phash_lo
 
     def band_key(b: int) -> str:
