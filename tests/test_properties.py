@@ -365,3 +365,94 @@ def test_ngram_jaccard_completeness_on_random_corpora(spark):
             if j >= tau:
                 want[(a, b)] = j
         assert got == want, (tau, k)
+
+
+def test_substring_runs_match_python_reference(spark):
+    """Randomized corpus with PLANTED shared spans (unique filler +
+    span templates spliced at random offsets), one Spark job vs a
+    direct Python evaluation of the positioned-gram-chain definition:
+    grams → shared-gram hits → diagonal islands → maximal runs."""
+    from demo_pgvector_spark.operators import dedup
+
+    L = 12
+    rng = np.random.RandomState(23)
+    templates = [
+        [f"span{t}_{i}" for i in range(rng.randint(L, 2 * L + 5))]
+        for t in range(5)
+    ]
+    docs = []
+    uid = 0
+    for d in range(40):
+        toks = []
+        for _ in range(rng.randint(1, 4)):
+            filler = [f"u{uid + i}" for i in range(rng.randint(0, 10))]
+            uid += 10
+            toks += filler
+            if rng.rand() < 0.7:
+                toks += templates[rng.randint(0, 5)]
+        docs.append((d, " ".join(toks)))
+
+    def py_runs(corpus):
+        grams = {}  # gram -> list of (doc, pos)
+        toked = {i: t.lower().split(" ") for i, t in corpus}
+        for i, toks in toked.items():
+            for p in range(len(toks) - L + 1):
+                grams.setdefault(" ".join(toks[p:p + L]), []).append((i, p))
+        hits = {}  # (a, b, diag) -> set of pos_a
+        for occ in grams.values():
+            for ai in range(len(occ)):
+                for bi in range(len(occ)):
+                    (a, pa), (b, pb) = occ[ai], occ[bi]
+                    if a < b:
+                        hits.setdefault((a, b, pa - pb), set()).add(pa)
+        out = set()
+        for (a, b, diag), poss in hits.items():
+            run = sorted(poss)
+            start = prev = run[0]
+            n = 1
+            for p in run[1:]:
+                if p == prev + 1:
+                    prev = p
+                    n += 1
+                else:
+                    out.add((a, b, start, start - diag, n + L - 1))
+                    start = prev = p
+                    n = 1
+            out.add((a, b, start, start - diag, n + L - 1))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in dedup.substring_pairs(df, gram_l=L).collect()
+    }
+    assert got == py_runs(docs) and len(got) > 10
+
+
+def test_blockhash_matches_python_reference(spark):
+    """60 random 16×16 images through the Arrow decode path vs a direct
+    Python evaluation of the integer block-mean bit definition."""
+    from demo_pgvector_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(31)
+    blobs = [
+        (i, b"IMG|16|16|" + rng.randint(0, 256, 256, dtype=np.uint8).tobytes())
+        for i in range(60)
+    ]
+
+    def py_hash(payload):
+        px = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16).astype(int)
+        h = 0
+        for by in range(8):
+            for bx in range(8):
+                blk = px[2 * by:2 * by + 2, 2 * bx:2 * bx + 2]
+                if 2 * int(blk.sum()) > 255 * blk.size:
+                    h |= 1 << (by * 8 + bx)
+        return h & 0xFFFFFFFF, h >> 32
+
+    df = spark.createDataFrame(blobs, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["phash_lo"], r["phash_hi"])
+        for r in mm.image_blockhash(df).collect()
+    }
+    assert got == {i: py_hash(b[10:]) for i, b in blobs}
