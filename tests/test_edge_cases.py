@@ -153,3 +153,53 @@ def test_scoped_conf_unsets_previously_absent_key(spark):
     with scoped_conf(spark, "spark.sql.shuffle.partitions", "3"):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_substring_pairs_short_and_boundary_docs(spark):
+    """Docs shorter than the gram length contribute nothing; a doc of
+    EXACTLY gram_l tokens contributes one gram (an identical twin pair
+    reports span_len == gram_l); an empty-overlap corpus yields zero
+    rows without error."""
+    from demo_pgvector_spark.operators import dedup
+
+    exact = " ".join(f"e{i}" for i in range(12))
+    rows = [
+        (1, "short doc"),
+        (2, exact),
+        (3, exact),
+        (4, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in dedup.substring_pairs(df, gram_l=12).collect()
+    ]
+    assert out == [(2, 3, 0, 0, 12)]
+    none = spark.createDataFrame(rows[:1], "doc_id long, text string")
+    assert dedup.substring_pairs(none, gram_l=12).count() == 0
+
+
+def test_rrf_fuse_rejects_empty_and_handles_single_list(spark):
+    from demo_pgvector_spark.operators import retrieval
+
+    with pytest.raises(ValueError, match="at least one rank list"):
+        retrieval.rrf_fuse({})
+    one = spark.createDataFrame([(5, 1), (9, 2)], "doc_id long, rank int")
+    got = [
+        (r["doc_id"], r["rrf_scaled"])
+        for r in retrieval.rrf_fuse({"only": one}, topk=5).collect()
+    ]
+    assert got == [(5, 1_000_000_000 // 61), (9, 1_000_000_000 // 62)]
+
+
+def test_phash_pairs_empty_and_identical_media(spark):
+    from demo_pgvector_spark.operators import multimodal as mm
+
+    empty = spark.createDataFrame([], "doc_id long, content binary")
+    assert mm.phash_pairs(empty).count() == 0
+    blob = b"IMG|16|16|" + bytes(range(256))
+    two = spark.createDataFrame(
+        [(1, blob), (2, blob)], "doc_id long, content binary"
+    )
+    [r] = mm.phash_pairs(two).collect()
+    assert (r["id_a"], r["id_b"], r["hamming"]) == (1, 2, 0)

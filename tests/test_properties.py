@@ -456,3 +456,84 @@ def test_blockhash_matches_python_reference(spark):
         for r in mm.image_blockhash(df).collect()
     }
     assert got == {i: py_hash(b[10:]) for i, b in blobs}
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """Random rank lists (three lists, partial overlap) fused in one
+    Spark job vs a direct Python evaluation of the integer-scaled RRF
+    definition, including the (score DESC, id ASC) cut."""
+    from demo_pgvector_spark.operators import retrieval
+
+    rng = np.random.RandomState(41)
+    lists = {}
+    for name in ("a", "b", "c"):
+        ids = rng.choice(100, size=20, replace=False)
+        lists[name] = [(int(d), r + 1) for r, d in enumerate(ids)]
+    s = 1_000_000_000
+    scores = {}
+    for rows in lists.values():
+        for d, r in rows:
+            scores[d] = scores.get(d, 0) + s // (60 + r)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+
+    dfs = {
+        n: spark.createDataFrame(rows, "doc_id long, rank int")
+        for n, rows in lists.items()
+    }
+    got = [
+        (r["doc_id"], r["rrf_scaled"])
+        for r in retrieval.rrf_fuse(dfs, topk=12).collect()
+    ]
+    assert got == expect
+
+
+def test_url_canonicalize_matches_python_reference(spark):
+    """200 synthesized URLs (scheme/www/case/path-slash/fragment/
+    query-mix variants) canonicalized in one Spark job vs a direct
+    Python re-implementation of the documented contract."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark.operators import dedup
+
+    rng = np.random.RandomState(43)
+    semantic = ["page=2", "id=7", "q=hello", "last_utm_source=a",
+                "xfbclid=1", "myutm_x=9"]
+    tracking = ["utm_source=f", "utm_campaign=c1", "fbclid=zz", "gclid=g2"]
+    urls = []
+    for i in range(200):
+        parts = []
+        n = rng.randint(0, 4)
+        pool = semantic + tracking
+        idx = rng.choice(len(pool), size=n, replace=False)
+        parts = [pool[j] for j in idx]
+        u = (
+            ("https://" if i % 2 else "http://")
+            + ("www." if i % 3 == 0 else "")
+            + f"Site{i % 7}.example.com/p/{i % 11}"
+            + ("/" if i % 5 == 0 else "")
+            + (("?" + "&".join(parts)) if parts else "")
+            + (f"#frag{i % 4}" if i % 4 == 0 else "")
+        )
+        urls.append((i, u))
+
+    def py_canon(u):
+        c = u.lower()
+        c = _re.sub(r"^https?://", "", c)
+        c = _re.sub(r"^www\.", "", c)
+        c = c.split("#", 1)[0]
+        c = _re.sub(r"&(utm_[a-z0-9]+|fbclid|gclid)=[^&]*", "", c)
+        c = _re.sub(r"\?(utm_[a-z0-9]+|fbclid|gclid)=[^&]*&?", "?", c)
+        c = _re.sub(r"[?&]+$", "", c)
+        path, sep, query = c.partition("?")
+        return _re.sub(r"/+$", "", path) + (sep + query if sep else "")
+
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["canon"]
+        for r in df.select(
+            "doc_id", dedup.url_canonicalize(F.col("url")).alias("canon")
+        ).collect()
+    }
+    assert got == {i: py_canon(u) for i, u in urls}
