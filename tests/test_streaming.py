@@ -649,3 +649,45 @@ def test_curate_sink_is_epoch_idempotent_and_split_invariant(spark, tmp_path):
         tuple(r) for r in sc.read_verdicts(spark, root).collect()
     )
     assert again == three
+
+
+def test_curate_sink_serves_near_dups_from_the_provided_index(spark, tmp_path):
+    """The streaming tick must read corpus bands from the PROVIDED
+    index table, never re-band the corpus: with a truthful index the
+    batch twin of a corpus doc flags near_dup; with an EMPTY index the
+    cross candidates vanish (the dedup_incremental_indexed
+    tampered-index pin, lifted to the stream sink)."""
+    from demo_pgvector_spark.operators import dedup
+    from demo_pgvector_spark.streaming import curate as sc
+
+    base = " ".join(f"w{i}" for i in range(25))
+    corpus = spark.createDataFrame(
+        [(100, base), (101, " ".join(f"c{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, " ".join(f"e{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base + " tail")], "doc_id long, text string"
+    )
+    bands = dedup.band_index(corpus) if hasattr(dedup, "band_index") else None
+    if bands is None:
+        sigs = dedup.minhash_signatures(corpus)
+        bands = sigs.select(
+            "doc_id", F.explode(dedup._band_keys()).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+
+    def verdicts(root, idx):
+        sink = sc.curate_sink(root, corpus, eval_docs, corpus_bands=idx)
+        sink(batch, 0)
+        [r] = sc.read_verdicts(spark, root).collect()
+        return r
+
+    real = verdicts(str(tmp_path / "real"), bands)
+    assert real["near_dup"] is True and real["kept"] is False
+
+    empty = bands.limit(0)
+    gone = verdicts(str(tmp_path / "empty"), empty)
+    assert gone["near_dup"] is False and gone["kept"] is True
