@@ -191,6 +191,99 @@ def repetition_flag(
     )
 
 
+# The Gopher rules' stop list (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1):
+# a document must contain at least 2 DISTINCT words from this list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_components(
+    c: Column, toks: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
+    """Raw counts behind the Gopher document-quality rules (Rae et al.
+    2021 table A1 — the MassiveText screen later adopted by RefinedWeb
+    and Dolma). Counts only, every one BIGINT: the rule thresholds are
+    ratios (symbol/word ≤ 0.1, bullet lines ≤ 90%, …), but comparing
+    cross-multiplied integers (``10·sym ≤ n_words``) instead of float
+    ratios makes every verdict bit-identical on any engine — the same
+    per-mille discipline as sample_stratified. Pass ``toks``/``lines``
+    pre-projected on hot paths (lambda trees are opaque to codegen CSE;
+    see repetition_components).
+
+    Unlike quality_components' single-space split, words here are
+    ``\\s+`` tokens of the trimmed text — the Gopher rules reason about
+    lines too, so newlines must separate words, not embed in them."""
+    if toks is None:
+        toks = F.split(F.trim(F.lower(c)), r"\s+")
+    if lines is None:
+        lines = F.split(c, "\n")
+    n_words = F.size(toks).cast("bigint")
+    # Σ length(word): whole-word character mass for the mean-word-length
+    # rule (3 ≤ mean ≤ 10 becomes 3·n ≤ chars ≤ 10·n).
+    word_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sym_hits = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    # DISTINCT stop-list hits: iterate the 8-word list, not the doc
+    # (array_contains scans the token array once per stop word).
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    ).cast("bigint")
+    return {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "sym_hits": sym_hits,
+        "n_lines": n_lines,
+        "bullet_lines": bullet_lines,
+        "ellipsis_lines": ellipsis_lines,
+        "alpha_words": alpha_words,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_flags(g: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule boolean verdicts from (ideally projected) gopher
+    component columns — integer cross-multiplication only, no float
+    division anywhere. A document is kept iff every flag is true."""
+    return {
+        "ok_words": (g["n_words"] >= GOPHER_MIN_WORDS)
+        & (g["n_words"] <= GOPHER_MAX_WORDS),
+        # 3 ≤ word_chars / n_words ≤ 10
+        "ok_mean_len": (g["word_chars"] >= 3 * g["n_words"])
+        & (g["word_chars"] <= 10 * g["n_words"]),
+        # symbol-to-word ratio ≤ 0.1
+        "ok_symbol": 10 * g["sym_hits"] <= g["n_words"],
+        # ≤ 90% of lines start with a bullet
+        "ok_bullet": 10 * g["bullet_lines"] <= 9 * g["n_lines"],
+        # ≤ 30% of lines end with an ellipsis
+        "ok_ellipsis": 10 * g["ellipsis_lines"] <= 3 * g["n_lines"],
+        # ≥ 80% of words contain an alphabetic character
+        "ok_alpha": 5 * g["alpha_words"] >= 4 * g["n_words"],
+        # ≥ 2 distinct stop words present
+        "ok_stop": g["stop_hits"] >= 2,
+    }
+
+
 def fingerprint(c: Column) -> Column:
     """Order-sensitive polynomial rolling hash over the word stream:
     h_i = (31·h_{i-1} + hash32(w_i)) mod p. Same text → same value;

@@ -328,31 +328,20 @@ def image_blockhash(media: DataFrame, grid: int = PHASH_GRID) -> DataFrame:
     )
 
 
-def phash_pairs(
-    media: DataFrame,
-    grid: int = PHASH_GRID,
-    bands: int = PHASH_BANDS,
-    max_hamming: int = PHASH_MAX_HAMMING,
+def banded_fingerprints(
+    fp: DataFrame, grid: int = PHASH_GRID, bands: int = PHASH_BANDS
 ) -> DataFrame:
-    """Perceptual near-duplicate pairs: block-mean fingerprints fed
-    through the banded pair machinery (the minhash_pairs shape,
-    dedup.py): split the ``grid²``-bit fingerprint into ``bands``
-    equal bands, hash-join same-band buckets (id_a < id_b — never an
-    all-pairs product; ≤ ``max_hamming`` flipped bits corrupt at most
-    ``max_hamming`` bands, so with max_hamming < bands at least one
-    band survives and recall is EXACT), then verify with the exact
-    Hamming distance (bit_count over both xor'd halves). Output
-    (id_a, id_b, hamming)."""
+    """(doc_id, phash_lo, phash_hi, band, key): the fingerprint table
+    exploded into its ``bands`` equal bit-slices — the banded layout
+    the pair join buckets on, and the schema the persisted phash index
+    stores (phash_index_write). The fingerprint halves ride along so
+    candidate VERIFICATION (exact Hamming) never has to re-decode the
+    source binary — unlike the text band index, where verify must
+    re-touch the corpus text for exact Jaccard, the 64-bit fingerprint
+    IS the verification payload."""
     nbits = grid * grid
     assert nbits % bands == 0 and nbits <= 64
     r = nbits // bands
-    assert max_hamming < bands, "a pair could corrupt every band"
-    # Fingerprint ONCE: both self-join sides (and the verify columns)
-    # read the same 3-long-column table, so materialize it instead of
-    # running the Arrow decode twice over the binaries — at ingest
-    # scale this is the persisted fingerprint column, the band-index
-    # shape.
-    fp = image_blockhash(media, grid).localCheckpoint(eager=True)
     half = nbits // 2  # bits below `half` live in phash_lo
 
     def band_key(b: int) -> str:
@@ -363,7 +352,7 @@ def phash_pairs(
         )
         return f"(({src} >> {off}) & {(1 << r) - 1})"
 
-    banded = fp.select(
+    return fp.select(
         "doc_id",
         "phash_lo",
         "phash_hi",
@@ -379,6 +368,45 @@ def phash_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "phash_lo", "phash_hi", "bk.band", "bk.key")
+
+
+def _verify_hamming(cand: DataFrame, max_hamming: int) -> DataFrame:
+    """Exact-Hamming verification of banded candidates carrying both
+    fingerprints: bit_count over both xor'd halves, then the gate."""
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "cast(bit_count(_la ^ _lb) + bit_count(_ha ^ _hb) as int)"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_pairs(
+    media: DataFrame,
+    grid: int = PHASH_GRID,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: block-mean fingerprints fed
+    through the banded pair machinery (the minhash_pairs shape,
+    dedup.py): split the ``grid²``-bit fingerprint into ``bands``
+    equal bands, hash-join same-band buckets (id_a < id_b — never an
+    all-pairs product; ≤ ``max_hamming`` flipped bits corrupt at most
+    ``max_hamming`` bands, so with max_hamming < bands at least one
+    band survives and recall is EXACT), then verify with the exact
+    Hamming distance (bit_count over both xor'd halves). Output
+    (id_a, id_b, hamming)."""
+    assert max_hamming < bands, "a pair could corrupt every band"
+    # Fingerprint ONCE: both self-join sides (and the verify columns)
+    # read the same 3-long-column table, so materialize it instead of
+    # running the Arrow decode twice over the binaries — at ingest
+    # scale this is the persisted fingerprint column, the band-index
+    # shape.
+    fp = image_blockhash(media, grid).localCheckpoint(eager=True)
+    banded = banded_fingerprints(fp, grid, bands)
     a = banded.select(
         F.col("doc_id").alias("id_a"),
         F.col("phash_lo").alias("_la"),
@@ -399,13 +427,138 @@ def phash_pairs(
         .select("id_a", "id_b", "_la", "_ha", "_lb", "_hb")
         .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.expr(
-                "cast(bit_count(_la ^ _lb) + bit_count(_ha ^ _hb) as int)"
-            ),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return _verify_hamming(cand, max_hamming).select("id_a", "id_b", "hamming")
+
+
+def phash_index_write(
+    media: DataFrame,
+    path: str,
+    grid: int = PHASH_GRID,
+    bands: int = PHASH_BANDS,
+) -> None:
+    """Materialize the corpus phash band index: decode + fingerprint
+    the corpus ONCE at ingest and persist (doc_id, phash_lo, phash_hi,
+    band, key) partitioned by band — the mm twin of dedup.py's
+    band_index_write, completing the ingest-maintained artifact family
+    (IVF clusters, dedup bands, Z-order tiles, phash bands). At 100 TB
+    the payoff is bigger than the text case: the expensive stage is
+    the image DECODE, and because the stored fingerprint halves are
+    also the verification payload, an incremental near-dup run served
+    from this index never touches a corpus binary at all. The
+    repartition co-locates each band into ONE file per write (the
+    band_index_write small-files rationale, measured in SCALE.md
+    round 9)."""
+    banded_fingerprints(
+        image_blockhash(media, grid), grid, bands
+    ).repartition("band").write.mode("overwrite").partitionBy("band").parquet(
+        path
     )
+
+
+def phash_index_append(
+    media: DataFrame,
+    path: str,
+    grid: int = PHASH_GRID,
+    bands: int = PHASH_BANDS,
+) -> None:
+    """Append a new batch's fingerprint bands into an existing phash
+    index. Fingerprinting is a pure per-image function, so
+    write(corpus) + append(batch) is row-for-row identical to a full
+    re-fingerprint of corpus ∪ batch (the band_index_append argument;
+    pinned in tests/test_multimodal.py). O(batch decodes) per ingest
+    tick; one file per band per append (band_index_compact's shape
+    repays the growth)."""
+    banded_fingerprints(
+        image_blockhash(media, grid), grid, bands
+    ).repartition("band").write.mode("append").partitionBy("band").parquet(
+        path
+    )
+
+
+def phash_pairs_incremental(
+    batch_media: DataFrame,
+    index: DataFrame,
+    bands: int = PHASH_BANDS,
+    grid: int = PHASH_GRID,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Incremental perceptual near-dup: candidate pairs ONLY between a
+    NEW image batch and the corpus phash index, plus within-batch
+    pairs — never corpus × corpus, and the corpus binaries are NEVER
+    decoded (the index's fingerprint halves are both the bucket key
+    source and the exact-Hamming verification payload). The mm twin of
+    dedup.py minhash_pairs_incremental, with a stronger at-scale
+    claim: the text path must re-touch corpus text to verify exact
+    Jaccard; this path's corpus side is the index scan, full stop.
+
+    ``index``: the phash_index_write layout (doc_id, phash_lo,
+    phash_hi, band, key). Precondition: batch and corpus doc ids are
+    DISJOINT (same contract as minhash_pairs_incremental); equal-id
+    cross hits are filtered defensively. Output (id_a, id_b, hamming,
+    pair_kind) with id_a < id_b and pair_kind ∈ {'batch_batch',
+    'cross'} — exactly phash_pairs over corpus ∪ batch RESTRICTED to
+    pairs touching the batch (oracle replays the full computation plus
+    the restriction)."""
+    assert max_hamming < bands, "a pair could corrupt every band"
+    b_fp = image_blockhash(batch_media, grid).localCheckpoint(eager=True)
+    b_banded = banded_fingerprints(b_fp, grid, bands)
+    # Within-batch pairs: the phash_pairs self-join over batch rows only.
+    a = b_banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash_lo").alias("_la"),
+        F.col("phash_hi").alias("_ha"),
+        "band",
+        "key",
+    )
+    b = b_banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash_lo").alias("_lb"),
+        F.col("phash_hi").alias("_hb"),
+        "band",
+        "key",
+    )
+    bb = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_la", "_ha", "_lb", "_hb")
+        .distinct()
+    )
+    # Cross pairs: batch bands hash-joined against the INDEX — the
+    # corpus side is a partitioned-parquet scan of ~bands small rows
+    # per image, no decode, no shuffle wider than the bucket hits.
+    idx = index.select(
+        F.col("doc_id").alias("_cid"),
+        F.col("phash_lo").alias("_cl"),
+        F.col("phash_hi").alias("_ch"),
+        F.col("band").cast("int").alias("band"),
+        "key",
+    )
+    cross = (
+        b_banded.select(
+            F.col("doc_id").alias("_bid"),
+            F.col("phash_lo").alias("_bl"),
+            F.col("phash_hi").alias("_bh"),
+            "band",
+            "key",
+        )
+        .join(idx, ["band", "key"])
+        .where(F.col("_bid") != F.col("_cid"))
+        .select(
+            F.least("_bid", "_cid").alias("id_a"),
+            F.greatest("_bid", "_cid").alias("id_b"),
+            # Hamming is symmetric: fingerprint sides need not follow
+            # the id ordering.
+            F.col("_bl").alias("_la"),
+            F.col("_bh").alias("_ha"),
+            F.col("_cl").alias("_lb"),
+            F.col("_ch").alias("_hb"),
+        )
+        .distinct()
+    )
+    out_bb = _verify_hamming(bb, max_hamming).select(
+        "id_a", "id_b", "hamming", F.lit("batch_batch").alias("pair_kind")
+    )
+    out_cross = _verify_hamming(cross, max_hamming).select(
+        "id_a", "id_b", "hamming", F.lit("cross").alias("pair_kind")
+    )
+    return out_bb.unionByName(out_cross)

@@ -694,7 +694,7 @@ FROM sampled
 # Composite row: the four modality pipelines as a branch-tagged sparse
 # union (round-4 consolidation). The resize branch reuses the image
 # columns for the resized dims/mean.
-def _o_mm_phash() -> str:
+def _o_mm_phash(incremental: bool = False) -> str:
     """Perceptual block-mean-hash near-dup oracle (registry
     q_mm_phash_dedup, operators/multimodal.py fake_images_neardup →
     image_blockhash → phash_pairs): recompute every pixel of the
@@ -702,7 +702,13 @@ def _o_mm_phash() -> str:
     never parsed — the hex chain IS the payload), replay the 64
     integer block-mean bits into the two 32-bit fingerprint halves,
     band them 8×8, and verify candidates with the exact Hamming
-    distance — mirroring the Spark operator stage for stage."""
+    distance — mirroring the Spark operator stage for stage.
+
+    ``incremental``: the q_mm_phash_incremental contract — the SAME
+    full computation RESTRICTED to pairs touching the daily batch
+    (doc_id % DEDUP_BATCH_MOD = 0), tagged batch_batch/cross: the
+    index-served operator must lose nothing and add nothing vs a full
+    re-fingerprint, exactly the O_DEDUP_INCREMENTAL argument."""
     # block k: by = k//8, bx = k%8; its four pixels (1-based list idx)
     def blk_sum(k: int) -> str:
         by, bx = divmod(k, 8)
@@ -716,6 +722,16 @@ def _o_mm_phash() -> str:
     hi = " + ".join(
         f"(CASE WHEN 2 * {blk_sum(k + 32)} > 1020 THEN {1 << k} ELSE 0 END)"
         for k in range(32)
+    )
+    mod = DEDUP_BATCH_MOD
+    pair_kind = (
+        f",\n       CASE WHEN id_a % {mod} = 0 AND id_b % {mod} = 0"
+        f" THEN 'batch_batch' ELSE 'cross' END AS pair_kind"
+        if incremental
+        else ""
+    )
+    restrict = (
+        f"\n  AND (id_a % {mod} = 0 OR id_b % {mod} = 0)" if incremental else ""
     )
     return f"""
 WITH m AS (
@@ -763,13 +779,14 @@ cand AS (
 )
 SELECT id_a, id_b,
        CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
-         AS hamming
+         AS hamming{pair_kind}
 FROM cand
-WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3{restrict}
 """
 
 
 O_MM_PHASH_DEDUP = _o_mm_phash()
+O_MM_PHASH_INCREMENTAL = _o_mm_phash(incremental=True)
 
 
 O_MM_MEDIA = f"""
@@ -915,6 +932,72 @@ SELECT doc_id, n_chars, n_tokens,
        len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
        CAST(ceil(length(text) / 4.0) AS INT) AS subword_estimate
 FROM q
+"""
+
+
+_O_GOPHER_STOP = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+
+
+# Replays the registry row's deterministic augmentation (doc_id % 7
+# lanes making each rule demonstrably fire), then the integer
+# cross-multiplied Gopher verdicts — no float division anywhere, so
+# every count and flag is bit-identical.
+O_TEXT_GOPHER_QUALITY = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN text || ' ' || repeat('# ', 11) || '#'
+           WHEN 1 THEN text || repeat(chr(10) || '- item', 10)
+           WHEN 2 THEN text || repeat(chr(10) || 'wait for it...', 4)
+           WHEN 3 THEN text || repeat(' 12345', 30)
+           WHEN 4 THEN text || repeat(' abcdefghijklmnopqrstuvwxyz', 40)
+           WHEN 5 THEN text || ' to be of and that'
+           ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+         string_split(text, chr(10)) AS ln
+  FROM aug
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+           AS word_chars,
+         CAST(len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT)
+           AS bullet_lines,
+         CAST(len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT)
+           AS ellipsis_lines,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS alpha_words,
+         CAST(len(list_filter([{_O_GOPHER_STOP}], s -> list_contains(w, s))) AS BIGINT)
+           AS stop_hits
+  FROM t
+),
+f AS (
+  SELECT *,
+         (n_words >= {textstats.GOPHER_MIN_WORDS}
+          AND n_words <= {textstats.GOPHER_MAX_WORDS}) AS ok_words,
+         (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS ok_mean_len,
+         (10 * sym_hits <= n_words) AS ok_symbol,
+         (10 * bullet_lines <= 9 * n_lines) AS ok_bullet,
+         (10 * ellipsis_lines <= 3 * n_lines) AS ok_ellipsis,
+         (5 * alpha_words >= 4 * n_words) AS ok_alpha,
+         (stop_hits >= 2) AS ok_stop
+  FROM c
+)
+SELECT doc_id, n_words, word_chars, sym_hits, n_lines, bullet_lines,
+       ellipsis_lines, alpha_words, stop_hits,
+       ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis, ok_alpha,
+       ok_stop,
+       (ok_words AND ok_mean_len AND ok_symbol AND ok_bullet AND ok_ellipsis
+        AND ok_alpha AND ok_stop) AS keep
+FROM f
 """
 
 

@@ -141,6 +141,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_MM_FRAME_SAMPLE,
     O_MM_MEDIA,
     O_MM_PHASH_DEDUP,
+    O_MM_PHASH_INCREMENTAL,
     O_PROJ_SIM_FAMILY,
     O_PROJ_SIMILARITY,
     O_RAG_PROMPTS,
@@ -170,6 +171,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_DECONTAMINATE,
     O_TEXT_PERPLEXITY,
     O_TEXT_SCRUB,
+    O_TEXT_GOPHER_QUALITY,
     O_TEXT_FINGERPRINT,
     O_TEXT_KEYWORDS,
     O_TEXT_LANG_ID,
@@ -3206,6 +3208,89 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 table A1 —
+    the MassiveText screen adopted by RefinedWeb/Dolma): word-count
+    bounds, mean word length 3-10, symbol-to-word ≤ 0.1, bullet lines
+    ≤ 90%, ellipsis lines ≤ 30%, ≥ 80% alphabetic words, ≥ 2 distinct
+    stop words. Every verdict is an integer cross-multiplication
+    (functions/textstats.py gopher_flags) — no float division, so both
+    engines replay the booleans bit-identically. The synthetic corpus
+    is single-line prose with only "the" from the stop list, so six
+    doc_id%7 lanes deterministically augment it (hash soup / bullet
+    lines / ellipsis lines / numeric words / 26-char words / appended
+    stop words) to make every rule demonstrably fire in BOTH
+    directions; the word-count rule varies naturally (10-99-word
+    docs), and only the stop-word lane can produce keep=true.
+    Pure scan-fused Catalyst projection: zero shuffles, zero Python."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.expr("repeat('# ', 11)"), F.lit("#"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.col("text"), F.expr("repeat(concat(chr(10), '- item'), 10)")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(concat(chr(10), 'wait for it...'), 4)"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.expr("repeat(' 12345', 30)")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(' abcdefghijklmnopqrstuvwxyz', 40)"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.col("text"), F.lit(" to be of and that")),
+        )
+        .otherwise(F.col("text"))
+    )
+    # Stage tokens/lines → counts → flags: inlined, each of the eight
+    # count lambdas would re-split the text (CSE-opaque), and the flag
+    # expressions would re-derive each count ~2×.
+    g_keys = (
+        "n_words", "word_chars", "sym_hits", "n_lines", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stop_hits",
+    )
+    staged = (
+        docs.withColumn("text", aug)
+        .withColumn("_toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .withColumn("_lines", F.split(F.col("text"), "\n"))
+    )
+    g = textstats.gopher_components(
+        F.col("text"), toks=F.col("_toks"), lines=F.col("_lines")
+    )
+    counts = staged.select("doc_id", *[g[k].alias(k) for k in g_keys])
+    fl = textstats.gopher_flags({k: F.col(k) for k in g_keys})
+    flagged = counts.select(
+        "doc_id", *g_keys, *[fl[k].alias(k) for k in sorted(fl)]
+    )
+    keep = F.lit(True)
+    for k in sorted(fl):
+        keep = keep & F.col(k)
+    return flagged.select(
+        "doc_id", *g_keys, *sorted(fl), keep.alias("keep")
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash over the word stream —
     the document-fingerprint complement to the bag-of-words MinHash."""
@@ -3637,6 +3722,60 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     media = mm_ops.fake_images_neardup(docs)
     return mm_ops.phash_pairs(media)
+
+
+_PHASHIDX_CACHE: dict[str, str] = {}
+
+
+def _phash_index_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Per-process cached phash band index over the planted near-dup
+    corpus' CORPUS half (doc_id % DEDUP_BATCH_MOD != 0), built as
+    write(first half) + append(second half) so the append ≡ rebuild
+    contract is under the oracle gate too (any append divergence
+    changes the served pairs)."""
+    path = _PHASHIDX_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_phashidx_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs = tables.load(spark, sf_dir, "documents")
+    media = mm_ops.fake_images_neardup(docs).filter(
+        F.col("doc_id") % DEDUP_BATCH_MOD != 0
+    )
+    p = os.path.join(work, "phash_bands")
+    mm_ops.phash_index_write(media.filter(F.col("doc_id") < 100), p)
+    mm_ops.phash_index_append(media.filter(F.col("doc_id") >= 100), p)
+    _PHASHIDX_CACHE[sf_dir] = p
+    return p
+
+
+def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental multimodal near-dup served from the MATERIALIZED
+    phash band index (operators/multimodal.py phash_index_write /
+    phash_pairs_incremental): the daily image batch (doc_id %
+    DEDUP_BATCH_MOD = 0) is decoded and fingerprinted; the corpus side
+    is a plain SCAN of the persisted (doc_id, phash_lo, phash_hi,
+    band, key) layout — corpus binaries are NEVER re-decoded, and
+    because the stored fingerprint halves are also the verification
+    payload, not even a corpus re-read is needed to verify (stronger
+    than the text twin ``dedup_incremental_indexed``, whose Jaccard
+    verify must re-touch corpus text). Completes the
+    ingest-maintained-artifact family for the mm pillar. The oracle
+    replays the FULL fingerprint/band/verify computation restricted to
+    batch-touching pairs — the index-served path must lose nothing and
+    add nothing. Tampered-index + batch-only-decode pins in
+    tests/test_multimodal.py."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    batch = mm_ops.fake_images_neardup(docs).filter(
+        F.col("doc_id") % DEDUP_BATCH_MOD == 0
+    )
+    idx = spark.read.parquet(_phash_index_layout(spark, sf_dir))
+    return mm_ops.phash_pairs_incremental(batch, idx)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5185,6 +5324,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         O_AGG_PERCENTILES_APPROX,
     ),
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
+    # -- round-10 breadth, past the window (round-11 candidates) --
+    "text_gopher_quality": (q_text_gopher_quality, O_TEXT_GOPHER_QUALITY),
+    "mm_phash_incremental": (q_mm_phash_incremental, O_MM_PHASH_INCREMENTAL),
 }
 
 

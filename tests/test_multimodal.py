@@ -159,3 +159,84 @@ def test_fake_images_neardup_payload_contract(spark):
     assert b25[64:66] == b"\xff\xff" and b50[64:68] == b"\xff" * 4
     assert b0[:64] == b25[:64] == b50[:64]  # shared base before splice
     assert b0[66:] == b25[66:] and b0[68:] == b50[68:]  # after splice
+
+
+def test_phash_index_append_equals_rebuild(spark, tmp_path):
+    """write(first half) + append(second half) is row-for-row identical
+    to a one-shot write of the union: fingerprinting is a pure
+    per-image function (the band_index_append argument)."""
+    docs = spark.createDataFrame([(i,) for i in range(80)], "doc_id long")
+    media = mm.fake_images_neardup(docs)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    mm.phash_index_write(media, full)
+    mm.phash_index_write(media.filter(F.col("doc_id") < 40), inc)
+    mm.phash_index_append(media.filter(F.col("doc_id") >= 40), inc)
+    cols = ["doc_id", "phash_lo", "phash_hi", "band", "key"]
+    a = sorted(tuple(r) for r in spark.read.parquet(full).select(cols).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(inc).select(cols).collect())
+    assert a == b and len(a) == 80 * 8
+
+
+def test_phash_incremental_equals_full_restricted(spark, tmp_path):
+    """The index-served incremental pairs are EXACTLY phash_pairs over
+    corpus ∪ batch restricted to batch-touching pairs, with the right
+    pair_kind tags — nothing lost, nothing invented."""
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    media = mm.fake_images_neardup(docs)
+    corpus = media.filter(F.col("doc_id") % 10 != 0)
+    batch = media.filter(F.col("doc_id") % 10 == 0)
+    p = str(tmp_path / "idx")
+    mm.phash_index_write(corpus, p)
+    got = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["pair_kind"])
+        for r in mm.phash_pairs_incremental(
+            batch, spark.read.parquet(p)
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs(media).collect()
+    }
+    want = {
+        k: (v, "batch_batch" if k[0] % 10 == 0 and k[1] % 10 == 0 else "cross")
+        for k, v in full.items()
+        if k[0] % 10 == 0 or k[1] % 10 == 0
+    }
+    assert got == want and any(
+        kind == "batch_batch" for _, kind in got.values()
+    ) and any(kind == "cross" for _, kind in got.values())
+
+
+def test_phash_incremental_trusts_index(spark, tmp_path):
+    """Hand-tampering one corpus fingerprint in the index shifts the
+    served pairs — proving the operator reads the index VERBATIM and
+    never re-decodes a corpus binary (the dedup_incremental_indexed
+    tampered-index pin, mm edition)."""
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    media = mm.fake_images_neardup(docs)
+    corpus = media.filter(F.col("doc_id") % 10 != 0)
+    batch = media.filter(F.col("doc_id") % 10 == 0)
+    p = str(tmp_path / "idx")
+    mm.phash_index_write(corpus, p)
+    idx = spark.read.parquet(p)
+    honest = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs_incremental(batch, idx).collect()
+    }
+    # flip one fingerprint bit on every corpus row of one near-dup group
+    tampered = idx.withColumn(
+        "phash_lo",
+        F.when(
+            F.col("doc_id") % 25 == 5, F.expr("phash_lo ^ 1")
+        ).otherwise(F.col("phash_lo")),
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs_incremental(batch, tampered).collect()
+    }
+    assert got != honest
+    # and the shift is exactly on group-5 cross pairs' hamming
+    changed = {k for k in set(honest) | set(got) if honest.get(k) != got.get(k)}
+    assert changed and all(
+        k[0] % 25 == 5 or k[1] % 25 == 5 for k in changed
+    )

@@ -104,3 +104,90 @@ def test_repetition_short_docs_have_empty_ngram_sets(spark):
     ).collect()}
     assert rows[0]["dup_bigram_frac"] == 0.0   # < n tokens -> empty grams
     assert rows[1]["dup_trigram_frac"] == 0.0
+
+
+def _py_gopher(text: str) -> dict:
+    """Plain-Python reference for the Gopher rules (integer math only),
+    mirroring functions/textstats.py gopher_components/gopher_flags."""
+    import re
+
+    toks = re.split(r"\s+", text.strip().lower()) if True else []
+    lines = text.split("\n")
+    g = {
+        "n_words": len(toks),
+        "word_chars": sum(len(t) for t in toks),
+        "sym_hits": text.count("#") + len(re.findall(r"\.\.\.", text)),
+        "n_lines": len(lines),
+        "bullet_lines": sum(1 for l in lines if re.match(r"^\s*[-*•]", l)),
+        "ellipsis_lines": sum(
+            1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l)
+        ),
+        "alpha_words": sum(1 for t in toks if re.search("[a-z]", t)),
+        "stop_hits": sum(
+            1 for w in textstats.GOPHER_STOPWORDS if w in toks
+        ),
+    }
+    g["ok_words"] = (
+        textstats.GOPHER_MIN_WORDS <= g["n_words"] <= textstats.GOPHER_MAX_WORDS
+    )
+    g["ok_mean_len"] = 3 * g["n_words"] <= g["word_chars"] <= 10 * g["n_words"]
+    g["ok_symbol"] = 10 * g["sym_hits"] <= g["n_words"]
+    g["ok_bullet"] = 10 * g["bullet_lines"] <= 9 * g["n_lines"]
+    g["ok_ellipsis"] = 10 * g["ellipsis_lines"] <= 3 * g["n_lines"]
+    g["ok_alpha"] = 5 * g["alpha_words"] >= 4 * g["n_words"]
+    g["ok_stop"] = g["stop_hits"] >= 2
+    return g
+
+
+_GOPHER_DOCS = [
+    # one violator per rule + a clean doc that passes everything
+    (0, "too few words and that is all of it"),                 # n_words < 50
+    (1, " ".join(["supercalifragilistic"] * 60) + " the and"),  # mean len > 10
+    (2, " ".join(["a", "b"] * 30) + " the and"),                # mean len < 3
+    (3, " ".join(["word"] * 50) + " " + "# " * 10 + "the and"), # symbols
+    (4, "\n".join(["- bullet point here the and of that"] * 10)),  # bullets
+    (5, "\n".join(["trailing off the and of that..."] * 5)),    # ellipses
+    (6, " ".join(["123"] * 30 + ["word"] * 30) + " the and"),   # alpha < 80%
+    (7, " ".join(["lonely"] * 60)),                             # no stop words
+    (8, "the quick brown fox jumps over that lazy dog and then "
+        * 6 + "it rests"),                                      # clean: keep
+]
+
+
+def test_gopher_rules_match_python_reference(spark):
+    df = spark.createDataFrame(_GOPHER_DOCS, "doc_id long, text string")
+    g = textstats.gopher_components(F.col("text"))
+    staged = df.select(
+        "doc_id", *[c.alias(n) for n, c in g.items()]
+    )
+    fl = textstats.gopher_flags({k: F.col(k) for k in g})
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in staged.select(
+            "doc_id", *g, *[c.alias(n) for n, c in fl.items()]
+        ).collect()
+    }
+    for doc_id, text in _GOPHER_DOCS:
+        want = _py_gopher(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+
+
+def test_gopher_one_violation_per_crafted_doc(spark):
+    df = spark.createDataFrame(_GOPHER_DOCS, "doc_id long, text string")
+    g = textstats.gopher_components(F.col("text"))
+    staged = df.select("doc_id", *[c.alias(n) for n, c in g.items()])
+    fl = textstats.gopher_flags({k: F.col(k) for k in g})
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in staged.select(
+            "doc_id", *[c.alias(n) for n, c in fl.items()]
+        ).collect()
+    }
+    broken = {
+        0: "ok_words", 1: "ok_mean_len", 2: "ok_mean_len", 3: "ok_symbol",
+        4: "ok_bullet", 5: "ok_ellipsis", 6: "ok_alpha", 7: "ok_stop",
+    }
+    for doc_id, rule in broken.items():
+        assert not rows[doc_id][rule], (doc_id, rule)
+    assert all(rows[8].values()), rows[8]  # the clean doc passes every rule
