@@ -195,6 +195,12 @@ BENCH_KEYS = (
     "retrieval_rrf",
     "stream_curate",
     "mm_phash_dedup",
+    # round-10 past-window breadth (round-11 window candidates)
+    "text_gopher_quality",
+    "mm_phash_incremental",
+    "sketch_hll",
+    "stream_hll",
+    "src_sniff_magic",
 )
 
 

@@ -123,3 +123,36 @@ CM_PROBE_MOD = 13
 # 1-2 mid-tile) so the pruned scan proves both the tile enumeration and
 # the residual row filter; prunes 8 → 2 dirs at sf0.01.
 ZORDER_BOX = (300, 700, 20, 60)
+# src_sniff_magic: deterministic binary-container lanes (doc_id %% 8) —
+# each document's text wrapped behind one public magic signature
+# (container hex = lane header hex + hex(utf8(text))), exercising every
+# sniff rule: PDF, PNG, JPEG, GZIP, EPUB (zip + OCF 'mimetype' first
+# entry at byte offset 30), non-EPUB zip, HTML doctype, raw text. The
+# claimed extension cycles INDEPENDENTLY ((doc_id // 8) %% 4 over
+# _EXTS), so extension and content disagree on most rows both ways.
+
+
+def _sniff_ascii_hex(s: str) -> str:
+    return "".join(f"{b:02X}" for b in s.encode())
+
+
+SNIFF_LANE_HEADERS = (
+    "255044462D312E34",  # %PDF-1.4
+    "89504E470D0A1A0A",  # PNG
+    "FFD8FFE000104A464946",  # JPEG/JFIF
+    "1F8B0800",  # gzip
+    "504B0304" + "00" * 26 + _sniff_ascii_hex("mimetypeapplication/epub+zip"),
+    "504B0304" + "00" * 26 + _sniff_ascii_hex("content.xml"),
+    _sniff_ascii_hex("<!DOCTYPE html><p>"),
+    "",  # raw text — the plaintext fallback lane
+)
+SNIFF_LANE_MIMES = (
+    "application/pdf",
+    "image/png",
+    "image/jpeg",
+    "application/gzip",
+    "application/epub+zip",
+    "application/zip",
+    "text/html",
+    "text/plain",
+)

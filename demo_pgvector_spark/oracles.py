@@ -53,6 +53,7 @@ from demo_pgvector_spark.operators import chunking as chunk_ops
 from demo_pgvector_spark.operators import curation as curation_ops
 from demo_pgvector_spark.operators import dedup as dedup_ops
 from demo_pgvector_spark.operators import ivf as ivf_ops
+from demo_pgvector_spark.operators import sketch as sketch_ops
 from demo_pgvector_spark.operators import skew as skew_ops
 
 
@@ -4318,4 +4319,107 @@ walk(id, lbl) AS (
 comp AS (SELECT id, MIN(lbl) AS k FROM walk GROUP BY id)
 SELECT v.id AS node_id, COALESCE(c.k, v.id) AS component_id
 FROM verts v LEFT JOIN comp c ON v.id = c.id
+"""
+
+
+# HyperLogLog distinct-count sketch (registry q_sketch_hll,
+# operators/sketch.py hll_build/hll_estimate; Flajolet et al. 2007):
+# full register replay — md5-hex→BIGINT 32-bit hash, bottom-10-bit
+# register, rho via length(bin(suffix)), per-register MAX, exact BIGINT
+# z_num, ONE float division by the Python-folded alpha·m²·2^(Q+1)
+# literal (identical IEEE op sequence to the Spark side), linear
+# counting below 2.5·m.
+_HLL_M = 1 << sketch_ops.HLL_P
+_HLL_Q = sketch_ops.HLL_BITS - sketch_ops.HLL_P
+O_SKETCH_HLL = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS _h
+  FROM lineitem
+),
+regs AS (
+  SELECT l_returnflag, _h % {_HLL_M} AS register,
+         MAX(CASE WHEN _h // {_HLL_M} = 0 THEN {_HLL_Q + 1}
+                  ELSE {_HLL_Q} - length(bin(_h // {_HLL_M})) + 1 END) AS rho
+  FROM h GROUP BY 1, 2
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS INT) AS n_set,
+         CAST({_HLL_M} - COUNT(*) AS INT) AS zeros,
+         CAST(({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_Q + 1})
+           + SUM(CAST(1 AS BIGINT) << ({_HLL_Q + 1} - rho)) AS BIGINT) AS z_num
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT l_returnflag, n_set, zeros, z_num,
+         round(CASE WHEN ({sketch_ops.hll_alpha_num()!r} / z_num) <= {2.5 * _HLL_M}
+                         AND zeros > 0
+                    THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+                    ELSE {sketch_ops.hll_alpha_num()!r} / z_num END, 4) AS hll_est
+  FROM g
+),
+ex AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.n_set, e.zeros, e.z_num, e.hll_est,
+       x.exact_orders,
+       abs(e.hll_est - x.exact_orders) <= 0.2 * x.exact_orders AS within_band
+FROM est e JOIN ex x USING (l_returnflag)
+"""
+
+
+# Content-based MIME sniff (registry q_src_sniff_magic, operators/
+# ingest.py sniff_mime — the libmagic verdict as hex-prefix CASE): the
+# oracle rebuilds the identical container hex (lane header + hex(text))
+# and replays every magic rule, the EPUB offset-30 'mimetype' check,
+# the printable-ASCII fallback (uppercase-hex lexicographic order ==
+# numeric byte order), and the content-first routing.
+O_SRC_SNIFF_MAGIC = """
+WITH c AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 8 AS INT)
+           WHEN 0 THEN '255044462D312E34' || hex(text)
+           WHEN 1 THEN '89504E470D0A1A0A' || hex(text)
+           WHEN 2 THEN 'FFD8FFE000104A464946' || hex(text)
+           WHEN 3 THEN '1F8B0800' || hex(text)
+           WHEN 4 THEN '504B030400000000000000000000000000000000000000000000000000006D696D65747970656170706C69636174696F6E2F657075622B7A6970' || hex(text)
+           WHEN 5 THEN '504B03040000000000000000000000000000000000000000000000000000636F6E74656E742E786D6C' || hex(text)
+           WHEN 6 THEN '3C21444F43545950452068746D6C3E3C703E' || hex(text)
+           WHEN 7 THEN hex(text)
+         END AS hx,
+         CASE CAST((doc_id // 8) % 4 AS INT)
+           WHEN 0 THEN 'text/plain'
+           WHEN 1 THEN 'application/epub+zip'
+           WHEN 2 THEN 'text/markdown'
+           ELSE 'application/octet-stream'
+         END AS ext_mime
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ext_mime,
+    CASE
+      WHEN starts_with(hx, '504B0304') THEN
+        CASE WHEN substr(hx, 61, 56) = '6D696D65747970656170706C69636174696F6E2F657075622B7A6970'
+             THEN 'application/epub+zip' ELSE 'application/zip' END
+      WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+      WHEN starts_with(hx, '255044462D') THEN 'application/pdf'
+      WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+      WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+      WHEN starts_with(hx, '3C21444F43545950452068746D6C')
+        OR starts_with(hx, '3C68746D6C') THEN 'text/html'
+      WHEN substr(hx, 1, 2) IN ('09', '0A', '0D')
+        OR (substr(hx, 1, 2) >= '20' AND substr(hx, 1, 2) <= '7E')
+        THEN 'text/plain'
+      ELSE 'application/octet-stream'
+    END AS content_mime
+  FROM c
+)
+SELECT doc_id, ext_mime, content_mime,
+       content_mime <> ext_mime AS mismatch,
+       CASE WHEN content_mime = 'text/plain' THEN 'ready'
+            WHEN content_mime = 'application/epub+zip' THEN 'convert'
+            ELSE 'rejected' END AS route
+FROM s
 """

@@ -218,3 +218,76 @@ def run_bloom_stream(
 def read_bloom(spark, root: str) -> DataFrame:
     """The committed bloom position table (empty before first commit)."""
     return ingest_ops.read_table(spark, root, BLOOM_SCHEMA_DDL)
+
+
+# Default register-table schema for the registry's lineitem demo; a
+# different group_cols tuple passes its matching DDL explicitly.
+HLL_SCHEMA_DDL = "l_returnflag string, register bigint, rho int"
+
+
+def hll_sink(
+    root: str,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = sketch_ops.HLL_P,
+    schema_ddl: str = HLL_SCHEMA_DDL,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function maintaining the HyperLogLog register
+    RELATION (operators/sketch.py hll_build) as a versioned table — the
+    cardinality member of the ingest-maintained sketch family. Per
+    epoch: build the micro-batch's own ≤ m-row register table and fold
+    by per-register MAX (max-merge ≡ build-of-union, pinned in
+    tests/test_sketch.py).
+
+    Exactly-once contrast, completing the trilogy: count-min cell-ADD
+    is not idempotent (epoch marker inside the version directory),
+    bloom bit-OR is idempotent, and register MAX is idempotent too — a
+    retried epoch re-commits an identical version, so at-least-once
+    delivery composes to exactly-once table state with no marker. State
+    is ≤ m rows per group forever, regardless of stream length."""
+
+    def apply(batch: DataFrame, _epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = sketch_ops.hll_build(batch, item_col, group_cols, p)
+        existing = ingest_ops.read_table(spark, root, schema_ddl)
+        merged = (
+            existing.unionByName(delta)
+            .groupBy(*group_cols, "register")
+            .agg(F.max("rho").alias("rho"))
+        )
+        ingest_ops.commit_table(merged, root)
+
+    return apply
+
+
+def run_hll_stream(
+    stream_df: DataFrame,
+    root: str,
+    item_col: str,
+    checkpoint_dir: str,
+    group_cols: tuple[str, ...] = (),
+    batch_shuffle_partitions: int | None = 8,
+    schema_ddl: str = HLL_SCHEMA_DDL,
+) -> None:
+    """Drain ``stream_df`` through the HLL sink (availableNow trigger;
+    the run_countmin_stream shape — narrow scoped shuffle because the
+    fold's result is ≤ m rows per group)."""
+    from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(
+        stream_df.sparkSession, batch_shuffle_partitions
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                hll_sink(root, item_col, group_cols, schema_ddl=schema_ddl)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def read_hll(spark, root: str, schema_ddl: str = HLL_SCHEMA_DDL) -> DataFrame:
+    """The committed HLL register table (empty before first commit)."""
+    return ingest_ops.read_table(spark, root, schema_ddl)

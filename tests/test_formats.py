@@ -45,3 +45,86 @@ def test_columnar_formats_push_down(spark, docs, tmp_path_factory):
 def test_unknown_format_rejected(spark, docs):
     with pytest.raises(ValueError, match="unsupported format"):
         tables.write_table(docs, "/tmp/x", "avro")
+
+
+# ---------------------------------------------------------------------------
+# Content-based MIME sniffing (operators/ingest.py sniff_mime)
+# ---------------------------------------------------------------------------
+
+
+def _sniff(spark, payloads):
+    from demo_pgvector_spark.operators import ingest
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(payloads)],
+        "id long, content binary",
+    )
+    rows = df.select(
+        "id", ingest.sniff_mime(F.col("content")).alias("mime")
+    ).collect()
+    return [r["mime"] for r in sorted(rows, key=lambda r: r["id"])]
+
+
+def test_sniff_magic_reads_bytes_not_names(spark):
+    zip_hdr = b"PK\x03\x04" + b"\x00" * 26
+    payloads = [
+        b"%PDF-1.4 hello",
+        b"\x89PNG\r\n\x1a\n....",
+        b"\xff\xd8\xff\xe0jfif",
+        b"\x1f\x8b\x08\x00gz",
+        zip_hdr + b"mimetypeapplication/epub+zip rest",
+        zip_hdr + b"content.xml rest",  # zip but NOT epub
+        b"<!DOCTYPE html><p>x</p>",
+        b"plain old prose",
+        b"\tindented\ttext",  # tab first byte is still text
+        b"\x00\x01\x02binary junk",  # unprintable -> octet-stream
+    ]
+    assert _sniff(spark, payloads) == [
+        "application/pdf",
+        "image/png",
+        "image/jpeg",
+        "application/gzip",
+        "application/epub+zip",
+        "application/zip",
+        "text/html",
+        "text/plain",
+        "text/plain",
+        "application/octet-stream",
+    ]
+
+
+def test_sniff_magic_tampered_header_changes_verdict(spark):
+    """The verdict must come from the BYTES: flipping one magic byte
+    demotes PNG to octet-stream, and truncating the EPUB 'mimetype'
+    first-entry mark demotes EPUB to plain zip — no name or metadata
+    can rescue either."""
+    zip_hdr = b"PK\x03\x04" + b"\x00" * 26
+    assert _sniff(
+        spark,
+        [
+            b"\x88PNG\r\n\x1a\n....",  # first byte flipped
+            zip_hdr + b"mimetypeapplication/epub+zipX"[:-2],  # mark cut
+        ],
+    ) == ["application/octet-stream", "application/zip"]
+
+
+def test_route_by_content_overrides_extension(spark):
+    """A PDF named .txt must route by CONTENT (rejected — no tool),
+    flagged as a mismatch; a real text file named .txt stays ready."""
+    from demo_pgvector_spark.operators import ingest
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(b"%PDF-1.4 x"), "/import/doc_0.txt"),
+            (1, bytearray(b"just words"), "/import/doc_1.txt"),
+        ],
+        "doc_id long, content binary, filepath string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ingest.route_by_content(df).collect()
+    }
+    assert rows[0]["content_mime"] == "application/pdf"
+    assert rows[0]["mismatch"] and rows[0]["route"] == "rejected"
+    assert rows[1]["content_mime"] == "text/plain"
+    assert not rows[1]["mismatch"] and rows[1]["route"] == "ready"

@@ -158,3 +158,111 @@ def test_countmin_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
         for r in sketch.countmin_build(_df(spark, ITEMS), "item").collect()
     )
     assert got == whole
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (operators/sketch.py hll_build/hll_estimate)
+# ---------------------------------------------------------------------------
+
+
+def _py_hll_registers(items, group, p=sketch.HLL_P):
+    """Pure-Python register replay: md5-hex→32-bit hash, bottom-p-bit
+    register, rho = leading zeros of the top (32−p)-bit suffix + 1."""
+    import hashlib
+
+    m = 1 << p
+    q = sketch.HLL_BITS - p
+    regs: dict[int, int] = {}
+    for x in items:
+        h = int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+        reg, w = h % m, h // m
+        rho = q + 1 if w == 0 else q - w.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return sorted((group, r, v) for r, v in regs.items())
+
+
+def test_hll_registers_match_python_reference(spark):
+    items = list(range(500)) + [3, 3, 3, 7]  # duplicates must not move regs
+    df = spark.createDataFrame(
+        [("g", x) for x in items], "grp string, item long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sketch.hll_build(df, "item", group_cols=("grp",)).collect()
+    )
+    assert got == _py_hll_registers(items, "g")
+
+
+def test_hll_estimate_within_band_and_small_range_branch(spark):
+    # 5000 distinct → raw-estimator branch; 40 distinct → linear
+    # counting (raw ≤ 2.5·m with zeros present). Both must land within
+    # the 20% band the registry row gates on.
+    for n in (5000, 40):
+        df = spark.createDataFrame(
+            [("g", x) for x in range(n)], "grp string, item long"
+        )
+        regs = sketch.hll_build(df, "item", group_cols=("grp",))
+        [row] = sketch.hll_estimate(regs, group_cols=("grp",)).collect()
+        assert abs(row["hll_est"] - n) <= 0.2 * n, (n, row["hll_est"])
+        if n == 40:
+            assert row["zeros"] > 0  # linear-counting branch actually taken
+
+
+def test_hll_max_merge_equals_build_of_union(spark):
+    items = list(range(400))
+    halves = [items[0::2], items[1::2]]
+    dfs = [
+        spark.createDataFrame([("g", x) for x in h], "grp string, item long")
+        for h in halves
+    ]
+    merged = (
+        sketch.hll_build(dfs[0], "item", group_cols=("grp",))
+        .unionByName(sketch.hll_build(dfs[1], "item", group_cols=("grp",)))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sketch.hll_build(
+        spark.createDataFrame(
+            [("g", x) for x in items], "grp string, item long"
+        ),
+        "item",
+        group_cols=("grp",),
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_streaming_hll_sink_is_idempotent_max(spark, tmp_path):
+    """streaming/sketches.py hll_sink: MAX-folding three epoch batches
+    must equal the one-shot register table of their union, and
+    re-applying any epoch changes NOTHING — per-register MAX is
+    idempotent, so this sink needs no epoch marker (contrast
+    countmin_sink; same argument as bloom_sink's bit-OR)."""
+    from demo_pgvector_spark.streaming import sketches as ssk
+
+    rows = [(i, "RA N"[i % 3]) for i in range(120)]
+
+    def _li(chunk):
+        return spark.createDataFrame(
+            chunk, "l_orderkey long, l_returnflag string"
+        )
+
+    root = str(tmp_path / "hll")
+    sink = ssk.hll_sink(root, "l_orderkey", group_cols=("l_returnflag",))
+    for epoch in range(3):
+        sink(_li(rows[epoch::3]), epoch)
+
+    def regs():
+        return sorted(tuple(r) for r in ssk.read_hll(spark, root).collect())
+
+    whole = sorted(
+        tuple(r)
+        for r in sketch.hll_build(
+            _li(rows), "l_orderkey", group_cols=("l_returnflag",)
+        ).collect()
+    )
+    assert regs() == whole and len(whole) > 0
+
+    sink(_li(rows[1::3]), 1)  # retried epoch: table must not move
+    assert regs() == whole
