@@ -201,6 +201,7 @@ BENCH_KEYS = (
     "sketch_hll",
     "stream_hll",
     "src_sniff_magic",
+    "vec_sq8_topk",
 )
 
 

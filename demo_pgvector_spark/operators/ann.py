@@ -791,3 +791,115 @@ def ivfpq_topk_pruned(
             F.round("_l2", 6).alias("l2_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 — scalar (int8) quantization, the storage-reduction scale path
+# ---------------------------------------------------------------------------
+#
+# Complement to PQ above: PQ compresses via codebooks (16 bytes/vector
+# at these settings), SQ8 via per-dimension affine quantization to one
+# unsigned byte per dimension (64 bytes/vector here — 4x smaller than
+# float32, the classic faiss ScalarQuantizer QT_8bit contract). At
+# 100 TB of embeddings the win is I/O: the quantized corpus scan reads
+# a quarter of the bytes; scoring is ADC (asymmetric distance
+# computation) — the float query against corpus codes DECODED on the
+# fly, never against raw codes (a raw uint8 dot product is NOT
+# order-preserving: the per-dimension affine offset adds row-dependent
+# cross terms, verified by the recall test before this landed).
+#
+# Shape: bounds "training" is ONE posexplode + partial-combining
+# min/max aggregate (64 rows out, however large the corpus), folded to
+# a 1-row (mn, mx) array frame and BROADCAST — quantization and decode
+# are scan-fused transform()s, never a shuffle of the corpus. In
+# production the bounds frame and the code column are persisted and
+# maintained like the IVF centroids (append drift monitored the same
+# way); both are computed inline here so the operator is
+# self-contained.
+#
+# Determinism contract: float32 inputs cast to double once; quantize =
+# floor(((x - mn) * 255.0) / (mx - mn)) clamped to [0, 255]; decode =
+# mn + c * ((mx - mn) / 255.0); score = strict left fold of
+# query_i * decoded_i — the same IEEE op sequence on both engines, so
+# the unrounded doubles (and therefore the top-k order, tiebroken on
+# vec_id) agree bit-for-bit.
+
+
+def _sq8_quantize_sql(vec_sql: str) -> str:
+    """SQL for the uint8 code array of ``vec_sql`` given 1-row broadcast
+    bound columns ``mn``/``mx`` (array<double>). A constant dimension
+    (mx = mn) quantizes to 0 via the NULLIF/COALESCE guard (ANSI-safe:
+    no division by zero is ever executed)."""
+    return (
+        f"transform({vec_sql}, (x, i) -> coalesce(cast(least(255.0D, "
+        f"greatest(0.0D, floor((cast(x as double) - element_at(mn, i + 1))"
+        f" * 255.0D / nullif(element_at(mx, i + 1) - element_at(mn, i + 1),"
+        f" 0.0D)))) as int), 0))"
+    )
+
+
+def _sq8_decode_sql(code_sql: str) -> str:
+    """SQL decoding a code array back to doubles with the same bounds:
+    mn + c * ((mx - mn) / 255.0)."""
+    return (
+        f"transform({code_sql}, (c, i) -> element_at(mn, i + 1) + "
+        f"cast(c as double) * ((element_at(mx, i + 1) - "
+        f"element_at(mn, i + 1)) / 255.0D))"
+    )
+
+
+def sq8_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (mn, mx) training bounds as ONE 1-row frame of two
+    position-ordered double arrays — posexplode + min/max partial
+    aggregate, then an ordered array fold (the array_sort(struct)
+    collect the repo uses everywhere order matters)."""
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    per_dim = ex.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    return per_dim.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)"
+        ).alias("mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)"
+        ).alias("mx"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    top_k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Top-k by ADC score: quantize the corpus with broadcast bounds,
+    decode on the fly, dot the FLOAT query against the decoded values
+    (strict left fold), TakeOrderedAndProject with id tiebreak. No
+    shuffle of the corpus anywhere: the bounds aggregate is
+    64-rows-out, everything else is scan → project → top-k."""
+    bounds = sq8_bounds(emb, vec_col)
+    q_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    quant = (
+        emb.crossJoin(F.broadcast(bounds))
+        .withColumn("_query", q_lit)
+        .withColumn("_rq", F.expr(_sq8_quantize_sql(vec_col)))
+        .withColumn("_dec", F.expr(_sq8_decode_sql("_rq")))
+    )
+    scored = quant.select(
+        id_col,
+        *payload_cols,
+        F.expr(
+            "aggregate(zip_with(_query, _dec, (a, b) -> a * b),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        ).alias("_score"),
+    )
+    return (
+        scored.orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(top_k)
+        .select(id_col, *payload_cols, F.round("_score", 6).alias("sq8_score"))
+    )

@@ -4423,3 +4423,50 @@ SELECT doc_id, ext_mime, content_mime,
             ELSE 'rejected' END AS route
 FROM s
 """
+
+
+# SQ8 scalar-quantization top-k (registry q_vec_sq8_topk, operators/
+# ann.py sq8_topk): the oracle independently retrains the per-dimension
+# bounds, re-quantizes the corpus with the identical left-associated
+# float op sequence, decodes, and re-scores the FLOAT query against the
+# decoded values with the same strict left fold (ADC — a raw uint8 dot
+# is not order-preserving) — any divergence in bounds, codes, decode,
+# or fold order hash-mismatches.
+O_VEC_SQ8_TOPK = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+d AS (SELECT unnest(range(1, 65)) AS i),
+pb AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN d GROUP BY i
+),
+b AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM pb),
+qn AS (
+  SELECT e.vec_id, e.label,
+         list_transform(range(1, 65), i ->
+           COALESCE(CAST(least(255.0, greatest(0.0,
+             floor((v[i] - b.mn[i]) * 255.0
+                   / nullif(b.mx[i] - b.mn[i], 0.0)))) AS INT), 0)) AS q
+  FROM e CROSS JOIN b
+),
+dec AS (
+  SELECT qn.vec_id, qn.label,
+         list_transform(range(1, 65), i ->
+           b.mn[i] + CAST(q[i] AS DOUBLE) * ((b.mx[i] - b.mn[i]) / 255.0)) AS dv
+  FROM qn CROSS JOIN b
+),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT n.vec_id, n.label,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> qv.v[i] * n.dv[i])),
+           (acc, x) -> acc + x) AS s
+  FROM dec n CROSS JOIN qv
+)
+SELECT vec_id, label, round(s, 6) AS sq8_score
+FROM scored
+ORDER BY s DESC, vec_id
+LIMIT 10
+"""

@@ -123,6 +123,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SKETCH_COUNTMIN,
     O_SKETCH_HLL,
     O_SRC_SNIFF_MAGIC,
+    O_VEC_SQ8_TOPK,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -1844,6 +1845,23 @@ def q_emb_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the parity row gates the *implementation*, recall is pytest-gated
 # (see operators/ann.py docstring on why full recall is impossible on
 # near-orthogonal data).
+
+
+def q_vec_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization top-k (operators/ann.py sq8_topk —
+    the faiss ScalarQuantizer QT_8bit contract): per-dimension affine
+    bounds trained in ONE posexplode min/max pass (64 rows out,
+    whatever the corpus size), broadcast as a 1-row array frame;
+    corpus and query quantized by the same scan-fused transform();
+    score = pure BIGINT dot product; TakeOrderedAndProject with
+    vec_id tiebreak. The 100 TB case: 4× less scan I/O than float32
+    and an integer-only hot loop — the storage-reduction path next to
+    PQ's codebook path. Full DuckDB replay (bounds → codes → integer
+    scores), bit-identical because quantization is one left-associated
+    IEEE op sequence and everything after it is integer."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.sq8_topk(emb, _query_vec(spark, sf_dir), top_k=10)
 
 
 def q_vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5472,6 +5490,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_hll": (q_sketch_hll, O_SKETCH_HLL),
     "stream_hll": (q_stream_hll, O_SKETCH_HLL),
     "src_sniff_magic": (q_src_sniff_magic, O_SRC_SNIFF_MAGIC),
+    "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
 }
 
 

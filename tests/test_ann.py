@@ -240,3 +240,54 @@ def test_ivfpq_pruned_matches_direct_composition(spark, clustered_df, tmp_path):
     )
     direct = ann.pq_topk(cand, None, q, codebooks=books).collect()
     assert [tuple(r) for r in pruned] == [tuple(r) for r in direct]
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (operators/ann.py sq8_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_recall_vs_exact_on_clustered(spark, clustered_df):
+    """8-bit affine quantization should preserve the exact top-k almost
+    perfectly on clustered data (the faiss QT_8bit experience): require
+    recall@10 >= 0.9 against the float64 brute-force oracle."""
+    rows = [(r["vec_id"], r["embedding"]) for r in clustered_df.collect()]
+    q = np.array(rows[0][1])
+    exact = set(_exact_topk(rows, q, 10))
+    got = {
+        r["vec_id"]
+        for r in ann.sq8_topk(
+            clustered_df, rows[0][1], top_k=10, payload_cols=()
+        ).collect()
+    }
+    assert len(got & exact) >= 9, (got, exact)
+
+
+def test_sq8_codes_hit_bounds_and_constant_dim_is_zero(spark):
+    """x = mn must code to 0, x = mx to 255, and a constant dimension
+    (mx = mn) to 0 via the NULLIF guard — no ANSI division-by-zero."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 5.0]), (1, [10.0, 5.0]), (2, [2.5, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = ann.sq8_bounds(df)
+    quant = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("q", F.expr(ann._sq8_quantize_sql("embedding")))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert quant[0]["q"] == [0, 0]  # mn of dim 0; constant dim 1 -> 0
+    assert quant[1]["q"] == [255, 0]  # mx of dim 0
+    assert quant[2]["q"] == [63, 0]  # floor(2.5/10*255) = 63
+
+
+def test_sq8_topk_no_corpus_shuffle(spark, clustered_df):
+    """The scored scan must be shuffle-free past the 64-row bounds
+    aggregate: broadcast bounds join + TakeOrderedAndProject, no
+    Exchange carrying the corpus."""
+    rows0 = clustered_df.limit(1).collect()[0]["embedding"]
+    plan = ann.sq8_topk(clustered_df, rows0, top_k=10, payload_cols=())._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange allowed is the 64-row per-dimension aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
