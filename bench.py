@@ -202,6 +202,7 @@ BENCH_KEYS = (
     "stream_hll",
     "src_sniff_magic",
     "vec_sq8_topk",
+    "text_dsir",
 )
 
 

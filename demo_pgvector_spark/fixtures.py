@@ -156,3 +156,9 @@ SNIFF_LANE_MIMES = (
     "text/html",
     "text/plain",
 )
+# text_dsir: DSIR importance resampling (Xie et al. 2023) — hashed
+# bigram buckets, add-1 smoothing, target domain = the four sources
+# below, raw pool = every other document; top-K selection.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SRCS = ("src0", "src1", "src2", "src3")
+DSIR_K = 50

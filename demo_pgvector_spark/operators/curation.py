@@ -1100,3 +1100,93 @@ def curate_incremental(
             | F.col("contaminated")
         ),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: "Data
+    Selection for Language Models via Importance Resampling") — the
+    data-selection step between raw crawl and curated corpus: score
+    every document in the RAW pool by how target-like its hashed
+    bigram distribution is,
+
+        logw(doc) = Σ_bigrams  ln p̂_target(bucket) − ln p̂_raw(bucket),
+
+    with bigrams hashed into ``n_buckets`` buckets (the repo's
+    md5-hex→BIGINT bridge, engine-portable) and add-1 smoothing
+    p̂(b) = (cnt(b) + 1) / (N + B). High-weight documents are the ones
+    importance resampling keeps.
+
+    Scale shape: bigram construction is the pure array expression of
+    ``bigram_logprob`` (no self-join, no lag window); the two bucket
+    tables are ≤ B rows each regardless of corpus size (map-side
+    combined) and the log-ratio table joins BROADCAST onto the exploded
+    raw stream; the only corpus-sized exchange is the final per-document
+    fold. Float determinism: the per-document sum is the ordered
+    ``aggregate(array_sort(collect_list(struct(pos, lr))))`` fold —
+    bit-identical addend order to DuckDB's ``list_sum(list(lr ORDER BY
+    pos))``.
+
+    Returns (id, n_bigrams, _w unrounded) for every raw-pool document
+    with ≥ 1 bigram; callers order/limit/round (registry
+    q_text_dsir keeps the top DSIR_K)."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    pair_structs = F.expr(
+        "transform(sequence(2, size(_t)), i -> struct("
+        "i as pos, concat(element_at(_t, i - 1), ' ', element_at(_t, i)) as bg))"
+    )
+    grams = (
+        docs.select(
+            F.col(id_col), target_filter.alias("_is_target"), t.alias("_t")
+        )
+        .filter(F.size("_t") >= 2)
+        .select(F.col(id_col), "_is_target", F.explode(pair_structs).alias("b"))
+        .select(
+            id_col,
+            "_is_target",
+            "b.pos",
+            F.expr(
+                f"cast(conv(substring(md5(b.bg), 1, 8), 16, 10) as bigint)"
+                f" % {n_buckets}"
+            ).alias("bucket"),
+        )
+    )
+    tgt = grams.filter(F.col("_is_target"))
+    raw = grams.filter(~F.col("_is_target"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_total = tgt.agg(F.count(F.lit(1)).alias("_tt"))
+    raw_total = raw.agg(F.count(F.lit(1)).alias("_rt"))
+    # full bucket domain so unseen buckets still carry the smoothed
+    # ratio; ≤ B rows after the outer join, broadcast below
+    ratios = (
+        tgt_counts.join(raw_counts, "bucket", "full")
+        .crossJoin(tgt_total)
+        .crossJoin(raw_total)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_tt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_rt") + n_buckets).cast("double")
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = raw.join(F.broadcast(ratios), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, _lr))),"
+            " 0D, (a, x) -> a + x._lr)"
+        ).alias("_w"),
+    )

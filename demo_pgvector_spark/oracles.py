@@ -4470,3 +4470,45 @@ FROM scored
 ORDER BY s DESC, vec_id
 LIMIT 10
 """
+
+
+# DSIR importance weights (registry q_text_dsir, operators/curation.py
+# dsir_weights; Xie et al. 2023): the oracle replays hashed-bigram
+# buckets (md5-hex→BIGINT bridge), both smoothed bucket distributions,
+# the per-bucket log ratio, and the position-ordered per-document fold.
+O_TEXT_DSIR = """
+WITH toks AS (
+  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_t,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_t, CAST(u.i AS INT) AS pos,
+         CAST(('0x' || substr(md5(t[u.i - 1] || ' ' || t[u.i]), 1, 8))::UBIGINT AS BIGINT)
+           % 4096 AS bucket
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(2, len(t) + 1)) AS i) u
+  WHERE len(t) >= 2
+),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM grams WHERE is_t GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM grams WHERE NOT is_t GROUP BY bucket),
+tt AS (SELECT COUNT(*) AS n FROM grams WHERE is_t),
+rt AS (SELECT COUNT(*) AS n FROM grams WHERE NOT is_t),
+ratios AS (
+  SELECT bucket,
+         ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(tt.n + 4096 AS DOUBLE))
+         - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(rt.n + 4096 AS DOUBLE)) AS lr
+  FROM tc FULL JOIN rc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+),
+scored AS (
+  SELECT g.doc_id, g.pos, r.lr
+  FROM grams g JOIN ratios r USING (bucket)
+  WHERE NOT g.is_t
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_sum(list(lr ORDER BY pos)) AS w
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(w, 6) AS dsir_logw
+FROM agg ORDER BY w DESC, doc_id LIMIT 50
+"""

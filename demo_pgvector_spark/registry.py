@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 
 from demo_pgvector_spark import tables
 from demo_pgvector_spark.fixtures import (
+    DSIR_BUCKETS,
+    DSIR_K,
+    DSIR_TARGET_SRCS,
     SNIFF_LANE_HEADERS,
     BFS_MAX_HOPS,
     BFS_SEED_MOD,
@@ -124,6 +127,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SKETCH_HLL,
     O_SRC_SNIFF_MAGIC,
     O_VEC_SQ8_TOPK,
+    O_TEXT_DSIR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -5012,6 +5016,33 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/curation.py dsir_weights; Xie et
+    al. 2023): every raw-pool document scored by the hashed-bigram
+    log-likelihood ratio between the target domain (sources
+    src0-src3) and the raw pool, add-1 smoothed; the top DSIR_K
+    importance-resampling keepers returned. The modern
+    target-conditioned complement to the unconditional quality screens
+    (text_quality/_model, text_perplexity): same one-pass bounded-state
+    shape — two ≤ B-row bucket tables broadcast onto the exploded
+    stream, ordered per-doc fold, corpus never shuffled except the
+    final per-doc aggregate."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    w = curation_ops.dsir_weights(
+        docs,
+        F.col("source").isin(*DSIR_TARGET_SRCS),
+        n_buckets=DSIR_BUCKETS,
+    )
+    return (
+        w.orderBy(F.desc("_w"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select(
+            "doc_id", "n_bigrams", F.round("_w", 6).alias("dsir_logw")
+        )
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
     complement to the dense vec_* retrieval family. Two scans, zero
@@ -5491,6 +5522,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_hll": (q_stream_hll, O_SKETCH_HLL),
     "src_sniff_magic": (q_src_sniff_magic, O_SRC_SNIFF_MAGIC),
     "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
+    "text_dsir": (q_text_dsir, O_TEXT_DSIR),
 }
 
 

@@ -659,3 +659,83 @@ def test_bloom_decontaminate_rejects_doubly_missing_filter(spark, docs_df):
 
     with _pytest.raises(ValueError, match="eval_docs or bloom_positions"):
         curation.bloom_decontaminate(docs_df, None)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (curation.dsir_weights)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_py_weights(rows, target_ids, n_buckets=64):
+    """Pure-Python replay of the DSIR chain: md5-bucketed bigrams,
+    add-1 smoothed target/raw distributions, position-ordered sum."""
+    import hashlib
+
+    def buckets(text):
+        w = text.lower().split(" ")
+        return [
+            int(hashlib.md5(f"{w[i - 1]} {w[i]}".encode()).hexdigest()[:8], 16)
+            % n_buckets
+            for i in range(1, len(w))
+        ]
+
+    tgt, raw = {}, {}
+    tt = rt = 0
+    for did, text in rows:
+        for b in buckets(text):
+            if did in target_ids:
+                tgt[b] = tgt.get(b, 0) + 1
+                tt += 1
+            else:
+                raw[b] = raw.get(b, 0) + 1
+                rt += 1
+    out = {}
+    for did, text in rows:
+        if did in target_ids:
+            continue
+        w = 0.0
+        for b in buckets(text):
+            w += math.log((tgt.get(b, 0) + 1) / (tt + n_buckets)) - math.log(
+                (raw.get(b, 0) + 1) / (rt + n_buckets)
+            )
+        if buckets(text):
+            out[did] = round(w, 6)
+    return out
+
+
+def test_dsir_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox is quick and brown"),
+        (2, "quick brown animals jump over lazy dogs daily"),
+        (3, "stock prices fell sharply amid market turmoil today"),
+        (4, "short"),  # no bigram — must be absent from the output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: round(r["_w"], 6)
+        for r in curation.dsir_weights(
+            df, F.col("doc_id").isin(0, 1), n_buckets=64
+        ).collect()
+    }
+    assert got == _dsir_py_weights(rows, {0, 1})
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    target = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    like = [(10, "alpha beta gamma delta unrelated tail")]
+    unlike = [(11, "uno dos tres cuatro cinco seis")]
+    df = spark.createDataFrame(
+        target + like + unlike, "doc_id long, text string"
+    )
+    w = {
+        r["doc_id"]: r["_w"]
+        for r in curation.dsir_weights(
+            df, F.col("doc_id") < 4, n_buckets=256
+        ).collect()
+    }
+    assert w[10] > w[11], w
