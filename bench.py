@@ -203,6 +203,7 @@ BENCH_KEYS = (
     "src_sniff_magic",
     "vec_sq8_topk",
     "text_dsir",
+    "text_ccnet_buckets",
 )
 
 

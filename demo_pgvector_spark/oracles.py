@@ -4512,3 +4512,48 @@ agg AS (
 SELECT doc_id, n_bigrams, ROUND(w, 6) AS dsir_logw
 FROM agg ORDER BY w DESC, doc_id LIMIT 50
 """
+
+
+# CCNet head/middle/tail perplexity terciles (registry
+# q_text_ccnet_buckets; Wenzek et al. 2020 §4.3): the bigram-LM score
+# chain of O_TEXT_PERPLEXITY verbatim, then NTILE(3) over the rounded
+# score with doc_id tiebreak — both engines window over bit-identical
+# 6dp doubles, and NTILE's ±1 width contract is deterministic given a
+# total order.
+O_TEXT_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, t[u.i] AS w,
+         CASE WHEN u.i = 1 THEN NULL ELSE t[u.i - 1] END AS wp
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+),
+uni AS (SELECT w, COUNT(*) AS cw FROM pos GROUP BY w),
+tot AS (SELECT SUM(cw) AS n FROM uni),
+uni_lm AS (
+  SELECT w, CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS pu FROM uni CROSS JOIN tot
+),
+bi AS (SELECT wp, w, COUNT(*) AS cb FROM pos WHERE wp IS NOT NULL GROUP BY wp, w),
+ctx AS (SELECT wp, SUM(cb) AS cctx FROM bi GROUP BY wp),
+bi_lm AS (
+  SELECT b.wp, b.w, CAST(b.cb AS DOUBLE) / CAST(c.cctx AS DOUBLE) AS pb
+  FROM bi b JOIN ctx c USING (wp)
+),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN p.wp IS NULL THEN ln(u.pu)
+              ELSE ln(0.75 * COALESCE(b.pb, 0.0) + 0.25 * u.pu) END AS logp
+  FROM pos p JOIN uni_lm u USING (w)
+  LEFT JOIN bi_lm b ON b.wp = p.wp AND b.w = p.w
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_logp,
+       (['head', 'middle', 'tail'])[
+         NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id)] AS bucket
+FROM agg
+"""

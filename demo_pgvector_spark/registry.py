@@ -128,6 +128,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SRC_SNIFF_MAGIC,
     O_VEC_SQ8_TOPK,
     O_TEXT_DSIR,
+    O_TEXT_CCNET_BUCKETS,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -5155,6 +5156,41 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_ops.bigram_logprob(docs)
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020 §4.3): documents ranked by LM fit — the bigram_logprob score
+    of ``text_perplexity`` (higher avg logp = better fit) — and split
+    into perplexity terciles with NTILE(3); head is the best-fitting
+    third. The step CCNet runs BETWEEN the LM score and the corpus
+    release (downstream pipelines keep head+middle or reweight by
+    bucket). Rank order is (rounded avg_logp DESC, doc_id) so the
+    window is engine-deterministic: both engines window over the same
+    6dp-rounded doubles (bit-identical by the ordered-fold contract)
+    with an id tiebreak. The window is the only stage past the LM
+    score; at 100 TB one would NTILE within hash-range partitions or
+    cut on approx quantiles — here exact NTILE keeps the oracle
+    bit-exact, and the per-bucket width differs by ≤ 1 doc by NTILE's
+    contract."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = curation_ops.bigram_logprob(docs)
+    w = Window.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logp",
+        F.ntile(3).over(w).alias("_t"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logp",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("_t"),
+        ).alias("bucket"),
+    )
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking + C4-style line cleaning over the documents corpus.
     The synthetic corpus has no PII and no newlines, so the row
@@ -5523,6 +5559,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "src_sniff_magic": (q_src_sniff_magic, O_SRC_SNIFF_MAGIC),
     "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
     "text_dsir": (q_text_dsir, O_TEXT_DSIR),
+    "text_ccnet_buckets": (q_text_ccnet_buckets, O_TEXT_CCNET_BUCKETS),
 }
 
 

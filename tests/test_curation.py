@@ -739,3 +739,19 @@ def test_dsir_ranks_target_like_docs_higher(spark):
         ).collect()
     }
     assert w[10] > w[11], w
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark):
+    """registry q_text_ccnet_buckets: tercile widths differ by <= 1 and
+    every head score >= every middle score >= every tail score."""
+    from demo_pgvector_spark import registry
+
+    rows = registry.q_text_ccnet_buckets(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["avg_logp"])
+    widths = [len(v) for v in by.values()]
+    assert max(widths) - min(widths) <= 1, widths
+    assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"]) >= max(by["tail"])
