@@ -204,6 +204,7 @@ BENCH_KEYS = (
     "vec_sq8_topk",
     "text_dsir",
     "text_ccnet_buckets",
+    "vec_ivfsq_pruned",
 )
 
 

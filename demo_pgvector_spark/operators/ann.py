@@ -903,3 +903,75 @@ def sq8_topk(
         .limit(top_k)
         .select(id_col, *payload_cols, F.round("_score", 6).alias("sq8_score"))
     )
+
+
+def ivfsq_write(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-SQ8 write-time layout (the faiss IVF_SQ8 combination —
+    coarse partitioning × scalar quantization): every vector assigned
+    to its coarse centroid and stored PARTITIONED BY cluster with its
+    uint8 CODES instead of the float vector (4× less data per probe on
+    top of the nprobe/k directory pruning), plus the 1-row bounds frame
+    persisted beside the layout (``<path>_bounds``) as the serving-time
+    training artifact — maintained exactly like the IVF centroids
+    (retrained when ivf_drift fires)."""
+    from demo_pgvector_spark.operators import ivf as ivf_ops
+
+    bounds = sq8_bounds(vectors, vec_col)
+    assigned = ivf_ops.assign_clusters_auto(vectors, cents, id_col, vec_col)
+    coded = (
+        assigned.crossJoin(F.broadcast(bounds))
+        .withColumn("codes", F.expr(_sq8_quantize_sql(vec_col)))
+        .select(id_col, "codes", "cluster")
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    bounds.write.mode("overwrite").parquet(path + "_bounds")
+
+
+def ivfsq_topk_pruned(
+    spark,
+    path: str,
+    cents: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ8 probe: rank centroids (k-row driver compute), prune to
+    nprobe partitions, decode the stored codes with the persisted
+    bounds (broadcast 1-row), ADC-score against the FLOAT query with
+    the strict left fold, top-k with id tiebreak. Per probe the scan
+    reads nprobe/k of the directories × 1/4 of the bytes — the
+    compounding win this composition exists for."""
+    from demo_pgvector_spark.operators import ivf as ivf_ops
+
+    probe_ids = ivf_ops._rank_centroids(spark, cents, qvec, nprobe)
+    bounds = spark.read.parquet(path + "_bounds")
+    q_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
+    scored = (
+        cand.crossJoin(F.broadcast(bounds))
+        .withColumn("_query", q_lit)
+        .withColumn("_dec", F.expr(_sq8_decode_sql("codes")))
+        .select(
+            id_col,
+            F.expr(
+                "aggregate(zip_with(_query, _dec, (a, b) -> a * b),"
+                " cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("_score"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
+    return top.select(
+        id_col,
+        F.round("_score", 6).alias("sq8_score"),
+        F.row_number().over(w).alias("rank"),
+    )

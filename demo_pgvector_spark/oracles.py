@@ -4557,3 +4557,64 @@ SELECT doc_id, n_tokens, avg_logp,
          NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id)] AS bucket
 FROM agg
 """
+
+
+# IVF-SQ8 pruned probe (registry q_vec_ivfsq_pruned, operators/ann.py
+# ivfsq_write/ivfsq_topk_pruned): the O_VEC_IVF_TOPK assignment/probe
+# chain composed with the O_VEC_SQ8_TOPK bounds/quantize/decode/fold
+# chain, restricted to the probed clusters.
+O_VEC_IVFSQ_PRUNED = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e2.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e2 CROSS JOIN c GROUP BY e2.vec_id
+),
+topc AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC LIMIT 4
+),
+d AS (SELECT unnest(range(1, 65)) AS i),
+pb AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN d GROUP BY i
+),
+b AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM pb),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN topc t ON a.cluster = t.cid
+),
+qn AS (
+  SELECT cand.vec_id,
+         list_transform(range(1, 65), i ->
+           COALESCE(CAST(least(255.0, greatest(0.0,
+             floor((v[i] - b.mn[i]) * 255.0
+                   / nullif(b.mx[i] - b.mn[i], 0.0)))) AS INT), 0)) AS cq
+  FROM cand CROSS JOIN b
+),
+dec AS (
+  SELECT qn.vec_id,
+         list_transform(range(1, 65), i ->
+           b.mn[i] + CAST(cq[i] AS DOUBLE) * ((b.mx[i] - b.mn[i]) / 255.0)) AS dv
+  FROM qn CROSS JOIN b
+),
+scored AS (
+  SELECT n.vec_id,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> qv.v[i] * n.dv[i])),
+           (acc, x) -> acc + x) AS s
+  FROM dec n CROSS JOIN (SELECT qv AS v FROM q) qv
+)
+SELECT vec_id, ROUND(s, 6) AS sq8_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY s DESC, vec_id ASC LIMIT 10
+"""

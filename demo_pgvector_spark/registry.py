@@ -129,6 +129,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_SQ8_TOPK,
     O_TEXT_DSIR,
     O_TEXT_CCNET_BUCKETS,
+    O_VEC_IVFSQ_PRUNED,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -1909,6 +1910,8 @@ def _ivf_layout(spark: SparkSession, sf_dir: str, kind: str) -> str:
     cents = _seed_vectors(spark, sf_dir)
     if kind == "ivfpq":
         ann_ops.ivfpq_write(emb, cents, _pq_codebooks(), work)
+    elif kind == "ivfsq":
+        ann_ops.ivfsq_write(emb, cents, work)
     elif kind == "ivf_append":
         # grown-corpus replay: base layout from 4/5 of the corpus, then
         # the remaining 1/5 arrives as a new batch and is APPENDED
@@ -4610,6 +4613,25 @@ def q_vec_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("similarity_score", F.round("similarity_score", 6))
 
 
+def q_vec_ivfsq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 serving stack (operators/ann.py ivfsq_write →
+    ivfsq_topk_pruned — the faiss IVF_SQ8 combination, completing the
+    quantization × layout matrix next to IVFADC/PQ): vectors stored
+    PARTITIONED BY coarse cluster as uint8 CODES with the bounds frame
+    persisted beside the layout; the probe prunes to nprobe=4 of 16
+    directories AND reads 1/4 the bytes per surviving row, decoding and
+    ADC-scoring against the float query. Same seed centroids as the
+    IVF family; the oracle replays assignment, probe ranking, bounds,
+    codes, decode, and the ordered fold end to end. Layout built once
+    per process (_ivf_layout), so steady state times the probe."""
+    tune_session(spark)
+    work = _ivf_layout(spark, sf_dir, "ivfsq")
+    cents = _seed_vectors(spark, sf_dir)
+    return ann_ops.ivfsq_topk_pruned(
+        spark, work, cents, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
+
+
 def q_vec_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance (VERDICT r7 #3; operators/ivf.py
     ivf_append): the layout is built as a GROWN corpus — 4/5 of the
@@ -5560,6 +5582,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
     "text_dsir": (q_text_dsir, O_TEXT_DSIR),
     "text_ccnet_buckets": (q_text_ccnet_buckets, O_TEXT_CCNET_BUCKETS),
+    "vec_ivfsq_pruned": (q_vec_ivfsq_pruned, O_VEC_IVFSQ_PRUNED),
 }
 
 

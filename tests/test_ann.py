@@ -291,3 +291,61 @@ def test_sq8_topk_no_corpus_shuffle(spark, clustered_df):
     assert "TakeOrderedAndProject" in plan
     # the only exchange allowed is the 64-row per-dimension aggregate's
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_ivfsq_pruned_reads_codes_only_from_nprobe_partitions(
+    spark, clustered_df, tmp_path
+):
+    """IVF-SQ8 (ann.ivfsq_write/ivfsq_topk_pruned): the layout must
+    store uint8 CODES (no float vector column), the probe's cluster
+    filter must be a pushed PARTITION filter, and the pruned top-k must
+    match the unpartitioned SQ8 scorer restricted to the same probed
+    clusters."""
+    from demo_pgvector_spark.operators import ivf
+
+    _, cents = ivf.kmeans_lloyd(clustered_df, k=8, iters=3)
+    path = str(tmp_path / "ivfsq_table")
+    ann.ivfsq_write(clustered_df, cents, path)
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+    assert dict(stored.dtypes)["codes"] == "array<int>"
+
+    q = clustered_df.orderBy("vec_id").first()["embedding"]
+    pruned = ann.ivfsq_topk_pruned(spark, path, cents, q, k=10, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and "cluster" in plan.split("PartitionFilters")[1][:200]
+    ), plan
+
+    # cross-check: decode-and-score the same probed clusters without the
+    # layout — identical ids in identical order
+    probe_ids = ivf._rank_centroids(spark, cents, q, 2)
+    assigned = ivf.assign_clusters_auto(clustered_df, cents)
+    subset = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+        "vec_id", "embedding"
+    )
+    direct = ann.sq8_topk(subset, q, top_k=10, payload_cols=())
+    # sq8_topk trains bounds on the SUBSET; rebuild with full-corpus
+    # bounds for a fair comparison
+    bounds = ann.sq8_bounds(clustered_df)
+    q_lit = F.array(*[F.lit(float(x)) for x in q])
+    direct = (
+        subset.crossJoin(F.broadcast(bounds))
+        .withColumn("_query", q_lit)
+        .withColumn("_rq", F.expr(ann._sq8_quantize_sql("embedding")))
+        .withColumn("_dec", F.expr(ann._sq8_decode_sql("_rq")))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(_query, _dec, (a, b) -> a * b),"
+                " cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(10)
+    )
+    assert [r["vec_id"] for r in pruned.collect()] == [
+        r["vec_id"] for r in direct.collect()
+    ]
