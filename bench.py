@@ -205,6 +205,7 @@ BENCH_KEYS = (
     "text_dsir",
     "text_ccnet_buckets",
     "vec_ivfsq_pruned",
+    "scd2_apply",
 )
 
 

@@ -4618,3 +4618,57 @@ SELECT vec_id, ROUND(s, 6) AS sq8_score,
        CAST(ROW_NUMBER() OVER (ORDER BY s DESC, vec_id ASC) AS INT) AS rank
 FROM scored ORDER BY s DESC, vec_id ASC LIMIT 10
 """
+
+
+# SCD2 dimension maintenance (registry q_scd2_apply, operators/write.py
+# scd2_apply): the oracle rebuilds the seeded dimension and change
+# batch, takes the same three per-key verdicts through one full join of
+# the current slice, and unions history + untouched + closed + opened.
+O_SCD2_APPLY = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         '1992-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+hist AS (
+  SELECT c_custkey, 'OLD ' || c_name AS c_name, c_acctbal,
+         '1990-01-01' AS valid_from, '1992-01-01' AS valid_to,
+         FALSE AS is_current
+  FROM customer WHERE c_custkey % 13 = 0
+),
+changes AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW ' || c_name, c_acctbal
+  FROM customer WHERE c_custkey % 50 = 0
+),
+j AS (
+  SELECT cur.c_custkey AS k, cur.c_name AS nm, cur.c_acctbal AS bal,
+         cur.valid_from AS vf, cur.valid_to AS vt, cur.is_current AS ic,
+         ch.c_custkey AS bk, ch.c_name AS bnm, ch.c_acctbal AS bbal,
+         (cur.c_custkey IS NOT NULL AND ch.c_custkey IS NOT NULL) AS matched,
+         (cur.c_name IS NOT DISTINCT FROM ch.c_name
+          AND cur.c_acctbal IS NOT DISTINCT FROM ch.c_acctbal) AS same
+  FROM base cur FULL JOIN changes ch ON cur.c_custkey = ch.c_custkey
+)
+SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current
+FROM (
+  SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+         valid_from, valid_to, is_current
+  FROM hist
+  UNION ALL
+  SELECT k, nm, ROUND(bal, 2), vf, vt, ic FROM j
+  WHERE bk IS NULL OR (matched AND same)
+  UNION ALL
+  SELECT k, nm, ROUND(bal, 2), vf, '1995-06-01', FALSE FROM j
+  WHERE matched AND NOT same
+  UNION ALL
+  SELECT bk, bnm, ROUND(bbal, 2), '1995-06-01', CAST(NULL AS VARCHAR), TRUE
+  FROM j WHERE (matched AND NOT same) OR k IS NULL
+)
+"""

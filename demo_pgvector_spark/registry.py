@@ -130,6 +130,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TEXT_DSIR,
     O_TEXT_CCNET_BUCKETS,
     O_VEC_IVFSQ_PRUNED,
+    O_SCD2_APPLY,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -2011,6 +2012,76 @@ def q_src_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = docs.select("doc_id", _spark_filepath().alias("filepath"))
     return ingest_ops.route(files).select(
         "doc_id", "filepath", "mime", "needs_conversion", "is_convertible", "route"
+    )
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/write.py scd2_apply)
+    — the history-keeping upgrade of the U1/U2 upsert family (which is
+    SCD1: overwrite, history lost): a change batch lands against a
+    versioned customer dimension and every key takes exactly one of the
+    three verdicts — no-op (attrs unchanged, null-safe), close+insert
+    (current row gets valid_to = effective date, new version opens), or
+    first-insert (unseen key). The demo dimension seeds pre-existing
+    history rows (custkey % 13 — they must pass through UNTOUCHED, the
+    filter-not-join path), the batch carries changed balances
+    (% 7 == 0), verbatim no-ops (% 7 == 1), and brand-new keys
+    (% 50 == 0, offset ids). One equi-join on the dimension key decides
+    everything; no floats are compared that both engines didn't derive
+    by the identical single IEEE add. Re-applying the same batch is a
+    no-op — pinned in tests/test_write.py."""
+    tune_session(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("OLD "), F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit("1992-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = base.unionByName(hist)
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 1).select(
+                "c_custkey", "c_name", "c_acctbal"
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+                F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+                "c_acctbal",
+            )
+        )
+    )
+    return write_ops.scd2_apply(
+        dim,
+        changes,
+        ("c_custkey",),
+        ("c_name", "c_acctbal"),
+        "1995-06-01",
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
     )
 
 
@@ -5583,6 +5654,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_dsir": (q_text_dsir, O_TEXT_DSIR),
     "text_ccnet_buckets": (q_text_ccnet_buckets, O_TEXT_CCNET_BUCKETS),
     "vec_ivfsq_pruned": (q_vec_ivfsq_pruned, O_VEC_IVFSQ_PRUNED),
+    "scd2_apply": (q_scd2_apply, O_SCD2_APPLY),
 }
 
 

@@ -107,3 +107,92 @@ def test_append_chunks_shared_ids(spark):
     assert sorted(c) == [6, 7] and sorted(d) == [6, 7]
     assert d[6]["chunk_text"] == "a" and c[6]["source_id"] == 1
     assert d[7]["chunk_text"] == "b" and c[7]["source_id"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance (write.scd2_apply)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_fixture(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: has history + a current row
+            (1, "alice", 10.0, "1990-01-01", "1992-01-01", False),
+            (1, "alice", 20.0, "1992-01-01", None, True),
+            # key 2: current only, will change
+            (2, "bob", 5.0, "1992-01-01", None, True),
+            # key 3: current only, batch repeats it verbatim
+            (3, "carol", 7.0, "1992-01-01", None, True),
+        ],
+        "k long, name string, bal double, valid_from string,"
+        " valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "bob", 6.0),  # changed attr -> close + insert
+            (3, "carol", 7.0),  # identical -> no-op
+            (4, "dave", 1.0),  # new key -> first insert
+        ],
+        "k long, name string, bal double",
+    )
+    return dim, changes
+
+
+def test_scd2_three_verdicts(spark):
+    from demo_pgvector_spark.operators import write
+
+    dim, changes = _scd2_fixture(spark)
+    out = write.scd2_apply(
+        dim, changes, ("k",), ("name", "bal"), "1995-06-01"
+    )
+    rows = sorted(
+        tuple(r) for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "alice", 10.0, "1990-01-01", "1992-01-01", False),  # history
+            (1, "alice", 20.0, "1992-01-01", None, True),  # untouched
+            (2, "bob", 5.0, "1992-01-01", "1995-06-01", False),  # closed
+            (2, "bob", 6.0, "1995-06-01", None, True),  # new version
+            (3, "carol", 7.0, "1992-01-01", None, True),  # no-op
+            (4, "dave", 1.0, "1995-06-01", None, True),  # first insert
+        ]
+    )
+
+
+def test_scd2_reapply_is_noop(spark):
+    """Idempotence: applying the SAME batch to the already-updated table
+    changes nothing — every matched key now compares equal, every new
+    key exists."""
+    from demo_pgvector_spark.operators import write
+
+    dim, changes = _scd2_fixture(spark)
+    once = write.scd2_apply(
+        dim, changes, ("k",), ("name", "bal"), "1995-06-01"
+    )
+    twice = write.scd2_apply(
+        once, changes, ("k",), ("name", "bal"), "1999-01-01"
+    )
+    assert sorted(tuple(r) for r in once.collect()) == sorted(
+        tuple(r) for r in twice.collect()
+    )
+
+
+def test_scd2_exactly_one_current_row_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark.operators import write
+
+    dim, changes = _scd2_fixture(spark)
+    out = write.scd2_apply(
+        dim, changes, ("k",), ("name", "bal"), "1995-06-01"
+    )
+    per_key = (
+        out.groupBy("k")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_cur"))
+        .collect()
+    )
+    assert all(r["n_cur"] == 1 for r in per_key), per_key
