@@ -206,6 +206,7 @@ BENCH_KEYS = (
     "text_ccnet_buckets",
     "vec_ivfsq_pruned",
     "scd2_apply",
+    "sketch_hll_algebra",
 )
 
 

@@ -4672,3 +4672,85 @@ FROM (
   FROM j WHERE (matched AND NOT same) OR k IS NULL
 )
 """
+
+
+# HLL set algebra (registry q_sketch_hll_algebra): the oracle rebuilds
+# both register tables, MAX-merges them for the union, replays all
+# three estimates, and recomputes the exact per-order flag sets.
+O_SKETCH_HLL_ALGEBRA = """
+WITH ra_h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS _h
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+ra AS (
+  SELECT _h % 1024 AS register,
+         MAX(CASE WHEN _h // 1024 = 0 THEN 23
+                  ELSE 22 - length(bin(_h // 1024)) + 1 END) AS rho
+  FROM ra_h GROUP BY 1
+),
+rb_h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS _h
+  FROM lineitem WHERE l_returnflag = 'N'
+),
+rb AS (
+  SELECT _h % 1024 AS register,
+         MAX(CASE WHEN _h // 1024 = 0 THEN 23
+                  ELSE 22 - length(bin(_h // 1024)) + 1 END) AS rho
+  FROM rb_h GROUP BY 1
+),
+ru AS (
+  SELECT register, MAX(rho) AS rho FROM (
+    SELECT * FROM ra UNION ALL SELECT * FROM rb
+  ) GROUP BY register
+),
+ea AS (
+  SELECT round(CASE WHEN (6337943536492.971 / z_num) <= 2560.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros)
+                    ELSE 6337943536492.971 / z_num END, 4) AS est
+  FROM (
+    SELECT CAST(1024 - COUNT(*) AS INT) AS zeros,
+           CAST((1024 - COUNT(*)) * (CAST(1 AS BIGINT) << 23)
+             + SUM(CAST(1 AS BIGINT) << (23 - rho)) AS BIGINT) AS z_num
+    FROM ra
+  )
+),
+eb AS (
+  SELECT round(CASE WHEN (6337943536492.971 / z_num) <= 2560.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros)
+                    ELSE 6337943536492.971 / z_num END, 4) AS est
+  FROM (
+    SELECT CAST(1024 - COUNT(*) AS INT) AS zeros,
+           CAST((1024 - COUNT(*)) * (CAST(1 AS BIGINT) << 23)
+             + SUM(CAST(1 AS BIGINT) << (23 - rho)) AS BIGINT) AS z_num
+    FROM rb
+  )
+),
+eu AS (
+  SELECT round(CASE WHEN (6337943536492.971 / z_num) <= 2560.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros)
+                    ELSE 6337943536492.971 / z_num END, 4) AS est
+  FROM (
+    SELECT CAST(1024 - COUNT(*) AS INT) AS zeros,
+           CAST((1024 - COUNT(*)) * (CAST(1 AS BIGINT) << 23)
+             + SUM(CAST(1 AS BIGINT) << (23 - rho)) AS BIGINT) AS z_num
+    FROM ru
+  )
+),
+flags AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS b
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY l_orderkey
+),
+ex AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS exact_a, CAST(SUM(b) AS BIGINT) AS exact_b,
+         COUNT(*) AS exact_union,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+  FROM flags
+)
+SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       round(ea.est + eb.est - eu.est, 4) AS est_inter,
+       exact_a, exact_b, exact_union, exact_inter,
+       abs(ea.est + eb.est - eu.est - exact_inter) <= 0.15 * exact_union AS within_band
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
+"""

@@ -266,3 +266,26 @@ def test_streaming_hll_sink_is_idempotent_max(spark, tmp_path):
 
     sink(_li(rows[1::3]), 1)  # retried epoch: table must not move
     assert regs() == whole
+
+
+def test_hll_inclusion_exclusion_tracks_true_intersection(spark):
+    """Set algebra: union by register MAX, intersection by
+    inclusion-exclusion — the estimate must land within 15% of the
+    union for a genuine 50%-overlap pair."""
+    a = spark.createDataFrame([("g", x) for x in range(0, 2000)],
+                              "grp string, item long")
+    b = spark.createDataFrame([("g", x) for x in range(1000, 3000)],
+                              "grp string, item long")
+    ra = sketch.hll_build(a, "item", group_cols=("grp",))
+    rb = sketch.hll_build(b, "item", group_cols=("grp",))
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    ea = sketch.hll_estimate(ra, ("grp",)).collect()[0]["hll_est"]
+    eb = sketch.hll_estimate(rb, ("grp",)).collect()[0]["hll_est"]
+    eu = sketch.hll_estimate(ru, ("grp",)).collect()[0]["hll_est"]
+    inter = ea + eb - eu
+    assert abs(eu - 3000) <= 0.2 * 3000, eu
+    assert abs(inter - 1000) <= 0.15 * 3000, (ea, eb, eu, inter)
