@@ -207,6 +207,7 @@ BENCH_KEYS = (
     "vec_ivfsq_pruned",
     "scd2_apply",
     "sketch_hll_algebra",
+    "profile_corr",
 )
 
 

@@ -4754,3 +4754,39 @@ SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
        abs(ea.est + eb.est - eu.est - exact_inter) <= 0.15 * exact_union AS within_band
 FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
 """
+
+
+# Pearson correlation profiling (registry q_profile_corr): the oracle
+# replays the exact cent-integer moments (HUGEINT sums cast to
+# DECIMAL(38,0) parity with Spark's decimal accumulators) and the same
+# 6-op double formula.
+O_PROFILE_CORR = """
+WITH ints AS (
+  SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS q,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+         CAST(round(l_discount * 100) AS HUGEINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
+         SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+  FROM ints
+)
+SELECT u.pair, n,
+       round((CAST(n AS DOUBLE) * CAST(u.sxy AS DOUBLE)
+              - CAST(u.sx AS DOUBLE) * CAST(u.sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(u.sxx AS DOUBLE)
+                     - CAST(u.sx AS DOUBLE) * CAST(u.sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(u.syy AS DOUBLE)
+                       - CAST(u.sy AS DOUBLE) * CAST(u.sy AS DOUBLE))), 6)
+         AS corr_r
+FROM m, LATERAL (
+  SELECT unnest([
+    {'pair': 'quantity_price',    'sx': sq, 'sy': sp, 'sxy': sqp, 'sxx': sqq, 'syy': spp},
+    {'pair': 'quantity_discount', 'sx': sq, 'sy': sd, 'sxy': sqd, 'sxx': sqq, 'syy': sdd},
+    {'pair': 'price_discount',    'sx': sp, 'sy': sd, 'sxy': spd, 'sxx': spp, 'syy': sdd}
+  ], recursive := true)
+) u
+"""

@@ -132,6 +132,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_IVFSQ_PRUNED,
     O_SCD2_APPLY,
     O_SKETCH_HLL_ALGEBRA,
+    O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
     O_GRAPH_TRIANGLES,
@@ -4269,6 +4270,83 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-correlation profiling (the third member of the profiling
+    family after profile_table's univariate stats and profile_skew's
+    key-distribution diagnostic): Pearson r for every pair of lineitem's
+    money/quantity measures, computed from EXACT integer moments — each
+    2dp money value is scaled to its exact cent BIGINT (round(x·100);
+    the inputs are representable money so the rounding is
+    drift-immune), the ten sums accumulate as DECIMAL(38,0) (overflow-
+    proof where n·x² outgrows BIGINT), and float enters only in the
+    final 6-op r formula — the identical IEEE sequence on both engines,
+    so r matches to the last bit before the 6dp display rounding.
+
+    Shape: ONE partial-combining pass over the fact table produces all
+    ten moments (map-side combine → a 1-row exchange); the pair
+    expansion is a 3-row explode of that single row. At 100 TB this is
+    the cheapest possible correlation scan — no per-pair passes, no
+    covariance matrix shuffle, and DECIMAL(38) keeps the moments exact
+    to ~10^38 (≈ 10^12 rows of squared cents) before a wider type or
+    Welford-style pairwise merging is needed."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    ints = li.select(
+        F.expr("cast(round(l_quantity * 100) as decimal(19,0))").alias("q"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as decimal(19,0))"
+        ).alias("p"),
+        F.expr("cast(round(l_discount * 100) as decimal(19,0))").alias("d"),
+    )
+    m = ints.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("q * q")).alias("sqq"),
+        F.sum(F.expr("p * p")).alias("spp"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+        F.sum(F.expr("q * p")).alias("sqp"),
+        F.sum(F.expr("q * d")).alias("sqd"),
+        F.sum(F.expr("p * d")).alias("spd"),
+    )
+
+    def _r(sx, sy, sxy, sxx, syy):
+        return (
+            "(cast(n as double) * cast({sxy} as double)"
+            " - cast({sx} as double) * cast({sy} as double))"
+            " / sqrt((cast(n as double) * cast({sxx} as double)"
+            " - cast({sx} as double) * cast({sx} as double))"
+            " * (cast(n as double) * cast({syy} as double)"
+            " - cast({sy} as double) * cast({sy} as double)))"
+        ).format(sx=sx, sy=sy, sxy=sxy, sxx=sxx, syy=syy)
+
+    pairs = m.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity_price").alias("pair"),
+                    F.expr(_r("sq", "sp", "sqp", "sqq", "spp")).alias("_r"),
+                ),
+                F.struct(
+                    F.lit("quantity_discount").alias("pair"),
+                    F.expr(_r("sq", "sd", "sqd", "sqq", "sdd")).alias("_r"),
+                ),
+                F.struct(
+                    F.lit("price_discount").alias("pair"),
+                    F.expr(_r("sp", "sd", "spd", "spp", "sdd")).alias("_r"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return pairs.select(
+        F.col("c.pair").alias("pair"),
+        "n",
+        F.round("c._r", 6).alias("corr_r"),
+    )
+
+
 def q_sketch_hll_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketch.py) — WHY the explicit register
     relation beats an opaque scalar sketch: union cardinality falls out
@@ -5729,6 +5807,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivfsq_pruned": (q_vec_ivfsq_pruned, O_VEC_IVFSQ_PRUNED),
     "scd2_apply": (q_scd2_apply, O_SCD2_APPLY),
     "sketch_hll_algebra": (q_sketch_hll_algebra, O_SKETCH_HLL_ALGEBRA),
+    "profile_corr": (q_profile_corr, O_PROFILE_CORR),
 }
 
 

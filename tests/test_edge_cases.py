@@ -203,3 +203,28 @@ def test_phash_pairs_empty_and_identical_media(spark):
     )
     [r] = mm.phash_pairs(two).collect()
     assert (r["id_a"], r["id_b"], r["hamming"]) == (1, 2, 0)
+
+
+def test_profile_corr_matches_numpy(spark):
+    """registry q_profile_corr: the integer-moment Pearson r must match
+    numpy.corrcoef on the same data to 6dp."""
+    import numpy as np
+
+    from demo_pgvector_spark import registry, tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["pair"]: r["corr_r"]
+        for r in registry.q_profile_corr(spark, sf).collect()
+    }
+    li = tables.load(spark, sf, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    cols = {
+        "quantity_price": ("l_quantity", "l_extendedprice"),
+        "quantity_discount": ("l_quantity", "l_discount"),
+        "price_discount": ("l_extendedprice", "l_discount"),
+    }
+    for pair, (a, b) in cols.items():
+        want = float(np.corrcoef(li[a], li[b])[0, 1])
+        assert abs(got[pair] - want) < 1e-6, (pair, got[pair], want)
