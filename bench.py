@@ -208,6 +208,7 @@ BENCH_KEYS = (
     "scd2_apply",
     "sketch_hll_algebra",
     "profile_corr",
+    "stream_scd2",
 )
 
 

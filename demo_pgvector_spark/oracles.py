@@ -4645,7 +4645,7 @@ changes AS (
   FROM customer WHERE c_custkey % 7 = 1
   UNION ALL
   SELECT c_custkey + 1000000, 'NEW ' || c_name, c_acctbal
-  FROM customer WHERE c_custkey % 50 = 0
+  FROM customer WHERE c_custkey % 7 = 2
 ),
 j AS (
   SELECT cur.c_custkey AS k, cur.c_name AS nm, cur.c_acctbal AS bal,

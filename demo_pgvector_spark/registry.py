@@ -2028,7 +2028,9 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     history rows (custkey % 13 — they must pass through UNTOUCHED, the
     filter-not-join path), the batch carries changed balances
     (% 7 == 0), verbatim no-ops (% 7 == 1), and brand-new keys
-    (% 50 == 0, offset ids). One equi-join on the dimension key decides
+    (% 7 == 2, offset ids — the three lanes are DISJOINT per customer,
+    which also lets ``stream_scd2`` share this oracle: disjoint-key
+    epoch batches commute). One equi-join on the dimension key decides
     everything; no floats are compared that both engines didn't derive
     by the identical single IEEE add. Re-applying the same batch is a
     no-op — pinned in tests/test_write.py."""
@@ -2064,7 +2066,7 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            cust.filter(F.col("c_custkey") % 50 == 0).select(
+            cust.filter(F.col("c_custkey") % 7 == 2).select(
                 (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
                 F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
                 "c_acctbal",
@@ -5288,6 +5290,91 @@ def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 as a STREAMING dimension sink (streaming/ingest.py
+    scd2_sink — the history-keeping sibling of the upsert sink):
+    customer change batches land as three epoch files drained through a
+    real readStream → foreachBatch, each epoch applying scd2_apply
+    against the committed versioned dimension. scd2_apply is IDEMPOTENT
+    (re-apply = no-op), so exactly-once needs no epoch marker; the
+    epoch batches carry DISJOINT key sets (original custkey % 3
+    slices), so they commute and the drained table must equal the
+    one-shot batch apply bit-for-bit — this row shares
+    ``O_SCD2_APPLY``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    change_select = (
+        "CASE WHEN c_custkey % 7 = 2 THEN c_custkey + 1000000"
+        " ELSE c_custkey END AS c_custkey, "
+        "CASE WHEN c_custkey % 7 = 2 THEN 'NEW ' || c_name"
+        " ELSE c_name END AS c_name, "
+        "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0"
+        " ELSE c_acctbal END AS c_acctbal"
+    )
+    _, landing = _stage_late_batches(
+        "scd2sk",
+        sf_dir,
+        [f"c_custkey % 7 IN (0, 1, 2) AND c_custkey % 3 = {b}" for b in range(3)],
+        select=change_select,
+        table="customer",
+        order_by="1",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_scd2sk_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    cust = tables.load(spark, sf_dir, "customer")
+    seed = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 0).select(
+            "c_custkey",
+            F.concat(F.lit("OLD "), F.col("c_name")).alias("c_name"),
+            "c_acctbal",
+            F.lit("1990-01-01").alias("valid_from"),
+            F.lit("1992-01-01").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, c_name string, c_acctbal double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    root = os.path.join(work, "dim")
+    schema_ddl = (
+        "c_custkey long, c_name string, c_acctbal double,"
+        " valid_from string, valid_to string, is_current boolean"
+    )
+    stream_ingest_ops.run_scd2_stream(
+        stream,
+        root,
+        keys=("c_custkey",),
+        attr_cols=("c_name", "c_acctbal"),
+        schema_ddl=schema_ddl,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        effective_date="1995-06-01",
+        seed=seed,
+    )
+    out = stream_ingest_ops.read_table(spark, root, schema_ddl)
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
     complement to the dense vec_* retrieval family. Two scans, zero
@@ -5808,6 +5895,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_apply": (q_scd2_apply, O_SCD2_APPLY),
     "sketch_hll_algebra": (q_sketch_hll_algebra, O_SKETCH_HLL_ALGEBRA),
     "profile_corr": (q_profile_corr, O_PROFILE_CORR),
+    "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
 }
 
 

@@ -245,3 +245,76 @@ def compact_table(
         if f.endswith(".parquet")
     )
     return v, n_files
+
+
+def scd2_sink(
+    root: str,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    schema_ddl: str,
+    effective_date: str,
+    seed: DataFrame | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function maintaining an SCD TYPE-2 dimension
+    (operators/write.py scd2_apply) — the history-keeping sibling of
+    ``upsert_sink``: per epoch, apply the micro-batch's changes against
+    the committed versioned dimension (close changed rows, open new
+    versions, pass history through) and commit the result.
+
+    Exactly-once story: scd2_apply is IDEMPOTENT (re-applying a batch
+    finds every matched key equal and every new key present — pinned in
+    tests/test_write.py), so a retried epoch re-commits an identical
+    version and no epoch marker is needed — the upsert-sink argument.
+    Epoch composition: batches with DISJOINT key sets commute and
+    compose to the one-shot batch apply (keys never interact), which is
+    what the registry row's oracle gates end to end. ``seed``
+    initializes the dimension before the first epoch when the table
+    does not exist yet."""
+
+    def apply(batch: DataFrame, _epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if current_version(root) is None and seed is not None:
+            commit_table(seed, root)
+        existing = read_table(spark, root, schema_ddl)
+        merged = write_ops.scd2_apply(
+            existing,
+            batch,
+            keys=list(keys),
+            attr_cols=list(attr_cols),
+            effective_date=effective_date,
+        )
+        commit_table(merged, root)
+
+    return apply
+
+
+def run_scd2_stream(
+    stream_df: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    schema_ddl: str,
+    checkpoint_dir: str,
+    effective_date: str,
+    seed: DataFrame | None = None,
+    batch_shuffle_partitions: int | None = 8,
+) -> None:
+    """Drain ``stream_df`` through the SCD2 sink (availableNow trigger;
+    dimension change batches are small, so the narrow scoped shuffle of
+    the late-data rows applies, not the whole-stream ingest width)."""
+    from demo_pgvector_spark.streaming.late import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(
+        stream_df.sparkSession, batch_shuffle_partitions
+    ):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                scd2_sink(
+                    root, keys, attr_cols, schema_ddl, effective_date, seed
+                )
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

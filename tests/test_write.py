@@ -196,3 +196,42 @@ def test_scd2_exactly_one_current_row_per_key(spark):
         .collect()
     )
     assert all(r["n_cur"] == 1 for r in per_key), per_key
+
+
+def test_scd2_sink_epochs_compose_and_retry_is_noop(spark, tmp_path):
+    """streaming/ingest.py scd2_sink: disjoint-key epoch batches must
+    compose to the one-shot batch apply, and a retried epoch must not
+    move the table (scd2_apply idempotence carried to the sink)."""
+    from demo_pgvector_spark.operators import write
+    from demo_pgvector_spark.streaming import ingest as singest
+
+    dim, changes = _scd2_fixture(spark)
+    schema = (
+        "k long, name string, bal double, valid_from string,"
+        " valid_to string, is_current boolean"
+    )
+    root = str(tmp_path / "dim")
+    sink = singest.scd2_sink(
+        root, ("k",), ("name", "bal"), schema, "1995-06-01", seed=dim
+    )
+    rows = changes.collect()
+    for epoch in range(3):  # one change-row per epoch, keys disjoint
+        sink(
+            spark.createDataFrame([rows[epoch]], changes.schema), epoch
+        )
+
+    def table():
+        return sorted(
+            tuple(r) for r in singest.read_table(spark, root, schema).collect()
+        )
+
+    whole = sorted(
+        tuple(r)
+        for r in write.scd2_apply(
+            dim, changes, ("k",), ("name", "bal"), "1995-06-01"
+        ).collect()
+    )
+    assert table() == whole
+
+    sink(spark.createDataFrame([rows[1]], changes.schema), 1)  # retry
+    assert table() == whole
