@@ -209,6 +209,7 @@ BENCH_KEYS = (
     "sketch_hll_algebra",
     "profile_corr",
     "stream_scd2",
+    "rag_hybrid_prompts",
 )
 
 

@@ -2316,7 +2316,7 @@ WHERE d.doc_id % 41 <> 0
 """
 
 
-def _o_bm25(terms: list[str], k1: float, b: float, k: int) -> str:
+def _o_bm25(terms: list[str], k1: float, b: float, k: int, where: str = "") -> str:
     """Okapi BM25 oracle mirroring operators/curation.py bm25_topk
     expression-for-expression (same idf form, same rounding, same
     tiebreak) over per-document tf projections — no posting list."""
@@ -2338,7 +2338,7 @@ def _o_bm25(terms: list[str], k1: float, b: float, k: int) -> str:
 WITH pd AS (
   SELECT doc_id, len(w) AS dl,
          {tf_cols}
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents{(' ' + where) if where else ''})
 ),
 st AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
@@ -4789,4 +4789,98 @@ FROM m, LATERAL (
     {'pair': 'price_discount',    'sx': sp, 'sy': sd, 'sxy': spd, 'sxx': spp, 'syy': sdd}
   ], recursive := true)
 ) u
+"""
+
+
+
+def _mmr_step_ctes(k: int, lam: float) -> tuple[str, str]:
+    """The unrolled MMR greedy steps of ``_mmr_oracle`` as a reusable
+    fragment: returns (step CTE text expecting existing ``pool``/
+    ``pairs`` CTEs, the UNION ALL select over s1..sk). Used by the
+    composed O_RAG_HYBRID_PROMPTS where the pool comes from the RRF
+    fusion rather than a global cosine top-N."""
+    one_m = 1.0 - lam
+    sql = f"""s1 AS MATERIALIZED (
+  SELECT vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+         ROUND({lam} * simq, 6) AS mmr_score
+  FROM pool ORDER BY ROUND({lam} * simq, 6) DESC, vec_id ASC LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+"""
+    for t in range(2, k + 1):
+        sql += f"""s{t} AS MATERIALIZED (
+  SELECT p.vec_id, CAST({t} AS BIGINT) AS mmr_rank,
+         ROUND({lam} * p.simq - {one_m} * m.maxp, 6) AS mmr_score
+  FROM pool p
+  JOIN (SELECT id_a, MAX(simp) AS maxp FROM pairs
+        WHERE id_b IN (SELECT vec_id FROM sel{t - 1}) GROUP BY id_a) m
+    ON m.id_a = p.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  ORDER BY mmr_score DESC, p.vec_id ASC LIMIT 1
+),
+sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM s{t}),
+"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, mmr_rank FROM s{t}" for t in range(1, k + 1)
+    )
+    return sql, union
+
+
+_HYBRID_STEPS, _HYBRID_UNION = _mmr_step_ctes(5, 0.5)
+_HYBRID_HEADER = "Answer the question using the retrieved context.\n\n"
+
+
+# Modernized end-to-end read path (registry q_rag_hybrid_prompts):
+# RRF fusion (dense+sparse, query doc excluded from both lists) ->
+# 10-doc pool -> unrolled MMR k=5 -> byte-exact prompt assembly.
+O_RAG_HYBRID_PROMPTS = f"""
+WITH q AS ({_ORACLE_QVEC}),
+dense_hits AS (
+  SELECT e.vec_id AS doc_id, {_ORACLE_SIM} AS sim
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY sim DESC, e.vec_id ASC LIMIT 15
+),
+dense AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY ROUND(sim, 6) DESC, doc_id ASC) AS INT) AS rank_dense
+  FROM dense_hits
+),
+sparse AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_sparse
+  FROM ({_o_bm25(curation_ops.BM25_TERMS, curation_ops.BM25_K1,
+                 curation_ops.BM25_B, 15,
+                 where=f"WHERE doc_id <> {QUERY_VEC_ID}")}) b
+),
+fused AS MATERIALIZED (
+  SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id
+  FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+  ORDER BY CAST(COALESCE(1000000000 // (60 + d.rank_dense), 0)
+              + COALESCE(1000000000 // (60 + s.rank_sparse), 0) AS BIGINT) DESC,
+           COALESCE(d.doc_id, s.doc_id) ASC
+  LIMIT 10
+),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS simq
+  FROM embeddings e JOIN fused f ON e.vec_id = f.doc_id, q
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS simp
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+{_HYBRID_STEPS}sel AS ({_HYBRID_UNION}),
+ex AS (
+  SELECT s.mmr_rank,
+         'Excerpt ' || CAST(s.mmr_rank AS VARCHAR) || ' (doc '
+           || CAST(d.doc_id AS VARCHAR) || ', ' || d.source || '): '
+           || d.text AS line
+  FROM sel s JOIN documents d ON d.doc_id = s.vec_id
+)
+SELECT CAST(COUNT(*) AS INT) AS n_context,
+       '{_HYBRID_HEADER}' || string_agg(line, '\n\n' ORDER BY mmr_rank)
+         AS prompt
+FROM ex
 """

@@ -132,6 +132,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_IVFSQ_PRUNED,
     O_SCD2_APPLY,
     O_SKETCH_HLL_ALGEBRA,
+    O_RAG_HYBRID_PROMPTS,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -5432,6 +5433,96 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAG_HYBRID_HEADER = "Answer the question using the retrieved context.\n\n"
+RAG_HYBRID_K = 5
+
+
+def q_rag_hybrid_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERNIZED end-to-end read path — the reference's
+    search→prompt loop (cli/generate_text.py) upgraded to the 2025
+    retrieval stack, composed from three already-oracled stages:
+    hybrid RRF fusion of the dense cosine and sparse BM25 top-15s
+    (operators/retrieval.py), MMR diversity re-rank of the fused
+    top-10 pool down to 5 context docs (operators/similarity.py,
+    λ=0.5), and byte-exact prompt assembly (the rag_prompts ordered
+    concat). The query document itself is excluded from both retrieval
+    lists (the mmr_rerank docstring's collapse lesson). Corpus-scale
+    work is exactly the two retrieval scans; fusion, re-rank, and
+    assembly all operate on ≤ 15-row frames. Output is ONE row
+    (n_context, prompt) whose string must match the DuckDB replay byte
+    for byte."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    qvec = _query_vec(spark, sf_dir)
+    dense_hits = (
+        similarity_ops.similarity_scores(
+            emb.filter(F.col("vec_id") != QUERY_VEC_ID), qvec
+        )
+        .orderBy(F.col("similarity_score").desc(), F.col("vec_id").asc())
+        .limit(15)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("similarity_score", 6).alias("_s"),
+        )
+    )
+    dense = dense_hits.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    sparse = (
+        curation_ops.bm25_topk(
+            docs.filter(F.col("doc_id") != QUERY_VEC_ID),
+            curation_ops.BM25_TERMS,
+            k=15,
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("rank"),
+        )
+    )
+    fused = retrieval_ops.rrf_fuse({"dense": dense, "sparse": sparse}, topk=10)
+    pool_vecs = emb.join(
+        F.broadcast(fused.select("doc_id")),
+        emb["vec_id"] == F.col("doc_id"),
+    ).select("vec_id", "embedding")
+    sel = mmr_rerank(
+        pool_vecs, qvec, pool_size=10, k=RAG_HYBRID_K, lam=0.5
+    )
+    ex = sel.join(docs, sel["vec_id"] == docs["doc_id"]).select(
+        "mmr_rank",
+        F.concat(
+            F.lit("Excerpt "),
+            F.col("mmr_rank").cast("string"),
+            F.lit(" (doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(", "),
+            F.col("source"),
+            F.lit("): "),
+            F.col("text"),
+        ).alias("line"),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("int").alias("n_context"),
+        F.concat(
+            F.lit(RAG_HYBRID_HEADER),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(mmr_rank,"
+                    " line))), s -> s.line)"
+                ),
+                "\n\n",
+            ),
+        ).alias("prompt"),
+    )
+
+
 # Per-stratum sampling rates for the canonical registry row (the oracle
 # mirrors this CASE literally): oversample src0, thin src1, keep half of
 # everything else.
@@ -5896,6 +5987,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_hll_algebra": (q_sketch_hll_algebra, O_SKETCH_HLL_ALGEBRA),
     "profile_corr": (q_profile_corr, O_PROFILE_CORR),
     "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
+    "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
 }
 
 

@@ -145,3 +145,22 @@ def test_import_with_bpe_tokenizer_budget(spark):
     probe = st["chunk_data"].first()["chunk_text"]
     hits = pipeline.search_chunks(st, probe, top_k=1, threshold=0.5)
     assert hits.first()["chunk_text"] == probe
+
+
+def test_rag_hybrid_prompt_shape(spark):
+    """registry q_rag_hybrid_prompts: one row, 5 context excerpts in
+    MMR-rank order, the query document excluded."""
+    import re
+
+    from demo_pgvector_spark import registry
+
+    [row] = registry.q_rag_hybrid_prompts(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert row["n_context"] == 5
+    ids = re.findall(r"Excerpt (\d+) \(doc (\d+),", row["prompt"])
+    assert [int(r) for r, _ in ids] == [1, 2, 3, 4, 5]
+    assert all(int(d) != 0 for _, d in ids)  # query doc never retrieved
+    assert row["prompt"].startswith(
+        "Answer the question using the retrieved context.\n\n"
+    )
