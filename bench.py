@@ -210,6 +210,7 @@ BENCH_KEYS = (
     "profile_corr",
     "stream_scd2",
     "rag_hybrid_prompts",
+    "vec_ood_score",
 )
 
 

@@ -4884,3 +4884,43 @@ SELECT CAST(COUNT(*) AS INT) AS n_context,
          AS prompt
 FROM ex
 """
+
+
+# Embedding-space outlier scoring (registry q_vec_ood_score): the
+# oracle replays seed-centroid assignment, 6dp-rounded scaled sims,
+# exact HUGEINT cluster moments, and the one-double z formula.
+O_VEC_OOD_SCORE = """
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+sims AS (
+  SELECT a.vec_id, a.cluster,
+         CAST(floor(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+              * 1000000 + 0.5) AS BIGINT) AS sim_scaled
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN c ON c.cid = a.cluster
+),
+mom AS (
+  SELECT cluster, COUNT(*) AS n,
+         CAST(SUM(sim_scaled) AS BIGINT) AS s1,
+         CAST(SUM(sim_scaled * sim_scaled) AS BIGINT) AS s2
+  FROM sims GROUP BY cluster
+)
+SELECT s.vec_id, s.cluster, s.sim_scaled,
+       round(CAST(n * s.sim_scaled - s1 AS DOUBLE)
+             / nullif(sqrt(CAST(CAST(n AS HUGEINT) * s2
+                           - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 0.0), 4)
+         AS z,
+       COALESCE(CAST(n * s.sim_scaled - s1 AS DOUBLE)
+                / nullif(sqrt(CAST(CAST(n AS HUGEINT) * s2
+                              - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 0.0)
+                < -2.0, FALSE) AS is_outlier
+FROM sims s JOIN mom USING (cluster)
+"""

@@ -133,6 +133,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SCD2_APPLY,
     O_SKETCH_HLL_ALGEBRA,
     O_RAG_HYBRID_PROMPTS,
+    O_VEC_OOD_SCORE,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -1872,6 +1873,73 @@ def q_vec_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.sq8_topk(emb, _query_vec(spark, sf_dir), top_k=10)
+
+
+def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring — the embedding-side data-QA
+    screen (SemDeDup's cluster machinery turned on QUALITY instead of
+    duplication): every vector assigned to its seed centroid (the IVF
+    family's assignment), its cosine-to-centroid similarity z-scored
+    within the cluster, and vectors far below their cluster's norm
+    (z < −2) flagged — mis-embedded / out-of-distribution rows a
+    training pipeline drops or reroutes before they poison contrastive
+    batches.
+
+    Determinism: sims are rounded to 6dp (the vec-row contract) and
+    then scaled to EXACT integers (floor(x·1e6 + 0.5), the
+    ts_interpolate precedent); per-cluster n/Σx/Σx² accumulate as
+    BIGINTs (≤ 2·10¹⁷ at the 100× ladder), so mean/variance are exact
+    rationals and z is ONE identical double expression on both
+    engines, 4dp-rounded. A zero-variance cluster yields NULL z via
+    NULLIF (ANSI-safe) and flags nothing. One assignment pass + one
+    per-cluster moment aggregate + one broadcast join back: the
+    profile_corr cost class, per cluster."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = _seed_vectors(spark, sf_dir)
+    assigned = ivf_ops.assign_clusters_auto(emb, cents)
+    from demo_pgvector_spark.functions.vector import cosine_similarity
+
+    cent_rows = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, cvec array<double>",
+    )
+    sims = (
+        assigned.join(F.broadcast(cent_rows), "cluster")
+        .withColumn(
+            "_sim", cosine_similarity(F.col("embedding"), F.col("cvec"))
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr(
+                "cast(floor(round(_sim, 6) * 1000000 + 0.5) as bigint)"
+            ).alias("sim_scaled"),
+        )
+    )
+    mom = sims.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sim_scaled").alias("s1"),
+        F.sum(F.expr("sim_scaled * sim_scaled")).alias("s2"),
+    )
+    # z = (n·x − s1)/sqrt(n·s2 − s1²); the variance numerator is an
+    # EXACT decimal (catastrophic cancellation of ~1e20 doubles would
+    # otherwise eat the ~1e17 signal), float enters only at sqrt/divide
+    z = (
+        "cast(n * sim_scaled - s1 as double)"
+        " / nullif(sqrt(cast(cast(n as decimal(38,0)) * s2"
+        " - cast(s1 as decimal(38,0)) * s1 as double)), 0.0)"
+    )
+    return (
+        sims.join(F.broadcast(mom), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "sim_scaled",
+            F.round(F.expr(z), 4).alias("z"),
+            F.coalesce(F.expr(z) < -2.0, F.lit(False)).alias("is_outlier"),
+        )
+    )
 
 
 def q_vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5988,6 +6056,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_corr": (q_profile_corr, O_PROFILE_CORR),
     "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
     "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
+    "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
 }
 
 

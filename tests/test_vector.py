@@ -212,3 +212,50 @@ def test_rrf_fuse_integer_scores_and_missing_lists(spark):
         ).collect()
     ]
     assert ordered[0] == 2 and ordered[1] == 1
+
+
+def test_ood_score_matches_numpy_replay(spark, monkeypatch):
+    """q_vec_ood_score vs a pure-numpy replay of the full definition:
+    argmax-cosine assignment to the seed centroids, 6dp-rounded scaled
+    sims, exact integer cluster moments, z = (n·x − s1)/sqrt(n·s2 −
+    s1²), flag at z < −2 (zero-variance clusters flag nothing)."""
+    import math
+
+    import numpy as np
+
+    import demo_pgvector_spark.registry as reg
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(0, 1, (80, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    monkeypatch.setattr(reg.tables, "load", lambda _s, _d, _t: df)
+    got = {
+        r["vec_id"]: r for r in reg.q_vec_ood_score(spark, "x").collect()
+    }
+
+    cents = vecs[:16]
+    sims_to = vecs @ cents.T  # unit vectors: dot == cosine
+    cluster = sims_to.argmax(axis=1)
+    scaled = {
+        i: int(math.floor(round(sims_to[i, cluster[i]], 6) * 1e6 + 0.5))
+        for i in range(80)
+    }
+    for cl in set(cluster):
+        members = [i for i in range(80) if cluster[i] == cl]
+        n = len(members)
+        s1 = sum(scaled[i] for i in members)
+        s2 = sum(scaled[i] ** 2 for i in members)
+        den = math.sqrt(n * s2 - s1 * s1) if n * s2 - s1 * s1 > 0 else None
+        for i in members:
+            assert got[i]["cluster"] == cl
+            assert got[i]["sim_scaled"] == scaled[i]
+            if den is None or den == 0.0:
+                assert got[i]["z"] is None and not got[i]["is_outlier"]
+            else:
+                want = (n * scaled[i] - s1) / den
+                assert abs(got[i]["z"] - round(want, 4)) <= 1e-9
+                assert got[i]["is_outlier"] == (want < -2.0)
