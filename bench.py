@@ -211,6 +211,7 @@ BENCH_KEYS = (
     "stream_scd2",
     "rag_hybrid_prompts",
     "vec_ood_score",
+    "ts_anomaly",
 )
 
 

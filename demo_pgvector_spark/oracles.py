@@ -4924,3 +4924,36 @@ SELECT s.vec_id, s.cluster, s.sim_scaled,
                 < -2.0, FALSE) AS is_outlier
 FROM sims s JOIN mom USING (cluster)
 """
+
+
+# Rolling z-score anomaly detection (registry q_ts_anomaly): exact
+# integer window moments over the trailing-20 frame, the vec_ood_score
+# z formula, flag at |z| > 3 with >= 8 history rows.
+O_TS_ANOMALY = """
+WITH scaled AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_scaled
+  FROM events
+),
+stats AS (
+  SELECT event_id, user_id, ts, v_scaled,
+         COUNT(*) OVER w AS n_prev,
+         CAST(SUM(v_scaled) OVER w AS BIGINT) AS s1,
+         CAST(SUM(CAST(v_scaled AS HUGEINT) * v_scaled) OVER w AS HUGEINT) AS s2
+  FROM scaled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v_scaled,
+       CAST(n_prev AS INT) AS n_prev,
+       round(CAST(n_prev * v_scaled - s1 AS DOUBLE)
+             / nullif(sqrt(CAST(CAST(n_prev AS HUGEINT) * s2
+                           - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 0.0), 4)
+         AS z,
+       (n_prev >= 8 AND COALESCE(
+          abs(CAST(n_prev * v_scaled - s1 AS DOUBLE)
+              / nullif(sqrt(CAST(CAST(n_prev AS HUGEINT) * s2
+                            - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 0.0))
+          > 3.0, FALSE)) AS is_anomaly
+FROM stats
+"""

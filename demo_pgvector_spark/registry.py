@@ -134,6 +134,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_SKETCH_HLL_ALGEBRA,
     O_RAG_HYBRID_PROMPTS,
     O_VEC_OOD_SCORE,
+    O_TS_ANOMALY,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -4418,6 +4419,69 @@ def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the fourth time-series member
+    after resample/interpolate/sessionize: each event's value z-scored
+    against the user's TRAILING 20 events (exclusive of the current
+    row), flagged at |z| > 3 once at least 8 history rows exist — the
+    self-calibrating telemetry screen that flags spikes without a
+    per-user threshold table.
+
+    Determinism: values scale to exact integers (floor(x·1e6 + 0.5)
+    over parquet doubles both engines read identically), the window
+    sums accumulate BIGINT/DECIMAL(38,0) — exact in any accumulation
+    order — and z is the one-double vec_ood_score formula. The window
+    is ROWS-based over the (ts, event_id) total order, so frames are
+    identical across engines. One shuffle on user_id; state per row is
+    the 20-row frame — the classic streaming-friendly shape (the
+    watermarked variant would ride applyInPandasWithState like
+    stream_stateful_funnel)."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scaled = ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("ts"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias(
+            "v_scaled"
+        ),
+    )
+    stats = scaled.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "v_scaled",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("v_scaled").over(w).alias("_s1"),
+        F.sum(F.expr("cast(v_scaled as decimal(38,0)) * v_scaled"))
+        .over(w)
+        .alias("_s2"),
+    )
+    z = (
+        "cast(n_prev * v_scaled - _s1 as double)"
+        " / nullif(sqrt(cast(cast(n_prev as decimal(38,0)) * _s2"
+        " - cast(_s1 as decimal(38,0)) * _s1 as double)), 0.0)"
+    )
+    return stats.select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").alias("ts"),
+        "v_scaled",
+        F.col("n_prev").cast("int").alias("n_prev"),
+        F.round(F.expr(z), 4).alias("z"),
+        (
+            (F.col("n_prev") >= 8)
+            & F.coalesce(F.abs(F.expr(z)) > 3.0, F.lit(False))
+        ).alias("is_anomaly"),
+    )
+
+
 def q_sketch_hll_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketch.py) — WHY the explicit register
     relation beats an opaque scalar sketch: union cardinality falls out
@@ -6057,6 +6121,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
     "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
     "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
+    "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
 }
 
 

@@ -78,3 +78,29 @@ def test_interpolate_known_values(spark):
         (1, "2024-01-01 13:00:00"): (8.0, 1),
         (2, "2024-01-01 05:00:00"): (7.0, 1),
     }
+
+
+def test_ts_anomaly_flags_planted_spike(spark, monkeypatch):
+    """q_ts_anomaly on a controlled stream: a 10x spike after a stable
+    history must flag; the stable rows and the early (short-history)
+    rows must not."""
+    from datetime import datetime, timedelta
+
+    import demo_pgvector_spark.registry as reg
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 100.0 + (i % 5)  # stable band 100-104
+        rows.append((i, base + timedelta(minutes=i), 7, "tick", v, "{}"))
+    rows.append((30, base + timedelta(minutes=30), 7, "tick", 1000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(reg.tables, "load", lambda _s, _d, _t: df)
+    got = {r["event_id"]: r for r in reg.q_ts_anomaly(spark, "x").collect()}
+    assert got[30]["is_anomaly"]
+    assert all(not got[i]["is_anomaly"] for i in range(30))
+    assert all(got[i]["n_prev"] == i for i in range(21))
