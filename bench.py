@@ -212,6 +212,7 @@ BENCH_KEYS = (
     "rag_hybrid_prompts",
     "vec_ood_score",
     "ts_anomaly",
+    "mm_audio_dedup",
 )
 
 

@@ -562,3 +562,136 @@ def phash_pairs_incremental(
         "id_a", "id_b", "hamming", F.lit("cross").alias("pair_kind")
     )
     return out_bb.unionByName(out_cross)
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual near-dup — the energy-sign fingerprint
+# ---------------------------------------------------------------------------
+#
+# The audio twin of the image block-mean hash above, completing the
+# modality bridge into the dedup pillar: the Haitsma-Kalker (ISMIR
+# 2002) robust-hash SHAPE — bit k = [E_{k+1} > E_k] over consecutive
+# frame ENERGIES — reduced to its deterministic integer core (no FFT
+# bands: the SPKM payloads are synthetic, and energy differences are
+# the part of the contract any engine can replay exactly). Energies are
+# integer sums of squared uint8 samples, the comparisons integer, the
+# 64 bits packed into the same two 32-bit halves the image fingerprint
+# uses — so banding, pairing, and Hamming verification REUSE
+# banded_fingerprints/_verify_hamming unchanged.
+
+AUDIO_ND_SAMPLES = 256  # samples per planted container
+AUDIO_ND_FRAMES = 65  # 65 frame energies -> 64 sign bits
+
+
+def fake_audio_neardup(
+    docs: DataFrame,
+    groups_mod: int = NEARDUP_GROUPS_MOD,
+    max_id: int = NEARDUP_MAX_ID,
+) -> DataFrame:
+    """Deterministic 256-sample SPKM audio with the SAME planted
+    near-dup mechanics as fake_images_neardup (group-seeded md5-chain
+    base payload, replica ``rep = doc_id // groups_mod`` overwrites
+    ``2·rep`` bytes from offset 64 with 0xFF): consecutive saturated
+    frames have EQUAL energies, so an edit flips sign bits only around
+    its boundaries — replicas with close rep are near-dups, distant
+    ones drift past the Hamming gate. Every byte recomputable from the
+    row key (seed 'audnd:'), so the oracle replays samples→energies→
+    bits without parsing a blob."""
+    g = f"(doc_id % {groups_mod})"
+    rep = f"(doc_id div {groups_mod})"
+    n = AUDIO_ND_SAMPLES
+    nblocks = n // MD5_BLOCK
+    base = (
+        f"unhex(concat_ws('', transform(sequence(0, {nblocks - 1}), "
+        f"b -> md5(concat('audnd:', cast({g} as string), ':', "
+        f"cast(b as string))))))"
+    )
+    payload = (
+        f"concat(substring({base}, 1, 64), "
+        f"unhex(repeat('ff', {rep} * 2)), "
+        f"substring({base}, 65 + {rep} * 2, {n}))"
+    )
+    return docs.filter(F.col("doc_id") < max_id).select(
+        "doc_id",
+        F.lit("audio").alias("kind"),
+        F.expr(
+            f"concat(encode('AUD|16000|{n}|', 'UTF-8'), {payload})"
+        ).alias("content"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(n).alias("n_samples"),
+    )
+
+
+def audio_energyhash(
+    media: DataFrame, frames: int = AUDIO_ND_FRAMES
+) -> DataFrame:
+    """(doc_id, phash_lo, phash_hi): 64 energy-sign bits — frame i is
+    samples [floor(i·n/frames), floor((i+1)·n/frames)), E_i the integer
+    sum of squared samples, bit k set iff E_{k+1} > E_k. Column names
+    match the image fingerprint so the banded machinery is shared."""
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                (tag, _rate, n_b), payload = _split_header(bytes(blob), 2)
+                assert tag == b"AUD", tag
+                n = int(n_b)
+                s = np.frombuffer(payload[:n], dtype=np.uint8).astype(
+                    np.int64
+                )
+                bounds = [(i * n) // frames for i in range(frames + 1)]
+                en = [
+                    int((s[bounds[i] : bounds[i + 1]] ** 2).sum())
+                    for i in range(frames)
+                ]
+                h = 0
+                for k in range(frames - 1):
+                    if en[k + 1] > en[k]:
+                        h |= 1 << k
+                out.append((int(doc_id), h & 0xFFFFFFFF, h >> 32))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "phash_lo", "phash_hi"]
+            )
+
+    return media.mapInPandas(
+        fingerprint, "doc_id long, phash_lo long, phash_hi long"
+    )
+
+
+def audiohash_pairs(
+    media: DataFrame,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Audio near-duplicate pairs: energy-sign fingerprints through the
+    SAME banded machinery as phash_pairs (fingerprint once →
+    band-bucket join, id_a < id_b → exact bit_count Hamming verify).
+    Recall is EXACT for ≤ max_hamming flips by the same band-survival
+    argument."""
+    assert max_hamming < bands
+    fp = audio_energyhash(media).localCheckpoint(eager=True)
+    banded = banded_fingerprints(fp, PHASH_GRID, bands)
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash_lo").alias("_la"),
+        F.col("phash_hi").alias("_ha"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash_lo").alias("_lb"),
+        F.col("phash_hi").alias("_hb"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_la", "_ha", "_lb", "_hb")
+        .distinct()
+    )
+    return _verify_hamming(cand, max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

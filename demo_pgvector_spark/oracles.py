@@ -4957,3 +4957,87 @@ SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v_scaled,
           > 3.0, FALSE)) AS is_anomaly
 FROM stats
 """
+
+
+
+def _o_mm_audiohash() -> str:
+    """Audio energy-sign near-dup oracle (registry q_mm_audio_dedup,
+    operators/multimodal.py fake_audio_neardup → audio_energyhash →
+    audiohash_pairs): recompute every sample from the md5-chain spec,
+    replay the 65 integer frame energies and the 64 sign bits into the
+    two 32-bit halves, band 8×8, verify with exact Hamming — the
+    _o_mm_phash recipe with energies instead of block means."""
+    n, frames = 256, 65
+    bounds = [(i * n) // frames for i in range(frames + 1)]
+    en_cols = ",\n         ".join(
+        "list_sum(list_transform(p[{}:{}], x -> x * x)) AS e{}".format(
+            bounds[i] + 1, bounds[i + 1], i
+        )
+        for i in range(frames)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN e{k + 1} > e{k} THEN {1 << k} ELSE 0 END)"
+        for k in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN e{k + 33} > e{k + 32} THEN {1 << k} ELSE 0 END)"
+        for k in range(32)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 25 AS g, doc_id // 25 AS rep
+  FROM documents WHERE doc_id < 200
+),
+hx AS (
+  SELECT doc_id,
+         substr(base, 1, 128) || repeat('ff', rep * 2)
+           || substr(base, 129 + rep * 4, 512) AS h
+  FROM (
+    SELECT doc_id, rep,
+           array_to_string(list_transform(range(16),
+             b -> md5('audnd:' || CAST(g AS VARCHAR) || ':'
+                      || CAST(b AS VARCHAR))), '') AS base
+    FROM m
+  )
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range({n}),
+           j -> CAST(CAST('0x' || substr(h, 2 * j + 1, 2) AS UBIGINT)
+                     AS BIGINT)) AS p
+  FROM hx
+),
+en AS (
+  SELECT doc_id,
+         {en_cols}
+  FROM px
+),
+fp AS (
+  SELECT doc_id,
+         CAST({lo} AS BIGINT) AS phash_lo,
+         CAST({hi} AS BIGINT) AS phash_hi
+  FROM en
+),
+banded AS (
+  SELECT doc_id, phash_lo, phash_hi, band,
+         CASE WHEN band < 4 THEN (phash_lo >> (band * 8)) & 255
+              ELSE (phash_hi >> ((band - 4) * 8)) & 255 END AS key
+  FROM fp, (SELECT unnest(range(8)) AS band) bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.phash_lo AS la, a.phash_hi AS ha,
+         b2.phash_lo AS lb, b2.phash_hi AS hb
+  FROM banded a
+  JOIN banded b2 ON a.band = b2.band AND a.key = b2.key
+                AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+"""
+
+
+O_MM_AUDIO_DEDUP = _o_mm_audiohash()

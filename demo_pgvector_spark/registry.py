@@ -135,6 +135,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_RAG_HYBRID_PROMPTS,
     O_VEC_OOD_SCORE,
     O_TS_ANOMALY,
+    O_MM_AUDIO_DEDUP,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -3941,6 +3942,23 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.phash_pairs(media)
 
 
+def q_mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup (operators/multimodal.py audiohash_pairs) — the
+    energy-sign twin of ``mm_phash_dedup``, completing the modality
+    bridge: 64 Haitsma-Kalker-shape bits (bit k = [E_{k+1} > E_k] over
+    65 integer frame energies) computed by the Arrow mapInPandas decode
+    over SPKM audio binaries, then the SAME banded pair machinery and
+    exact-Hamming verify the image path uses. The planted corpus puts
+    25 base clips × 8 progressively-edited replicas under doc_id < 200
+    (saturating edits flip sign bits only at their boundaries). The
+    oracle recomputes every sample from the md5-chain spec and replays
+    energies → bits → bands → verify — no blob parsing."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    media = mm_ops.fake_audio_neardup(docs)
+    return mm_ops.audiohash_pairs(media)
+
+
 _PHASHIDX_CACHE: dict[str, str] = {}
 
 
@@ -6122,6 +6140,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
     "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
     "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
+    "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
 }
 
 

@@ -240,3 +240,60 @@ def test_phash_incremental_trusts_index(spark, tmp_path):
     assert changed and all(
         k[0] % 25 == 5 or k[1] % 25 == 5 for k in changed
     )
+
+
+def test_audio_energyhash_matches_python_reference(spark):
+    """audio_energyhash vs a pure-Python replay over the planted
+    corpus: identical fingerprints, and adjacent replicas of a group
+    are near-dups while distant ones drift."""
+    import hashlib
+
+    docs = spark.range(0, 50).selectExpr("id as doc_id", "'' as text")
+    media = mm.fake_audio_neardup(docs)
+    got = {
+        r["doc_id"]: (r["phash_lo"], r["phash_hi"])
+        for r in mm.audio_energyhash(media).collect()
+    }
+
+    def py_fp(doc_id):
+        g, rep = doc_id % 25, doc_id // 25
+        base = b"".join(
+            bytes.fromhex(hashlib.md5(f"audnd:{g}:{b}".encode()).hexdigest())
+            for b in range(16)
+        )
+        payload = base[:64] + b"\xff" * (2 * rep) + base[64 + 2 * rep:256]
+        s = list(payload[:256])
+        bounds = [(i * 256) // 65 for i in range(66)]
+        en = [
+            sum(x * x for x in s[bounds[i]: bounds[i + 1]])
+            for i in range(65)
+        ]
+        h = 0
+        for k in range(64):
+            if en[k + 1] > en[k]:
+                h |= 1 << k
+        return h & 0xFFFFFFFF, h >> 32
+
+    for doc_id in range(50):
+        assert got[doc_id] == py_fp(doc_id), doc_id
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    # replicas 0 and 1 of group 3: one 2-byte edit -> small Hamming
+    assert hamming(got[3], got[28]) <= 3
+
+
+def test_audiohash_pairs_find_planted_neighbors(spark):
+    docs = spark.range(0, 200).selectExpr("id as doc_id", "'' as text")
+    media = mm.fake_audio_neardup(docs)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.audiohash_pairs(media).collect()
+    }
+    # all pairs are within-group (cross-group collisions verified away)
+    assert all(a % 25 == b % 25 for a, b in pairs)
+    # every adjacent-replica pair of every group is found
+    for g in range(25):
+        for rep in range(7):
+            assert (g + 25 * rep, g + 25 * (rep + 1)) in pairs, (g, rep)
