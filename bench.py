@@ -213,6 +213,7 @@ BENCH_KEYS = (
     "vec_ood_score",
     "ts_anomaly",
     "mm_audio_dedup",
+    "join_asof_nearest",
 )
 
 

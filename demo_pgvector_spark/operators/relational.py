@@ -421,3 +421,81 @@ def profile_columns(
             "(column, n, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+def asof_join_nearest(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    probe_ts: str,
+    quote_ts: str,
+    payload_cols: tuple[str, ...],
+    probe_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-in-time as-of variant (pandas merge_asof
+    direction='nearest'): each probe gets the quote minimizing
+    |quote_ts − probe_ts| within its key, ties to the EARLIER quote
+    (the backward side). Same union+carry shape as ``asof_join`` —
+    one shuffle on the key, two carry windows (backward last / forward
+    first), never a range explosion — so the 100 TB posture is
+    identical. Output adds ``side`` ('backward'/'forward') and the
+    winning quote's timestamp ``matched_ts``."""
+    pay_struct = F.struct(
+        F.col(quote_ts).alias("_qt"), *[F.col(c) for c in payload_cols]
+    )
+    q1 = (
+        quotes.groupBy(F.col(key), F.col(quote_ts).alias("_t"))
+        .agg(F.max(pay_struct).alias("_pay"))
+        .select(key, "_t", "_pay")
+        .withColumn("_is_probe", F.lit(0))
+    )
+    p1 = (
+        probes.select(
+            F.col(key),
+            F.col(probe_ts).alias("_t"),
+            *[F.col(c) for c in probe_cols],
+        )
+        .withColumn("_is_probe", F.lit(1))
+        .withColumn("_pay", F.lit(None).cast(q1.schema["_pay"].dataType))
+    )
+    u = q1.select(
+        key, "_t", "_is_probe", "_pay",
+        *[F.lit(None).alias(c) for c in probe_cols],
+    ).unionByName(p1.select(key, "_t", "_is_probe", "_pay", *probe_cols))
+    # backward: quotes at the same ts sort BEFORE probes → inclusive;
+    # forward: descending ts with quotes still first → inclusive too,
+    # so an exact-time quote is visible to both sides (Δ = 0, backward
+    # wins the tie).
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").desc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_b", F.last("_pay", ignorenulls=True).over(wb)
+    ).withColumn("_f", F.last("_pay", ignorenulls=True).over(wf))
+    db = F.unix_timestamp(F.col("_t")) - F.unix_timestamp(
+        F.col("_b").getField("_qt").cast("timestamp")
+    )
+    df_ = F.unix_timestamp(
+        F.col("_f").getField("_qt").cast("timestamp")
+    ) - F.unix_timestamp(F.col("_t"))
+    pick_b = F.col("_f").isNull() | (F.col("_b").isNotNull() & (db <= df_))
+    nearest = F.when(pick_b, F.col("_b")).otherwise(F.col("_f"))
+    out = carried.filter(F.col("_is_probe") == 1).select(
+        key,
+        F.col("_t"),
+        *probe_cols,
+        F.when(nearest.isNull(), F.lit(None).cast("string"))
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("side"),
+        nearest.getField("_qt").alias("matched_ts"),
+        *[nearest.getField(c).alias(c) for c in payload_cols],
+    )
+    return out

@@ -5041,3 +5041,42 @@ WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
 
 
 O_MM_AUDIO_DEDUP = _o_mm_audiohash()
+
+
+# Nearest-in-time as-of join (registry q_join_asof_nearest,
+# operators/relational.py asof_join_nearest): DuckDB's native ASOF run
+# both directions + the backward-tie rule — an independent engine's
+# nearest semantics gating the union+carry implementation.
+O_JOIN_ASOF_NEAREST = """
+WITH probes AS (
+  SELECT event_id, user_id AS o_custkey,
+         TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (event_id % 2400) DAY AS t
+  FROM events
+),
+q AS (
+  SELECT o_custkey, o_orderdate AS t, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+),
+b AS (
+  SELECT p.event_id, p.o_custkey, p.t,
+         q.t AS qt, q.o_orderkey, q.o_totalprice
+  FROM probes p ASOF LEFT JOIN q ON p.o_custkey = q.o_custkey AND p.t >= q.t
+),
+f AS (
+  SELECT p.event_id, q.t AS qt, q.o_orderkey, q.o_totalprice
+  FROM probes p ASOF LEFT JOIN q ON p.o_custkey = q.o_custkey AND p.t <= q.t
+)
+SELECT b.event_id, b.o_custkey,
+       strftime(b.t, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       CASE WHEN b.qt IS NULL AND f.qt IS NULL THEN NULL
+            WHEN (f.qt IS NULL OR (b.qt IS NOT NULL AND epoch(b.t) - epoch(CAST(b.qt AS TIMESTAMP)) <= epoch(CAST(f.qt AS TIMESTAMP)) - epoch(b.t))) THEN 'backward' ELSE 'forward' END AS side,
+       CASE WHEN b.qt IS NULL AND f.qt IS NULL THEN NULL
+            WHEN (f.qt IS NULL OR (b.qt IS NOT NULL AND epoch(b.t) - epoch(CAST(b.qt AS TIMESTAMP)) <= epoch(CAST(f.qt AS TIMESTAMP)) - epoch(b.t))) THEN strftime(b.qt, '%Y-%m-%d')
+            ELSE strftime(f.qt, '%Y-%m-%d') END AS matched_date,
+       CASE WHEN (f.qt IS NULL OR (b.qt IS NOT NULL AND epoch(b.t) - epoch(CAST(b.qt AS TIMESTAMP)) <= epoch(CAST(f.qt AS TIMESTAMP)) - epoch(b.t))) THEN b.o_orderkey ELSE f.o_orderkey END AS o_orderkey,
+       ROUND(CASE WHEN (f.qt IS NULL OR (b.qt IS NOT NULL AND epoch(b.t) - epoch(CAST(b.qt AS TIMESTAMP)) <= epoch(CAST(f.qt AS TIMESTAMP)) - epoch(b.t))) THEN b.o_totalprice
+                  ELSE f.o_totalprice END, 2) AS o_totalprice
+FROM b JOIN f USING (event_id)
+"""

@@ -136,6 +136,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_OOD_SCORE,
     O_TS_ANOMALY,
     O_MM_AUDIO_DEDUP,
+    O_JOIN_ASOF_NEAREST,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -2338,6 +2339,48 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "o_custkey",
         F.date_format("_t", _TS_FMT).alias("asof_ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (operators/relational.py
+    asof_join_nearest — pandas merge_asof direction='nearest', the
+    variant the backward-only ``join_asof`` can't express): each probe
+    gets the order minimizing |orderdate − probe time| in its customer,
+    ties to the earlier side. Same union+carry shape (one shuffle on
+    the key, two carry windows), no range explosion; the oracle is
+    DuckDB's native ASOF JOIN run BOTH directions + the same tie rule
+    — two independent engines' nearest semantics must agree row for
+    row."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    orders = tables.load(spark, sf_dir, "orders")
+    probes = ev.select(
+        "event_id",
+        F.col("user_id").alias("o_custkey"),
+        F.date_add(
+            F.to_date(F.lit("1995-01-01")), (F.col("event_id") % 2400).cast("int")
+        )
+        .cast("timestamp")
+        .alias("asof_ts"),
+    )
+    out = rel_ops.asof_join_nearest(
+        probes,
+        orders,
+        key="o_custkey",
+        probe_ts="asof_ts",
+        quote_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+        probe_cols=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        "o_custkey",
+        F.date_format("_t", _TS_FMT).alias("asof_ts"),
+        "side",
+        F.date_format("matched_ts", "yyyy-MM-dd").alias("matched_date"),
         "o_orderkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
@@ -6141,6 +6184,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
     "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
     "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
+    "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
 }
 
 

@@ -52,3 +52,38 @@ def test_each_pair_emitted_exactly_once(spark):
     b = spark.createDataFrame([(2, 0, 640)], "b_id long, b_start long, b_end long")
     out = interval_overlap_join(a, b, cell=64).collect()
     assert len(out) == 1
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    from demo_pgvector_spark.operators import relational
+
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 100, 1.0),
+            (1, "2024-01-10", 200, 2.0),
+            (2, "2024-06-01", 300, 3.0),
+        ],
+        "k long, qt string, okey long, price double",
+    ).selectExpr("k", "cast(qt as timestamp) qt", "okey", "price")
+    probes = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-03"),  # closer to 01-01 (2d vs 7d) -> backward
+            (11, 1, "2024-01-08"),  # closer to 01-10 (2d vs 7d) -> forward
+            (12, 1, "2024-01-05 12:00:00"),  # 4.5d both... backward tie
+            (13, 2, "2023-01-01"),  # only a later quote -> forward
+            (14, 2, "2024-12-01"),  # only an earlier quote -> backward
+        ],
+        "eid long, k long, pt string",
+    ).selectExpr("eid", "k", "cast(pt as timestamp) pt")
+    out = {
+        r["eid"]: (r["side"], r["okey"])
+        for r in relational.asof_join_nearest(
+            probes, quotes, key="k", probe_ts="pt", quote_ts="qt",
+            payload_cols=("okey", "price"), probe_cols=("eid",),
+        ).collect()
+    }
+    assert out[10] == ("backward", 100)
+    assert out[11] == ("forward", 200)
+    assert out[12] == ("backward", 100)  # exact midpoint -> earlier
+    assert out[13] == ("forward", 300)
+    assert out[14] == ("backward", 300)
