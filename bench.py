@@ -214,6 +214,7 @@ BENCH_KEYS = (
     "ts_anomaly",
     "mm_audio_dedup",
     "join_asof_nearest",
+    "table_time_travel",
 )
 
 

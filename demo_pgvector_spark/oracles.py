@@ -5080,3 +5080,15 @@ SELECT b.event_id, b.o_custkey,
                   ELSE f.o_totalprice END, 2) AS o_totalprice
 FROM b JOIN f USING (event_id)
 """
+
+
+# Versioned-table time travel (registry q_table_time_travel): each
+# snapshot's membership recomputed from the batch definitions — a doc
+# is visible from its commit onward; version 4 is the compaction
+# rewrite and must equal version 3 exactly.
+O_TABLE_TIME_TRAVEL = """
+SELECT v.version, d.doc_id, d.n_chars
+FROM documents d
+CROSS JOIN (SELECT CAST(unnest(range(1, 5)) AS INT) AS version) v
+WHERE d.doc_id % 3 < LEAST(v.version, 3)
+"""

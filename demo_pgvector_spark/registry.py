@@ -137,6 +137,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_TS_ANOMALY,
     O_MM_AUDIO_DEDUP,
     O_JOIN_ASOF_NEAREST,
+    O_TABLE_TIME_TRAVEL,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -5569,6 +5570,47 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned-parquet table (streaming/
+    ingest.py read_table_at + compact_table — the VERSION AS OF half of
+    the Delta/Iceberg contract the repo's pointer-swap storage stands
+    in for): three append commits land doc_id % 3 slices, compaction
+    rewrites the full table as a FOURTH version whose content must be
+    byte-identical, then every retained version is read back AS OF and
+    unioned with its ordinal. The oracle recomputes each snapshot's
+    exact membership from the batch definitions — so both the
+    visibility rule (a doc appears in every version from its commit
+    onward) and the compaction no-op contract are driver-gated."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="spark_graft_ttravel_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    root = os.path.join(work, "table")
+    ddl = "doc_id long, n_chars long"
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k).select(
+            "doc_id", "n_chars"
+        )
+        existing = stream_ingest_ops.read_table(spark, root, ddl)
+        stream_ingest_ops.commit_table(existing.unionByName(batch), root)
+    stream_ingest_ops.compact_table(spark, root, ddl)
+    parts = []
+    for i, v in enumerate(stream_ingest_ops.list_versions(root), start=1):
+        parts.append(
+            stream_ingest_ops.read_table_at(spark, root, ddl, v).select(
+                F.lit(i).alias("version"), "doc_id", "n_chars"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-15 for a fixed bag-of-terms query — the sparse
     complement to the dense vec_* retrieval family. Two scans, zero
@@ -6185,6 +6227,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
     "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
     "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
+    "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
 }
 
 
