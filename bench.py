@@ -215,6 +215,7 @@ BENCH_KEYS = (
     "mm_audio_dedup",
     "join_asof_nearest",
     "table_time_travel",
+    "stream_anomaly",
 )
 
 

@@ -5570,6 +5570,41 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score screen as a REAL stateful stream
+    (streaming/stateful.py anomaly_flags — the second custom
+    applyInPandasWithState operator next to the funnel): events drain
+    through three time-ordered epoch files, each user's trailing-20
+    buffer carried in group state across epochs, every event scored
+    against the buffer BEFORE joining it. With ordered slices the
+    drained output must equal the batch ROWS-window computation row for
+    row — this row shares ``O_TS_ANOMALY``, proving
+    state-across-epochs ≡ batch window end to end. State is 3×20 longs
+    per user forever (key-bounded, never event-volume)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    weeks = [
+        "ts < TIMESTAMP '2024-01-11'",
+        "ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'",
+        "ts >= TIMESTAMP '2024-01-21'",
+    ]
+    _, landing = _stage_late_batches(
+        "anomsk",
+        sf_dir,
+        weeks,
+        select="event_id, ts, user_id, value",
+        order_by="ts, event_id",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_anomsk_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return stream_stateful_ops.run_anomaly_stream(
+        spark, landing, checkpoint_dir=os.path.join(work, "ckpt")
+    )
+
+
 def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over the versioned-parquet table (streaming/
     ingest.py read_table_at + compact_table — the VERSION AS OF half of
@@ -6228,6 +6263,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
     "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
+    "stream_anomaly": (q_stream_anomaly, O_TS_ANOMALY),
 }
 
 

@@ -214,3 +214,139 @@ def run_funnel_stream(
         )
         q.awaitTermination()
     return spark.read.schema(out.schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection as a stateful stream
+# ---------------------------------------------------------------------------
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts string, v_scaled long,"
+    " n_prev int, z double, is_anomaly boolean"
+)
+ANOM_STATE_SCHEMA = "ts_us array<long>, ev array<long>, v array<long>"
+ANOM_WINDOW = 20
+ANOM_MIN_HIST = 8
+
+
+def _anomaly_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user trailing-window state machine (the batch ``ts_anomaly``
+    as a stream): state is the user's last ≤ 20 (ts_us, event_id,
+    v_scaled) rows; each arriving event is z-scored against the buffer
+    BEFORE being pushed into it, so with time-ordered epoch slices the
+    drained output equals the batch ROWS-window computation row for
+    row. All moments are exact integers; z's float ops (int→double
+    conversions, sqrt, divide) are the identical IEEE sequence the
+    batch row and the DuckDB oracle use. State is 3×20 longs per user
+    forever — key-bounded, never event-volume."""
+    import math
+
+    (user_id,) = key
+    t_buf: list[int] = []
+    e_buf: list[int] = []
+    v_buf: list[int] = []
+    if state.exists:
+        t0, e0, v0 = state.get
+        t_buf, e_buf, v_buf = list(t0), list(e0), list(v0)
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+
+    out = {c: [] for c in (
+        "event_id", "user_id", "ts", "v_scaled", "n_prev", "z", "is_anomaly"
+    )}
+    for ev_id, ts, val in zip(rows["event_id"], rows["ts"], rows["value"]):
+        ts_us = ts.value // 1000
+        v_scaled = int(math.floor(val * 1_000_000 + 0.5))
+        n = len(v_buf)
+        z = None
+        if n:
+            s1 = sum(v_buf)
+            s2 = sum(x * x for x in v_buf)
+            var_num = n * s2 - s1 * s1
+            if var_num > 0:
+                z = (n * v_scaled - s1) / math.sqrt(var_num)
+        out["event_id"].append(int(ev_id))
+        out["user_id"].append(int(user_id))
+        out["ts"].append(ts.strftime("%Y-%m-%d %H:%M:%S"))
+        out["v_scaled"].append(v_scaled)
+        out["n_prev"].append(n)
+        out["z"].append(round(z, 4) if z is not None else None)
+        out["is_anomaly"].append(
+            n >= ANOM_MIN_HIST and z is not None and abs(z) > 3.0
+        )
+        t_buf.append(ts_us)
+        e_buf.append(int(ev_id))
+        v_buf.append(v_scaled)
+        if len(v_buf) > ANOM_WINDOW:
+            t_buf, e_buf, v_buf = (
+                t_buf[-ANOM_WINDOW:],
+                e_buf[-ANOM_WINDOW:],
+                v_buf[-ANOM_WINDOW:],
+            )
+    state.update((t_buf, e_buf, v_buf))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array(out["event_id"], dtype="Int64"),
+            "user_id": pd.array(out["user_id"], dtype="Int64"),
+            "ts": out["ts"],
+            "v_scaled": pd.array(out["v_scaled"], dtype="Int64"),
+            "n_prev": pd.array(out["n_prev"], dtype="Int32"),
+            "z": pd.array(out["z"], dtype="Float64"),
+            "is_anomaly": out["is_anomaly"],
+        }
+    )
+
+
+def anomaly_flags(events: DataFrame) -> DataFrame:
+    """The rolling z-score machine over a stream: group by user, custom
+    buffer state via applyInPandasWithState, NoTimeout (the buffer
+    never expires — it is overwritten by its own tail), APPEND output
+    (every score is final the moment its event arrives)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_anomaly_stream(
+    spark,
+    landing: str,
+    checkpoint_dir: str,
+    schema_ddl: str = "event_id long, ts timestamp, user_id long, value double",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drain a staged landing directory through the anomaly machine
+    (one micro-batch per file, mtime order — the funnel drain shape,
+    same Arrow/state-partition tuning) and return the emitted rows via
+    the parquet-sink read-back."""
+    from demo_pgvector_spark.session import (
+        scoped_conf,
+        scoped_shuffle_partitions,
+    )
+
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = anomaly_flags(stream)
+    out_dir = checkpoint_dir.rstrip("/") + ".out"
+    with scoped_shuffle_partitions(spark, state_partitions), scoped_conf(
+        spark, "spark.sql.execution.arrow.maxRecordsPerBatch", 1_000_000
+    ):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(out.schema).parquet(out_dir)

@@ -691,3 +691,19 @@ def test_curate_sink_serves_near_dups_from_the_provided_index(spark, tmp_path):
     empty = bands.limit(0)
     gone = verdicts(str(tmp_path / "empty"), empty)
     assert gone["near_dup"] is False and gone["kept"] is True
+
+
+def test_stream_anomaly_equals_batch_window(spark):
+    """streaming/stateful.py anomaly_flags: the drained stateful stream
+    must equal the batch ROWS-window computation row for row (state
+    carries each user's trailing buffer across epoch boundaries)."""
+    from demo_pgvector_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in registry.q_stream_anomaly(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r) for r in registry.q_ts_anomaly(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
