@@ -216,6 +216,7 @@ BENCH_KEYS = (
     "join_asof_nearest",
     "table_time_travel",
     "stream_anomaly",
+    "graph_kcore",
 )
 
 

@@ -5092,3 +5092,134 @@ FROM documents d
 CROSS JOIN (SELECT CAST(unnest(range(1, 5)) AS INT) AS version) v
 WHERE d.doc_id % 3 < LEAST(v.version, 3)
 """
+
+
+# k-core membership (registry q_graph_kcore, operators/graph.py
+# kcore_membership): the oracle unrolls the identical fixed peeling
+# rounds over the same symmetrized co-order part graph.
+O_GRAPH_KCORE = """
+WITH raw AS (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > 25 AND b.l_quantity > 25
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT id_a AS src, id_b AS dst FROM raw
+  UNION
+  SELECT DISTINCT id_b, id_a FROM raw
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+k0 AS MATERIALIZED (SELECT node FROM verts),
+k1 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k0 a ON a.node = e.src
+    JOIN k0 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k2 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k1 a ON a.node = e.src
+    JOIN k1 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k3 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k2 a ON a.node = e.src
+    JOIN k2 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k4 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k3 a ON a.node = e.src
+    JOIN k3 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k5 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k4 a ON a.node = e.src
+    JOIN k4 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k6 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k5 a ON a.node = e.src
+    JOIN k5 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k7 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k6 a ON a.node = e.src
+    JOIN k6 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k8 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k7 a ON a.node = e.src
+    JOIN k7 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k9 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k8 a ON a.node = e.src
+    JOIN k8 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k10 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k9 a ON a.node = e.src
+    JOIN k9 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k11 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k10 a ON a.node = e.src
+    JOIN k10 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+k12 AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT e.src, COUNT(*) AS deg
+    FROM edges e
+    JOIN k11 a ON a.node = e.src
+    JOIN k11 b ON b.node = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= 14
+),
+fin AS (SELECT node FROM k12)
+SELECT v.node AS node_id, f.node IS NOT NULL AS in_kcore
+FROM verts v LEFT JOIN fin f ON f.node = v.node
+"""

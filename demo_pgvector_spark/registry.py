@@ -138,6 +138,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_MM_AUDIO_DEDUP,
     O_JOIN_ASOF_NEAREST,
     O_TABLE_TIME_TRAVEL,
+    O_GRAPH_KCORE,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
     O_GRAPH_PPR,
@@ -4142,6 +4143,36 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership over the co-order part graph (operators/
+    graph.py kcore_membership; Seidman 1983) — the cohesion member of
+    the graph family next to centrality (pagerank/ppr), components
+    (cc/lpa), reach (bfs), and clustering (triangles): iterative
+    peeling to the k=14 core, fixed KCORE_ROUNDS rounds compiled into
+    ONE job (converged rounds are no-ops; convergence at the tested
+    scales pytest-pinned with an extra round). Same edge construction
+    as graph_cc/graph_triangles; output every node with its boolean
+    core membership; oracle unrolls the identical peeling rounds."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    return graph_ops.kcore_membership(pairs, nodes)
+
+
 def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components as a public graph key (VERDICT-r6-era
     machinery made first-class): the operators/dedup.py min-label +
@@ -6275,6 +6306,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "stream_anomaly": (q_stream_anomaly, O_TS_ANOMALY),
+    "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
 }
 
 

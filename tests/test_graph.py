@@ -251,3 +251,50 @@ def test_ppr_mass_is_seed_local(spark):
     assert got[1] > 0 and got[2] > 0 and got[3] > 0
     # non-seed rank comes only from propagation; seed holds restart mass
     assert got[1] > got[3]
+
+
+def test_kcore_converges_and_is_a_proper_core(spark):
+    """kcore_membership: one EXTRA peeling round must not change the
+    survivor set (the fixed-round result IS the fixpoint), the core
+    must be non-trivial (some peeled, some kept), and every survivor
+    must have induced degree >= k."""
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark import registry, tables
+    from demo_pgvector_spark.operators import graph as g
+
+    sf = "/root/testdata/sf0.001"
+    li = tables.load(spark, sf, "lineitem").filter(
+        F.col("l_quantity") > registry.TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    base = {
+        r["node_id"]: r["in_kcore"]
+        for r in g.kcore_membership(pairs, nodes).collect()
+    }
+    extra = {
+        r["node_id"]: r["in_kcore"]
+        for r in g.kcore_membership(
+            pairs, nodes, rounds=g.KCORE_ROUNDS + 1
+        ).collect()
+    }
+    assert base == extra  # fixpoint reached within KCORE_ROUNDS
+    kept = {n for n, f in base.items() if f}
+    assert 0 < len(kept) < len(base)  # proper, non-trivial core
+    sym = {(x, y) for r in pairs.collect() for x, y in
+           ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"]))}
+    for n in kept:
+        deg = sum(1 for x, y in sym if x == n and y in kept)
+        assert deg >= g.KCORE_K, (n, deg)
