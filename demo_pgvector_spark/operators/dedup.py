@@ -893,7 +893,10 @@ def ngram_containment_pairs(
     STRINGS removes any impostor. All epsilons under-prune only."""
     spark = docs.sparkSession
     src = docs.select(id_col, text_col)
-    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # Metadata-only split estimate, exactly as ngram_jaccard_pairs does
+    # (VERDICT r10 #2 retired this function's .rdd.getNumPartitions()
+    # probe — the last DataFrame→RDD conversion on any hot path).
+    if _estimated_scan_splits(src) < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
     grams = (
         with_shingles(src, text_col, k)

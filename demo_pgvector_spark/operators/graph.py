@@ -401,12 +401,18 @@ def kcore_membership(
 
     Contract: a FIXED number of peeling rounds, each round one
     grouped-degree pass over the induced subgraph — converged rounds
-    are no-ops, and convergence within ``rounds`` at the tested scales
-    is pytest-pinned (tests/test_graph.py runs one extra round and
-    asserts stability), so the fixed-round result IS the fixpoint.
-    All comparisons integer; the DuckDB oracle unrolls the identical
-    rounds as a CTE chain. ``edges`` is the undirected pair list
-    (id_a < id_b); degrees are computed over its symmetrization.
+    are no-ops. The result SELF-REPORTS convergence (ADVICE r10 #3): a
+    ``converged`` column carries whether the final two rounds kept the
+    same survivor count (peeling is monotone, so equal counts ⟺ equal
+    sets ⟺ fixpoint reached), computed lazily inside the same job — a
+    dataset needing more than ``rounds`` rounds now announces itself in
+    the output instead of silently returning a non-fixpoint that a
+    round-unrolling oracle would agree with. Convergence at the tested
+    scales remains pytest-pinned (tests/test_graph.py runs one extra
+    round and asserts stability). All comparisons integer; the DuckDB
+    oracle unrolls the identical rounds as a CTE chain and derives the
+    same flag from its last two CTEs. ``edges`` is the undirected pair
+    list (id_a < id_b); degrees are computed over its symmetrization.
 
     100 TB posture: like the pagerank family the loop compiles into ONE
     job — no per-round action — with a lazy localCheckpoint per round
@@ -424,6 +430,7 @@ def kcore_membership(
     kept = nodes.select(F.col(node_col).alias("n")).localCheckpoint(
         eager=False
     )
+    prev = kept
     for _ in range(rounds):
         deg = (
             sym.join(kept.withColumnRenamed("n", "src"), "src")
@@ -431,18 +438,35 @@ def kcore_membership(
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("_deg"))
         )
+        prev = kept
         kept = (
             deg.filter(F.col("_deg") >= k)
             .select(F.col("src").alias("n"))
             .localCheckpoint(eager=False)
         )
-    return nodes.join(
-        kept.withColumnRenamed("n", node_col).withColumn(
-            "_in", F.lit(True)
-        ),
-        node_col,
-        "left",
-    ).select(
-        F.col(node_col).alias("node_id"),
-        F.coalesce(F.col("_in"), F.lit(False)).alias("in_kcore"),
+    # Lazy 1-row convergence probe: survivor sets only shrink, so
+    # |round rounds-1| == |round rounds| ⟺ the peeling reached its
+    # fixpoint. Two tiny aggregates cross-joined onto the result —
+    # still one job, no driver-side action.
+    stable = (
+        prev.agg(F.count(F.lit(1)).alias("_n_prev"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("_n_last")))
+        .select(
+            (F.col("_n_prev") == F.col("_n_last")).alias("converged")
+        )
+    )
+    return (
+        nodes.join(
+            kept.withColumnRenamed("n", node_col).withColumn(
+                "_in", F.lit(True)
+            ),
+            node_col,
+            "left",
+        )
+        .crossJoin(F.broadcast(stable))
+        .select(
+            F.col(node_col).alias("node_id"),
+            F.coalesce(F.col("_in"), F.lit(False)).alias("in_kcore"),
+            "converged",
+        )
     )

@@ -479,12 +479,17 @@ def asof_join_nearest(
     carried = u.withColumn(
         "_b", F.last("_pay", ignorenulls=True).over(wb)
     ).withColumn("_f", F.last("_pay", ignorenulls=True).over(wf))
-    db = F.unix_timestamp(F.col("_t")) - F.unix_timestamp(
+    # Deltas at native microsecond precision (unix_micros, not
+    # unix_timestamp): whole-second truncation could flip the
+    # nearest-side pick or the backward tie rule on sub-second
+    # timestamps, diverging from true |Δ| and from pandas merge_asof
+    # (ADVICE r10 #2).
+    db = F.unix_micros(F.col("_t").cast("timestamp")) - F.unix_micros(
         F.col("_b").getField("_qt").cast("timestamp")
     )
-    df_ = F.unix_timestamp(
+    df_ = F.unix_micros(
         F.col("_f").getField("_qt").cast("timestamp")
-    ) - F.unix_timestamp(F.col("_t"))
+    ) - F.unix_micros(F.col("_t").cast("timestamp"))
     pick_b = F.col("_f").isNull() | (F.col("_b").isNotNull() & (db <= df_))
     nearest = F.when(pick_b, F.col("_b")).otherwise(F.col("_f"))
     out = carried.filter(F.col("_is_probe") == 1).select(

@@ -236,19 +236,27 @@ def scd2_apply(
     b = batch.select(
         *[F.col(k).alias(f"_b_{k}") for k in keys],
         *[F.col(a).alias(f"_b_{a}") for a in attr_list],
+        F.lit(1).alias("_b_m"),
     )
     key_cond = [F.col(k).eqNullSafe(F.col(f"_b_{k}")) for k in keys]
-    joined = current.join(
+    joined = current.withColumn("_dim_m", F.lit(1)).join(
         b, functools.reduce(lambda x, y: x & y, key_cond), "full"
     )
     same = functools.reduce(
         lambda x, y: x & y,
         [F.col(a).eqNullSafe(F.col(f"_b_{a}")) for a in attr_list],
     )
-    matched = F.col(keys[0]).isNotNull() & F.col(f"_b_{keys[0]}").isNotNull()
+    # Matched-ness comes from join-side MARKER columns, not key
+    # nullness: the join is null-safe, so a NULL-key current row CAN
+    # match a NULL-key change row, and isNotNull() on the first key
+    # would then classify the matched pair as both untouched and newly
+    # opened (ADVICE r10 #1). A marker is NULL exactly when its side
+    # did not participate in the full-join row — the only test that
+    # stays correct for every key value, NULLs included.
+    matched = F.col("_dim_m").isNotNull() & F.col("_b_m").isNotNull()
 
     untouched = joined.filter(
-        (F.col(f"_b_{keys[0]}").isNull()) | (matched & same)
+        (F.col("_b_m").isNull()) | (matched & same)
     ).select(*keys, *attr_list, from_col, to_col, current_col)
     closed = joined.filter(matched & ~same).select(
         *keys,
@@ -258,7 +266,7 @@ def scd2_apply(
         F.lit(False).alias(current_col),
     )
     opened = joined.filter(
-        (matched & ~same) | F.col(keys[0]).isNull()
+        (matched & ~same) | F.col("_dim_m").isNull()
     ).select(
         *[F.col(f"_b_{k}").alias(k) for k in keys],
         *[F.col(f"_b_{a}").alias(a) for a in attr_list],

@@ -5220,6 +5220,7 @@ k12 AS MATERIALIZED (
   ) WHERE deg >= 14
 ),
 fin AS (SELECT node FROM k12)
-SELECT v.node AS node_id, f.node IS NOT NULL AS in_kcore
+SELECT v.node AS node_id, f.node IS NOT NULL AS in_kcore,
+       (SELECT COUNT(*) FROM k11) = (SELECT COUNT(*) FROM k12) AS converged
 FROM verts v LEFT JOIN fin f ON f.node = v.node
 """

@@ -1868,13 +1868,17 @@ def q_vec_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the faiss ScalarQuantizer QT_8bit contract): per-dimension affine
     bounds trained in ONE posexplode min/max pass (64 rows out,
     whatever the corpus size), broadcast as a 1-row array frame;
-    corpus and query quantized by the same scan-fused transform();
-    score = pure BIGINT dot product; TakeOrderedAndProject with
-    vec_id tiebreak. The 100 TB case: 4× less scan I/O than float32
-    and an integer-only hot loop — the storage-reduction path next to
-    PQ's codebook path. Full DuckDB replay (bounds → codes → integer
-    scores), bit-identical because quantization is one left-associated
-    IEEE op sequence and everything after it is integer."""
+    corpus quantized by the scan-fused transform(), then scored by
+    the double-precision ADC fold — decode each uint8 code back to
+    its reconstruction value and dot the FLOAT query against the
+    decoded doubles (ann.py's module contract: a raw integer
+    code-dot-code is NOT order-preserving under per-dimension affine
+    bounds, so decode-then-dot is the correct faiss-ADC form);
+    TakeOrderedAndProject with vec_id tiebreak. The 100 TB case: 4×
+    less scan I/O than float32 — the storage-reduction path next to
+    PQ's codebook path. Full DuckDB replay (bounds → codes → decoded
+    ADC scores), bit-identical because quantization and decode are
+    one left-associated IEEE op sequence shared by both engines."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.sq8_topk(emb, _query_vec(spark, sf_dir), top_k=10)
@@ -4150,9 +4154,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cc/lpa), reach (bfs), and clustering (triangles): iterative
     peeling to the k=14 core, fixed KCORE_ROUNDS rounds compiled into
     ONE job (converged rounds are no-ops; convergence at the tested
-    scales pytest-pinned with an extra round). Same edge construction
-    as graph_cc/graph_triangles; output every node with its boolean
-    core membership; oracle unrolls the identical peeling rounds."""
+    scales pytest-pinned with an extra round AND self-reported by the
+    lazily-computed ``converged`` column — ADVICE r10 #3). Same edge
+    construction as graph_cc/graph_triangles; output every node with
+    its boolean core membership plus the convergence flag; oracle
+    unrolls the identical peeling rounds and derives the same flag
+    from its last two CTEs."""
     tune_session(spark)
     li = tables.load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity") > TRI_QTY_MIN
@@ -5894,33 +5901,59 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
     2020 §4.3): documents ranked by LM fit — the bigram_logprob score
     of ``text_perplexity`` (higher avg logp = better fit) — and split
-    into perplexity terciles with NTILE(3); head is the best-fitting
-    third. The step CCNet runs BETWEEN the LM score and the corpus
-    release (downstream pipelines keep head+middle or reweight by
-    bucket). Rank order is (rounded avg_logp DESC, doc_id) so the
-    window is engine-deterministic: both engines window over the same
-    6dp-rounded doubles (bit-identical by the ordered-fold contract)
-    with an id tiebreak. The window is the only stage past the LM
-    score; at 100 TB one would NTILE within hash-range partitions or
-    cut on approx quantiles — here exact NTILE keeps the oracle
-    bit-exact, and the per-bucket width differs by ≤ 1 doc by NTILE's
-    contract."""
+    into perplexity terciles; head is the best-fitting third. The step
+    CCNet runs BETWEEN the LM score and the corpus release (downstream
+    pipelines keep head+middle or reweight by bucket).
+
+    SCALE-SAFE exact NTILE (VERDICT r10 #3 — the previous global
+    ``Window.orderBy`` NTILE moved every scored doc to ONE task): the
+    rank comes from operators/relational.py ``group_ranked`` — a RANGE
+    repartition of the scored docs with parallel partition sorts, per-
+    partition sequential ids, and a partitions-count-sized offset
+    aggregate broadcast back — then NTILE(3)'s bucket arithmetic is
+    applied to the exact global rank as a scan-fused expression
+    (first n%3 buckets get ⌈n/3⌉ rows, the rest ⌊n/3⌋ — the SQL
+    standard's definition, so the DuckDB NTILE oracle is replayed
+    bit-exactly without any engine running a single-partition window
+    over the corpus). Rank order is (rounded avg_logp DESC, doc_id)
+    packed into one orderable struct — engine-deterministic because
+    both engines compare the same 6dp-rounded doubles (bit-identical
+    by the ordered-fold contract) with an id tiebreak. The only
+    remaining unpartitioned window runs over the per-partition offset
+    rows (≤ spark.sql.shuffle.partitions of them), never the corpus;
+    tests/test_plans.py pins no ntile-window plan survives."""
     tune_session(spark)
     docs = tables.load(spark, sf_dir, "documents")
     scored = curation_ops.bigram_logprob(docs)
-    w = Window.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        "avg_logp",
-        F.ntile(3).over(w).alias("_t"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "avg_logp",
+    # Orderable struct: asc struct order == (avg_logp DESC, doc_id ASC)
+    # — IEEE negation is exact, doc_id makes the key unique, and the
+    # trailing payload fields can never influence the comparison.
+    packed = scored.select(
+        F.struct(
+            (-F.col("avg_logp")).alias("_neg"),
+            F.col("doc_id").alias("_id"),
+            F.col("n_tokens").alias("_nt"),
+            F.col("avg_logp").alias("_lp"),
+        ).alias("_ord")
+    )
+    ranked = rel_ops.group_ranked(packed, keys=(), value_col="_ord")
+    # NTILE(b) from a 0-based exact rank rn over n rows: q = n div b,
+    # r = n mod b; ranks below r·(q+1) land in the first r (wide)
+    # buckets, the rest in width-q buckets. greatest(q, 1) guards the
+    # ANSI division on the (unreachable when q = 0) narrow branch.
+    tile = F.expr(
+        "case when rn < (n % 3) * (n div 3 + 1)"
+        " then rn div (n div 3 + 1)"
+        " else (n % 3) + (rn - (n % 3) * (n div 3 + 1))"
+        "      div greatest(n div 3, 1) end"
+    )
+    return ranked.select(
+        F.col("_ord._id").alias("doc_id"),
+        F.col("_ord._nt").alias("n_tokens"),
+        F.col("_ord._lp").alias("avg_logp"),
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.col("_t"),
+            (tile + F.lit(1)).cast("int"),
         ).alias("bucket"),
     )
 

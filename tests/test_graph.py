@@ -291,6 +291,12 @@ def test_kcore_converges_and_is_a_proper_core(spark):
         ).collect()
     }
     assert base == extra  # fixpoint reached within KCORE_ROUNDS
+    # the operator's own lazy convergence flag agrees (ADVICE r10 #3)
+    flags = {
+        r["converged"]
+        for r in g.kcore_membership(pairs, nodes).collect()
+    }
+    assert flags == {True}
     kept = {n for n, f in base.items() if f}
     assert 0 < len(kept) < len(base)  # proper, non-trivial core
     sym = {(x, y) for r in pairs.collect() for x, y in

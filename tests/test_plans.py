@@ -629,3 +629,20 @@ def test_retrieval_rrf_adds_no_corpus_pass(spark):
     # broadcast (the scalar-join shape its standalone plan always had);
     # the fusion itself must not add another
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_ccnet_buckets_no_global_ntile_window(spark):
+    """VERDICT r10 #3's plan contract: the head/middle/tail split must
+    run the distributed-rank plan — a RANGE repartition of the scored
+    docs with parallel partition sorts + monotonically_increasing_id —
+    with NTILE's bucket arithmetic applied as a scan-fused expression.
+    No ntile window (the old shape single-partitioned the entire scored
+    corpus; Spark itself warned 'Moving all data to a single
+    partition'); the one unpartitioned window left is the offset
+    aggregate over per-partition rows (<= shuffle partitions of them)."""
+    plan = _plan(spark, "text_ccnet_buckets")
+    assert "ntile" not in plan.lower(), plan
+    assert "rangepartitioning" in plan, plan
+    assert "monotonically_increasing_id" in plan
+    # the offsets frame joins back as a broadcast, never a corpus shuffle
+    assert "BroadcastHashJoin" in plan
