@@ -844,6 +844,23 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+# Batch replay of the REAL dropDuplicatesWithinWatermark drain
+# (streaming/windows.py run_stream_dedup): with the 45-day delay no
+# key's state evicts mid-drain, so each key emits exactly once, in the
+# first ascending time-range micro-batch containing it — (key,
+# MIN(batch_no)). batch_no classification by whole-second boundaries is
+# nanos→micros-truncation-invariant, so scoring the ORIGINAL events
+# table here matches the staged micro-files the stream reads.
+O_STREAM_DEDUP_WATERMARK = """
+SELECT user_id, event_type,
+       MIN(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 2
+                WHEN ts >= TIMESTAMP '2024-01-11' THEN 1
+                ELSE 0 END) AS batch_no
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
 # Two tie/boundary semantics pinned here (both probed empirically and
 # both invisible at small SF where (user_id, ts) never collides):
 # - Spark's session_window MERGES an event at exactly prev_ts+gap

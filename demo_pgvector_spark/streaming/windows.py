@@ -130,6 +130,79 @@ def stream_dedup(
     return events.dropDuplicates(list(key_cols))
 
 
+def run_stream_dedup(
+    spark: SparkSession,
+    landing: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    delay: str = "45 days",
+    batch_bounds: tuple[str, ...] = ("2024-01-11", "2024-01-21"),
+    ts_col: str = "ts",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` as a REAL stream (VERDICT r10
+    #8 — the last §2.9 primitive previously exercised only in its batch
+    ``dropDuplicates`` form): drain a staged landing directory
+    (maxFilesPerTrigger=1 — one micro-batch per ascending time-range
+    file) through the watermarked dedup state store and return the
+    emitted rows as a batch DataFrame.
+
+    Determinism and the batch-replay oracle: WITHIN a micro-batch the
+    operator keeps an arbitrary row per key (partition order), so the
+    projection emits only columns every within-batch duplicate shares —
+    the key itself plus the batch's time-range ordinal (``batch_no``,
+    derived from ``ts`` against ``batch_bounds``; the staged files ARE
+    those ranges, so all of a key's rows in one batch agree on it).
+    With ``delay`` longer than the staged span the watermark never
+    passes any event time, no key's state evicts mid-drain, and each
+    key is emitted exactly once — in the first batch containing it.
+    Drained result ≡ (key, MIN(batch_no)) over the whole corpus, which
+    is what the DuckDB oracle computes. Eviction semantics — state
+    expiry is first-event ts + delay, the watermark lags one batch,
+    and the duplicate lookup runs BEFORE eviction within a batch, so a
+    key re-emits only for duplicates arriving in a batch strictly
+    after the one whose watermark passed its expiry — are empirically
+    pinned in tests/test_streaming.py with a short delay; that
+    contract is micro-batch-boundary-dependent and belongs to the
+    pytest, not the oracle gate.
+
+    Scale: state is one row per key within the watermark horizon
+    (bounded — the batch ``dropDuplicates`` equivalent keeps the full
+    key set forever); the drain lands in a parquet FILE SINK and is
+    read back, never materializing on the driver."""
+    from demo_pgvector_spark.session import scoped_shuffle_partitions
+
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    batch_no = F.lit(0)
+    for b in batch_bounds:
+        batch_no = batch_no + F.when(
+            F.col(ts_col) >= F.lit(b).cast("timestamp"), F.lit(1)
+        ).otherwise(F.lit(0))
+    deduped = (
+        stream.withColumn("batch_no", batch_no.cast("int"))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .select(*key_cols, "batch_no")
+    )
+    out_dir = checkpoint_dir.rstrip("/") + ".out"
+    with scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(deduped.schema).parquet(out_dir)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str | None = None
 ) -> None:
