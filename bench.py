@@ -47,177 +47,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from demo_pgvector_spark import registry  # noqa: E402
 from demo_pgvector_spark.session import get_session  # noqa: E402
 
-BENCH_KEYS = (
-    # reference read path
-    "vec_sim_topk",
-    "vec_knn_join",
+# Bench coverage is TOTAL by construction (VERDICT r10 #6): every
+# registry key is benched, in registry order, so a new key can never be
+# silently invisible to the round-over-round record. BRANCH_KEYS adds
+# the consolidated rows' standalone branch functions (their registry
+# row is a composite; benching the branches preserves per-key
+# comparability back to the rounds where they were standalone keys).
+BRANCH_KEYS = (
     "rag_prompt_context",
     "rag_prompt_nocontext",
-    # reference write path (upserts + two-table chunk append)
-    "upsert_source",
-    "ins_chunk_txn",
-    # relational analytics over the 600k-row lineitem
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q18",
-    "join_lineitem_orders",
-    "join_skew_salted",
-    # round-5 TPC-H plan-feature set
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    # LLM-pipeline extension surface
-    "vec_ann_topk",
-    "vec_pq_topk",
-    "vec_ivfpq_topk",
-    "vec_ivfpq_pruned",
-    "vec_ivf_topk",
-    "vec_ivf_pruned",
-    "join_bucketed",
-    "cluster_kmeans",
-    "join_asof",
-    "emb_hash_embed",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_embedding",
-    "text_fingerprint",
-    "text_quality",
-    "text_repetition",
-    "chunk_enrich",
-    "chunk_bpe",
     "stream_window_counts",
-    "stream_session_windows",
     "mm_decode_image",
-    "agg_word_counts",
-    # round-4 additions: the previously-unbenched relational tail, so
-    # r4-vs-r3 regression tracking covers every registry key family
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_percentiles_approx",  # sketch path, bench-only (no oracle)
-    "agg_approx_distinct",  # HLL++ sketch path, bench-only (no oracle)
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",
     "set_intersect",
     "set_except",
-    "win_rank_topn",
-    "win_running_total",
-    "win_range_frame",
-    "join_range",
-    # round-4 new rows: pair-graph resolution + the streaming write path
-    "dedup_assign",
-    "stream_ingest",
-    # round-4 curation family: decontamination, sparse retrieval,
-    # stratified sampling, sequence packing
-    "text_decontaminate",
-    "text_perplexity",
-    "text_scrub",
-    "text_bm25_topk",
-    "sample_stratified",
-    "pack_sequences",
-    "curate_corpus",
-    "curate_fuzzy",
-    # round-5 pillar widening: exact n-gram Jaccard + mixture sampling
-    # + the real watermark/late-data stream
-    "dedup_ngram",
-    "sample_mixture",
-    "stream_late_data",
-    "stream_late_update",
-    "text_keywords",
-    "seq_funnel",
-    # round-6: TPC-H completions, pretrained BPE, containment dedup,
-    # numeric RANGE frame
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q20",
-    "chunk_bpe_pretrained",
-    "dedup_containment",
-    "win_range_numeric",
-    "dedup_semantic",
-    "text_quality_model",
-    "vec_ivf_trained",
-    "stream_join",
-    "stream_static_join",
-    "stream_join_outer",
-    "stream_join_right",
-    "stream_join_full",
-    # round-7 additions
-    "join_edit_distance",
-    "stream_stateful_funnel",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_bfs",
-    "sample_priority",
-    "layout_zorder",
-    "win_sessionize",
-    "vec_mmr_rerank",
-    "ts_resample",
-    "graph_lpa",
-    "profile_table",
-    "graph_cc",
-    # round-8 additions
-    "layout_zorder_pruned",
-    "vec_ivf_append",
-    "graph_ppr",
-    "dedup_incremental",
-    "join_interval",
-    "ts_interpolate",
-    "profile_skew",
-    "sketch_countmin",
-    "dedup_url",
-    "decon_bloom",
-    # round-9 additions
-    "dedup_index_write",
-    "dedup_incremental_indexed",
-    "stream_countmin",
-    "stream_bloom",
-    "join_skew_adaptive",
-    "vec_ivf_drift",
-    "layout_zorder_append",
-    "curate_incremental",
-    # round-10 additions (the four VERDICT r9 operators; the two
-    # consolidation composites are benched through their standalone
-    # q_ functions already listed above)
-    "dedup_substring",
-    "retrieval_rrf",
-    "stream_curate",
-    "mm_phash_dedup",
-    # round-10 past-window breadth (round-11 window candidates)
-    "text_gopher_quality",
-    "mm_phash_incremental",
-    "sketch_hll",
-    "stream_hll",
-    "src_sniff_magic",
-    "vec_sq8_topk",
-    "text_dsir",
-    "text_ccnet_buckets",
-    "vec_ivfsq_pruned",
-    "scd2_apply",
-    "sketch_hll_algebra",
-    "profile_corr",
-    "stream_scd2",
-    "rag_hybrid_prompts",
-    "vec_ood_score",
-    "ts_anomaly",
-    "mm_audio_dedup",
-    "join_asof_nearest",
-    "table_time_travel",
-    "stream_anomaly",
-    "graph_kcore",
 )
+BENCH_KEYS = tuple(registry.REGISTRY) + BRANCH_KEYS
 
 
 def main() -> None:

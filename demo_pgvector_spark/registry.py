@@ -6161,48 +6161,113 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys — the rows CORRECTNESS_r10 records).
-    # Round-10 rotation, per SURVEY §2's contract and VERDICT r9 #1:
-    # (A) the SIX keys new this round, never driver-verified — the four
-    # VERDICT r9 operators (exact-substring dedup #2, RRF hybrid
-    # retrieval #3, the streaming curation tick #4, multimodal
-    # perceptual near-dup #6) plus the two round-10 consolidation
-    # composites (set_ops = set_intersect+set_except; agg_multidim =
-    # agg_cube+agg_rollup+agg_grouping_sets — the str_scalars recipe,
-    # freeing the three slots that make the full re-anchor fit);
-    # (B) the THREE keys whose implementation changed this round — a
-    # green r9 row does not carry across a diff (stream_countmin:
-    # atomic epoch-in-version commit; dedup_url: tracking-param
-    # boundary-anchoring rewrite, oracle changed too; vec_ivf_drift:
-    # the eager zero-totals guard changes the call's execution);
-    # (C) ALL FORTY-ONE remaining round-7 rows re-anchor — with (A)'s
-    # composites carrying the five consolidated r7 slugs, nothing in
-    # the registry is older than round 8 after this sweep, exactly the
-    # VERDICT r9 #1 done-criterion.
-    # Guard-only diffs that no registry input can reach (ADVICE r9:
-    # bloom_decontaminate's both-None ValueError) do NOT void rows:
-    # decon_bloom/stream_bloom/curate_incremental carry r8/r9 green
-    # (pytest pins the guard raises + targeted parity re-run green;
-    # they re-anchor naturally in r11).
+    # DRIVER WINDOW (first 50 keys - the rows CORRECTNESS_r11 records).
+    # Round-11 rotation, per SURVEY S2's precomputed plan and VERDICT
+    # r10 #1, with two documented swaps:
+    # (A) ONE key new this round - stream_dedup_watermark, the REAL
+    # dropDuplicatesWithinWatermark drain closing the last S2.9
+    # primitive (VERDICT r10 #8);
+    # (B) ONE key whose implementation changed this round and must
+    # re-verify - dedup_containment (VERDICT r10 #2: the last
+    # .rdd.getNumPartitions() probe retired for the metadata-only
+    # split estimate, voiding its r10 row);
+    # (C) the TWENTY-ONE round-10 additions that have never had a
+    # driver row (every one parity-green locally at sf0.001/0.01/0.1
+    # and on the replica ladder - SCALE.md);
+    # (D) TWENTY-SEVEN of the twenty-nine planned non-TPC-H round-8
+    # re-anchors - agg_word_counts and filt_files (the two lowest-
+    # regression-surface scalar rows of the 29, the sink_stdout
+    # precedent) are deferred to round 12 to make room for (A)+(B),
+    # and are named FIRST-IN-LINE in SURVEY S2's round-12 block next
+    # to the seventeen TPC-H rows and sink_stdout.
+    # 1 + 1 + 21 + 27 = 50 exactly; after this sweep nothing in the
+    # registry is older than round 9 except that documented r12 block.
     # =====================================================================
-    # -- (A) new in round 10 --
+    # -- (A) new in round 11 --
+    "stream_dedup_watermark": (
+        q_stream_dedup_watermark,
+        O_STREAM_DEDUP_WATERMARK,
+    ),
+    # -- (B) implementation changed in round 11 - must re-verify --
+    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
+    # -- (C) the 21 never-driver-verified round-10 additions --
+    "text_gopher_quality": (q_text_gopher_quality, O_TEXT_GOPHER_QUALITY),
+    "mm_phash_incremental": (q_mm_phash_incremental, O_MM_PHASH_INCREMENTAL),
+    "sketch_hll": (q_sketch_hll, O_SKETCH_HLL),
+    "stream_hll": (q_stream_hll, O_SKETCH_HLL),
+    "src_sniff_magic": (q_src_sniff_magic, O_SRC_SNIFF_MAGIC),
+    "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
+    "text_dsir": (q_text_dsir, O_TEXT_DSIR),
+    "text_ccnet_buckets": (q_text_ccnet_buckets, O_TEXT_CCNET_BUCKETS),
+    "vec_ivfsq_pruned": (q_vec_ivfsq_pruned, O_VEC_IVFSQ_PRUNED),
+    "scd2_apply": (q_scd2_apply, O_SCD2_APPLY),
+    "sketch_hll_algebra": (q_sketch_hll_algebra, O_SKETCH_HLL_ALGEBRA),
+    "profile_corr": (q_profile_corr, O_PROFILE_CORR),
+    "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
+    "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
+    "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
+    "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
+    "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
+    "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
+    "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
+    "stream_anomaly": (q_stream_anomaly, O_TS_ANOMALY),
+    "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
+    # -- (D) 27 of the 29 non-TPC-H round-8 re-anchors --
+    "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
+    "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
+    "agg_percentiles_approx": (
+        q_agg_percentiles_approx,
+        O_AGG_PERCENTILES_APPROX,
+    ),
+    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
+    "decon_bloom": (q_decon_bloom, O_DECON_BLOOM),
+    "emb_generate": (q_emb_generate, O_EMB_GENERATE),
+    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
+    "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
+    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
+    "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
+    "join_interval": (q_join_interval, O_JOIN_INTERVAL),
+    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
+    "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
+    "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
+    "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
+    "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
+    "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
+    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
+    "stream_session_windows": (
+        q_stream_session_windows,
+        O_STREAM_SESSION_WINDOWS,
+    ),
+    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
+    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
+    "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
+    "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
+    "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
+    # =====================================================================
+    # position 51+ - carries under the unchanged-code rule (round-9 or
+    # round-10 driver rows <= 2 rounds old, plus the documented round-12
+    # first-in-line block: 17 TPC-H rows + sink_stdout + agg_word_counts
+    # + filt_files). tools/parity.py re-verifies ALL keys locally each
+    # round regardless of position.
+    # =====================================================================
+    # -- round-10 window rows, now carries --
     "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
     "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
     "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
     "mm_phash_dedup": (q_mm_phash_dedup, O_MM_PHASH_DEDUP),
     "set_ops": (q_set_ops, O_SET_OPS),
     "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
-    # -- (B) implementation changed in round 10 — must re-verify --
     "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
     "dedup_url": (q_dedup_url, O_DEDUP_URL),
     "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
-    # -- (C) the full round-7 re-anchor sweep --
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
-    "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
     "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
     "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
     "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
@@ -6241,11 +6306,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
     "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
     "profile_table": (q_profile_table, O_PROFILE_TABLE),
-    # =====================================================================
-    # position 51+ — carries under the unchanged-code rule (round-8 or
-    # round-9 driver rows, all ≤ 2 rounds old); tools/parity.py
-    # re-verifies ALL keys locally each round regardless of position.
-    # =====================================================================
+    # -- older carries and the deferred round-12 block --
     "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
@@ -6296,36 +6357,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    "layout_zorder_pruned": (q_layout_zorder_pruned, O_LAYOUT_ZORDER_PRUNED),
-    "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
-    "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
-    "join_interval": (q_join_interval, O_JOIN_INTERVAL),
-    "profile_skew": (q_profile_skew, O_PROFILE_SKEW),
-    "sketch_countmin": (q_sketch_countmin, O_SKETCH_COUNTMIN),
-    "decon_bloom": (q_decon_bloom, O_DECON_BLOOM),
-    "stream_windows": (q_stream_windows, O_STREAM_WINDOWS),
-    "filt_predicates": (q_filt_predicates, O_FILT_PREDICATES),
-    "stream_session_windows": (
-        q_stream_session_windows,
-        O_STREAM_SESSION_WINDOWS,
-    ),
-    "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
-    "text_quality": (q_text_quality, O_TEXT_QUALITY),
-    "text_lang_id": (q_text_lang_id, O_TEXT_LANG_ID),
-    "join_lineitem_orders": (q_join_lineitem_orders, O_JOIN_LINEITEM_ORDERS),
     "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
-    "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
-    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
-    "cluster_kmeans": (q_cluster_kmeans, O_CLUSTER_KMEANS),
-    "emb_generate": (q_emb_generate, O_EMB_GENERATE),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
-    "ts_resample": (q_ts_resample, O_TS_RESAMPLE),
-    "sample_priority": (q_sample_priority, O_SAMPLE_PRIORITY),
-    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
-    "graph_bfs": (q_graph_bfs, O_GRAPH_BFS),
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
@@ -6341,40 +6377,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
     "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
-    "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
-    "seq_funnel": (q_seq_funnel, O_SEQ_FUNNEL),
-    "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
-    "agg_percentiles_approx": (
-        q_agg_percentiles_approx,
-        O_AGG_PERCENTILES_APPROX,
-    ),
-    "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
-    # -- round-10 breadth, past the window (round-11 candidates) --
-    "text_gopher_quality": (q_text_gopher_quality, O_TEXT_GOPHER_QUALITY),
-    "mm_phash_incremental": (q_mm_phash_incremental, O_MM_PHASH_INCREMENTAL),
-    "sketch_hll": (q_sketch_hll, O_SKETCH_HLL),
-    "stream_hll": (q_stream_hll, O_SKETCH_HLL),
-    "src_sniff_magic": (q_src_sniff_magic, O_SRC_SNIFF_MAGIC),
-    "vec_sq8_topk": (q_vec_sq8_topk, O_VEC_SQ8_TOPK),
-    "text_dsir": (q_text_dsir, O_TEXT_DSIR),
-    "text_ccnet_buckets": (q_text_ccnet_buckets, O_TEXT_CCNET_BUCKETS),
-    "vec_ivfsq_pruned": (q_vec_ivfsq_pruned, O_VEC_IVFSQ_PRUNED),
-    "scd2_apply": (q_scd2_apply, O_SCD2_APPLY),
-    "sketch_hll_algebra": (q_sketch_hll_algebra, O_SKETCH_HLL_ALGEBRA),
-    "profile_corr": (q_profile_corr, O_PROFILE_CORR),
-    "stream_scd2": (q_stream_scd2, O_SCD2_APPLY),
-    "rag_hybrid_prompts": (q_rag_hybrid_prompts, O_RAG_HYBRID_PROMPTS),
-    "vec_ood_score": (q_vec_ood_score, O_VEC_OOD_SCORE),
-    "ts_anomaly": (q_ts_anomaly, O_TS_ANOMALY),
-    "mm_audio_dedup": (q_mm_audio_dedup, O_MM_AUDIO_DEDUP),
-    "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
-    "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
-    "stream_anomaly": (q_stream_anomaly, O_TS_ANOMALY),
-    "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
-    "stream_dedup_watermark": (
-        q_stream_dedup_watermark,
-        O_STREAM_DEDUP_WATERMARK,
-    ),
 }
 
 

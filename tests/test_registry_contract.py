@@ -29,39 +29,37 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-10 plan (SURVEY §2 preamble "Round-10 window rotation";
-    # registry.py block comments are the same contract) --
-    # (A) new this round (never driver-verified): the four VERDICT r9
-    # operators plus the two consolidation composites whose freed
-    # slots make the full re-anchor sweep fit:
-    "dedup_substring", "retrieval_rrf", "stream_curate",
-    "mm_phash_dedup", "set_ops", "agg_multidim",
-    # (B) implementation changed in round 10 — a green r9 row does not
-    # carry across a diff (stream_countmin: atomic epoch-in-version
-    # commit; dedup_url: tracking-param boundary anchoring, oracle
-    # changed too; vec_ivf_drift: eager zero-totals guard):
-    "stream_countmin", "dedup_url", "vec_ivf_drift",
-    # (C) ALL forty-one remaining round-7 rows re-anchor (VERDICT r9
-    # #1; the five consolidated slugs set_intersect/set_except/
-    # agg_cube/agg_rollup/agg_grouping_sets re-anchor inside (A)'s
-    # composites) — nothing in the registry is older than round 8
-    # after this sweep. Guard-only diffs no registry input reaches
-    # (the bloom_decontaminate both-None ValueError) do not void rows:
-    # decon_bloom/stream_bloom/curate_incremental carry r8/r9 green
-    # with pytest + targeted-parity cover and re-anchor in r11.
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "dedup_ngram", "dedup_containment",
-    "dedup_assign", "dedup_semantic", "curate_fuzzy", "curate_corpus",
-    "stream_join", "stream_static_join", "stream_join_outer",
-    "stream_join_right", "stream_join_full", "stream_late_data",
-    "stream_late_update", "stream_ingest", "graph_pagerank",
-    "graph_triangles", "graph_cc", "join_edit_distance",
-    "stream_stateful_funnel", "vec_knn_join", "join_asof", "join_range",
-    "win_rank_topn", "chunk_enrich", "win_chunk_number", "mm_media",
-    "emb_hash_embed", "win_running_total", "text_repetition",
-    "agg_pivot", "tpch_q5", "str_scalars", "proj_sim_family",
-    "layout_zorder", "win_sessionize", "vec_mmr_rerank",
-    "profile_table",
+    # -- round-11 plan (SURVEY §2 preamble "Round-11 window rotation",
+    # VERDICT r10 #1 with two documented swaps; registry.py block
+    # comments are the same contract) --
+    # (A) new this round (never driver-verified): the real
+    # dropDuplicatesWithinWatermark drain (VERDICT r10 #8):
+    "stream_dedup_watermark",
+    # (B) implementation changed in round 11 — a green r10 row does
+    # not carry across a diff (dedup_containment: the last
+    # .rdd.getNumPartitions() probe retired, VERDICT r10 #2):
+    "dedup_containment",
+    # (C) the twenty-one round-10 additions that never had a driver
+    # row (all parity-green locally at three SFs + replica ladder):
+    "text_gopher_quality", "mm_phash_incremental", "sketch_hll",
+    "stream_hll", "src_sniff_magic", "vec_sq8_topk", "text_dsir",
+    "text_ccnet_buckets", "vec_ivfsq_pruned", "scd2_apply",
+    "sketch_hll_algebra", "profile_corr", "stream_scd2",
+    "rag_hybrid_prompts", "vec_ood_score", "ts_anomaly",
+    "mm_audio_dedup", "join_asof_nearest", "table_time_travel",
+    "stream_anomaly", "graph_kcore",
+    # (D) twenty-seven of the twenty-nine planned non-TPC-H round-8
+    # re-anchors; agg_word_counts and filt_files (the two lowest-
+    # regression-surface scalar rows) defer to round 12's
+    # first-in-line block to make room for (A)+(B):
+    "agg_approx_distinct", "agg_percentiles", "agg_percentiles_approx",
+    "cluster_kmeans", "decon_bloom", "emb_generate", "filt_predicates",
+    "graph_bfs", "graph_lpa", "graph_ppr", "join_interval",
+    "join_lineitem_orders", "layout_zorder_pruned", "profile_skew",
+    "sample_priority", "seq_funnel", "sketch_countmin", "stream_dedup",
+    "stream_session_windows", "stream_windows", "text_fingerprint",
+    "text_lang_id", "text_quality", "ts_resample", "vec_cosine_dist",
+    "vec_ivf_append", "win_range_frame",
 }
 
 
