@@ -184,3 +184,78 @@ def resample_interpolate(
         value_li.alias("value_li"),
         F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
     )
+
+
+def ewma_trailing(
+    events: DataFrame,
+    half_window: int = 16,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) over each key's
+    trailing ``half_window`` observations INCLUSIVE of the current row
+    — the smoothing step telemetry/metrics pipelines run before
+    thresholding (pandas ``ewm(alpha=.5).mean()`` with a finite
+    window), fifth time-series member after resample / interpolate /
+    sessionize / anomaly.
+
+    α = 1/2 is chosen so every weight is an exact power of two:
+    the observation at lag d (d = 0 is the current row) weighs
+    2^(W−1−d), so numerator and denominator are EXACT BIGINT sums of
+    dyadically-scaled micro-integers (floor(value·1e6 + 0.5), the
+    ts_anomaly contract) — bit-identical on any engine in any
+    accumulation order — and the displayed mean is ONE double division
+    of exact operands. Overflow headroom: |value| ≤ 1e12 · 2^15 · 16
+    ≈ 5e17 < 2^63 even for 1e6-magnitude values.
+
+    Plan shape: one shuffle on the key, one in-partition sort, a
+    ROWS-frame ``collect_list`` of the scaled values (frame order =
+    the (ts, id) total order, engine-identical), and a scan-fused
+    indexed fold — no self-join, no per-row explode. The frame list is
+    ≤ W elements per row; state is the W-row frame, the same
+    streaming-friendly class as ts_anomaly's moment windows."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts", id_col)
+        .rowsBetween(-(half_window - 1), 0)
+    )
+    scaled = events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("_ts_s"),
+        F.col(ts_col).alias("_ts"),
+        F.expr(f"cast(floor({value_col} * 1000000 + 0.5) as bigint)").alias(
+            "_v"
+        ),
+    )
+    arr = scaled.select(
+        id_col,
+        key_col,
+        "_ts_s",
+        "_v",
+        F.collect_list("_v").over(w).alias("_arr"),
+    )
+    # element p (1-based) of an n-element frame list sits at lag
+    # d = n − p, so its weight is 2^(W−1−d) = shiftleft(1, W−1−n+p)
+    num = (
+        f"aggregate(transform(sequence(1, size(_arr)),"
+        f" p -> element_at(_arr, p)"
+        f" * shiftleft(cast(1 as bigint), {half_window} - 1 - size(_arr) + p)),"
+        f" cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    den = (
+        f"shiftleft(cast(1 as bigint), {half_window})"
+        f" - shiftleft(cast(1 as bigint), {half_window} - size(_arr))"
+    )
+    return arr.select(
+        id_col,
+        key_col,
+        F.col("_ts_s").alias(ts_col),
+        F.col("_v").alias("v_scaled"),
+        F.size("_arr").cast("int").alias("n_window"),
+        F.round(
+            F.expr(f"cast({num} as double) / cast({den} as double)") / 1e6, 6
+        ).alias("ewma"),
+    )

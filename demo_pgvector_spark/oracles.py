@@ -4946,6 +4946,38 @@ FROM sims s JOIN mom USING (cluster)
 # Rolling z-score anomaly detection (registry q_ts_anomaly): exact
 # integer window moments over the trailing-20 frame, the vec_ood_score
 # z formula, flag at |z| > 3 with >= 8 history rows.
+# EWMA over the trailing 16 events, α = 1/2 (registry q_ts_ewma,
+# operators/timeseries.py ewma_trailing): every weight an exact power
+# of two, numerator/denominator exact BIGINT sums of micro-scaled
+# integers, ONE double division (+ one by the 1e6 display literal) —
+# the same indexed fold Spark runs, via windowed list() + the indexed
+# list_transform lambda. Element p (1-based) of an n-element frame
+# list sits at lag n − p → weight 2^(16−1−n+p).
+O_TS_EWMA = """
+WITH scaled AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, ts, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+  FROM scaled
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       v AS v_scaled,
+       CAST(len(arr) AS INT) AS n_window,
+       round(CAST(list_sum(list_transform(arr,
+                 (x, p) -> x * ((1::BIGINT) << (15 - len(arr) + p))))
+               AS DOUBLE)
+             / CAST(((1::BIGINT) << 16) - ((1::BIGINT) << (16 - len(arr)))
+               AS DOUBLE)
+             / 1000000.0, 6) AS ewma
+FROM framed
+"""
+
+
 O_TS_ANOMALY = """
 WITH scaled AS (
   SELECT event_id, user_id, ts,

@@ -135,6 +135,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_RAG_HYBRID_PROMPTS,
     O_VEC_OOD_SCORE,
     O_TS_ANOMALY,
+    O_TS_EWMA,
     O_MM_AUDIO_DEDUP,
     O_JOIN_ASOF_NEAREST,
     O_TABLE_TIME_TRAVEL,
@@ -4613,6 +4614,23 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each user's trailing
+    16 events (operators/timeseries.py ewma_trailing) — the smoothing
+    screen next to ts_anomaly's z-score: α = 1/2 makes every weight an
+    exact power of two, so numerator and denominator are exact BIGINT
+    sums of dyadically-scaled micro-integers (the ts_anomaly
+    floor(x·1e6+0.5) contract) and the displayed mean is one double
+    division of exact operands. One shuffle on user_id, a ROWS-frame
+    collect_list over the (ts, event_id) total order, scan-fused
+    indexed fold — no self-join, no explode; oracle replays the frame
+    list and the same indexed fold via DuckDB's windowed list() +
+    list_transform with index."""
+    tune_session(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return ts_ops.ewma_trailing(ev)
+
+
 def q_sketch_hll_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketch.py) — WHY the explicit register
     relation beats an opaque scalar sketch: union cardinality falls out
@@ -6377,6 +6395,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
     "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
+    # -- round-11 past-window breadth (round-12 window candidates) --
+    "ts_ewma": (q_ts_ewma, O_TS_EWMA),
 }
 
 

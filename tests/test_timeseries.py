@@ -104,3 +104,63 @@ def test_ts_anomaly_flags_planted_spike(spark, monkeypatch):
     assert got[30]["is_anomaly"]
     assert all(not got[i]["is_anomaly"] for i in range(30))
     assert all(got[i]["n_prev"] == i for i in range(21))
+
+
+def test_ewma_matches_python_reference_and_windows_truncate(spark):
+    """ewma_trailing: the dyadic-weight fold equals a pure-Python
+    truncated EWMA (alpha = 1/2, window 16) on a crafted series, the
+    first row's window is 1 (ewma == value), and rows past the window
+    forget observation 17 back."""
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark.operators import timeseries as ts
+
+    vals = [float(v) for v in
+            [5, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]]
+    rows = [
+        (i, 1, f"2024-01-01 00:{i:02d}:00", vals[i]) for i in range(len(vals))
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, value double"
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    got = {
+        r["event_id"]: (r["n_window"], r["ewma"])
+        for r in ts.ewma_trailing(df).collect()
+    }
+
+    def ref(i):
+        window = vals[max(0, i - 15): i + 1]
+        n = len(window)
+        num = sum(
+            int(v * 1_000_000 + 0.5) * (1 << (15 - n + p))
+            for p, v in enumerate(window, start=1)
+        )
+        den = (1 << 16) - (1 << (16 - n))
+        return round(num / den / 1e6, 6)
+
+    for i in range(len(vals)):
+        n, e = got[i]
+        assert n == min(i + 1, 16), (i, n)
+        assert e == ref(i), (i, e, ref(i))
+    assert got[0][1] == vals[0]  # single-element window is the value itself
+
+
+def test_ewma_plan_one_exchange_no_join(spark):
+    """ewma_trailing plans ONE hash exchange (the user_id partition) and
+    no join/explode: the indexed fold is scan-fused over the window's
+    frame list."""
+    import re
+
+    from demo_pgvector_spark import registry
+
+    plan = (
+        registry.q_ts_ewma(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
