@@ -5146,6 +5146,73 @@ WHERE d.doc_id % 3 < LEAST(v.version, 3)
 # k-core membership (registry q_graph_kcore, operators/graph.py
 # kcore_membership): the oracle unrolls the identical fixed peeling
 # rounds over the same symmetrized co-order part graph.
+# HITS hubs/authorities (registry q_graph_hits, operators/graph.py
+# hits): 4 max-normalized power-iteration rounds unrolled as a CTE
+# chain in the same integer fixed point as the Spark loop — micro-unit
+# scores, `//` integer division matching Spark's `div` on positive
+# operands, normalization by the round's MAX via a scalar subquery.
+# The display division by 1e6 is the chain's only float.
+O_GRAPH_HITS = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity > 25
+),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h FROM e),
+a1r AS MATERIALIZED (
+  SELECT e.dst, SUM(h0.h) AS s FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst
+),
+a1 AS MATERIALIZED (
+  SELECT dst AS id, (s * 1000000) // (SELECT MAX(s) FROM a1r) AS a FROM a1r
+),
+h1r AS MATERIALIZED (
+  SELECT e.src, SUM(a1.a) AS s FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src
+),
+h1 AS MATERIALIZED (
+  SELECT src AS id, (s * 1000000) // (SELECT MAX(s) FROM h1r) AS h FROM h1r
+),
+a2r AS MATERIALIZED (
+  SELECT e.dst, SUM(h1.h) AS s FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst
+),
+a2 AS MATERIALIZED (
+  SELECT dst AS id, (s * 1000000) // (SELECT MAX(s) FROM a2r) AS a FROM a2r
+),
+h2r AS MATERIALIZED (
+  SELECT e.src, SUM(a2.a) AS s FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src
+),
+h2 AS MATERIALIZED (
+  SELECT src AS id, (s * 1000000) // (SELECT MAX(s) FROM h2r) AS h FROM h2r
+),
+a3r AS MATERIALIZED (
+  SELECT e.dst, SUM(h2.h) AS s FROM e JOIN h2 ON h2.id = e.src GROUP BY e.dst
+),
+a3 AS MATERIALIZED (
+  SELECT dst AS id, (s * 1000000) // (SELECT MAX(s) FROM a3r) AS a FROM a3r
+),
+h3r AS MATERIALIZED (
+  SELECT e.src, SUM(a3.a) AS s FROM e JOIN a3 ON a3.id = e.dst GROUP BY e.src
+),
+h3 AS MATERIALIZED (
+  SELECT src AS id, (s * 1000000) // (SELECT MAX(s) FROM h3r) AS h FROM h3r
+),
+a4r AS MATERIALIZED (
+  SELECT e.dst, SUM(h3.h) AS s FROM e JOIN h3 ON h3.id = e.src GROUP BY e.dst
+),
+a4 AS MATERIALIZED (
+  SELECT dst AS id, (s * 1000000) // (SELECT MAX(s) FROM a4r) AS a FROM a4r
+),
+h4r AS MATERIALIZED (
+  SELECT e.src, SUM(a4.a) AS s FROM e JOIN a4 ON a4.id = e.dst GROUP BY e.src
+),
+h4 AS MATERIALIZED (
+  SELECT src AS id, (s * 1000000) // (SELECT MAX(s) FROM h4r) AS h FROM h4r
+)
+SELECT id AS node_id, 'hub' AS kind, h / 1000000.0 AS score FROM h4
+UNION ALL
+SELECT id AS node_id, 'authority' AS kind, a / 1000000.0 AS score FROM a4
+"""
+
+
 O_GRAPH_KCORE = """
 WITH raw AS (
   SELECT a.l_partkey AS id_a, b.l_partkey AS id_b

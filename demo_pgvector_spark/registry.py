@@ -139,6 +139,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_MM_AUDIO_DEDUP,
     O_JOIN_ASOF_NEAREST,
     O_TABLE_TIME_TRAVEL,
+    O_GRAPH_HITS,
     O_GRAPH_KCORE,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
@@ -4212,6 +4213,29 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.kcore_membership(pairs, nodes)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (operators/graph.py hits; Kleinberg
+    1999) — the eighth graph member, and the first over a DIRECTED
+    bipartite relation: customer→supplier edges from the order
+    lines (who buys from whom), node ids namespaced 2c / 2s+1 so the
+    two key spaces cannot collide. Four max-normalized power-iteration
+    rounds in the module's integer fixed point — hub side ranks
+    broad-basket buyers, authority side the suppliers they
+    concentrate on; in corpus terms, index pages vs canonical
+    documents. Oracle unrolls the identical rounds with DuckDB `//`
+    integer division; the only float is the final display division."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    o = tables.load(spark, sf_dir, "orders")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return graph_ops.hits(edges)
+
+
 def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components as a public graph key (VERDICT-r6-era
     machinery made first-class): the operators/dedup.py min-label +
@@ -6397,6 +6421,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
     # -- round-11 past-window breadth (round-12 window candidates) --
     "ts_ewma": (q_ts_ewma, O_TS_EWMA),
+    "graph_hits": (q_graph_hits, O_GRAPH_HITS),
 }
 
 

@@ -304,3 +304,44 @@ def test_kcore_converges_and_is_a_proper_core(spark):
     for n in kept:
         deg = sum(1 for x, y in sym if x == n and y in kept)
         assert deg >= g.KCORE_K, (n, deg)
+
+
+def test_hits_matches_python_replay_and_reinforces(spark):
+    """hits(): the integer fixed-point chain equals a pure-Python replay
+    of the same max-normalized recurrence on a crafted directed graph,
+    and mutual reinforcement holds — the authority pointed at by more
+    hubs outranks its peers, the hub pointing at better authorities
+    outranks its peers."""
+    from demo_pgvector_spark.operators import graph as g
+
+    # hubs 1,2,3 -> authorities 10,11,12 (ids pre-namespaced/disjoint):
+    # authority 10 has in-degree 3, 11 has 2, 12 has 1;
+    # hub 1 points at all three, 2 at two, 3 at one.
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["kind"], r["node_id"]): r["score"]
+        for r in g.hits(df).collect()
+    }
+
+    MICRO = 1_000_000
+    h = {u: MICRO for u in {s for s, _ in edges}}
+    a = {}
+    for _ in range(4):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + h[s]
+        m = max(raw_a.values())
+        a = {d: (v * MICRO) // m for d, v in raw_a.items()}
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + a[d]
+        m = max(raw_h.values())
+        h = {s: (v * MICRO) // m for s, v in raw_h.items()}
+    for u, v in h.items():
+        assert got[("hub", u)] == v / MICRO, (u, got[("hub", u)], v)
+    for d, v in a.items():
+        assert got[("authority", d)] == v / MICRO, (d,)
+    assert got[("authority", 10)] > got[("authority", 11)] > got[("authority", 12)]
+    assert got[("hub", 1)] > got[("hub", 2)] > got[("hub", 3)]
+    assert got[("hub", 1)] == 1.0 and got[("authority", 10)] == 1.0  # max-norm

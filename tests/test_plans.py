@@ -646,3 +646,20 @@ def test_ccnet_buckets_no_global_ntile_window(spark):
     assert "monotonically_increasing_id" in plan
     # the offsets frame joins back as a broadcast, never a corpus shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_graph_hits_final_segment_equi_joins_no_cartesian(spark):
+    """hits(): the per-round a_raw/h_raw frames feed TWO consumers each
+    (the max scalar and the normalize), so each round lazily
+    checkpoints — without that the plan doubles per half-step (2^8
+    copies by round 4). The checkpoints truncate the visible executed
+    plan to the final segment, so this pins that segment (the two
+    payload equi-joins over checkpointed score frames: no cartesian,
+    no nested-loop) — the per-round recurrence itself is pinned
+    semantically against the Python replay in tests/test_graph.py,
+    and the scalar-max joins are crossJoin(broadcast(1-row)) by
+    construction in the operator source."""
+    plan = _plan(spark, "graph_hits")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 2
