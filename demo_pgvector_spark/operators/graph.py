@@ -558,3 +558,105 @@ def hits(
         (F.col("a") / F.lit(MICRO)).alias("score"),
     )
     return hub_rows.unionByName(auth_rows)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    p: int = 6,
+) -> DataFrame:
+    """Bounded-radius harmonic centrality via HyperBall (Boldi & Vigna,
+    2013) — the algorithm web-scale corpus pipelines actually use to
+    rank hosts for quality weighting (exact harmonic centrality needs
+    all-pairs distances; HyperBall replaces each node's ball with an
+    HLL counter and gets every node's centrality in K register-merge
+    rounds over the edge list). Ninth graph member, and the second
+    composition of the sketch machinery into another pillar (after the
+    streaming HLL sink): ball(v, r) = ball(v, r−1) ∪ ⋃_{u∼v}
+    ball(u, r−1) becomes a per-(node, register) MAX merge of the
+    operators/sketch.py register relation — idempotent, sparse (rows
+    only for set registers, ≤ min(|ball|, m) per node), and
+    partial-combining.
+
+    harmonic(v) ≈ Σ_{r=1..K} (|ball(v,r)| − |ball(v,r−1)|) / r — each
+    |ball| the module's deterministic HLL estimate: registers are
+    md5-bridge integers (bit-identical on any engine), z_num an exact
+    BIGINT, the estimate one shared-literal division (+ ln in the
+    linear-counting branch) rounded to 4dp, and the harmonic fold a
+    FIXED left-to-right expression over those 4dp values — so Spark,
+    DuckDB, and a Python replay agree exactly. Raw-branch estimates
+    grow monotonically with the registers; the one documented HLL
+    artifact is the LC→raw branch switch, which can wiggle a delta
+    slightly negative — HyperBall sums counter estimates as-is.
+
+    Scale shape: K rounds compile into ONE job (lazy checkpoint per
+    round, no per-round action); each round is edges ⋈ state (shuffle
+    keyed on the node id) + one partial-combining MAX aggregate; state
+    is nodes × set-registers, never ball membership. Per-node counters
+    use SMALL registers — ``p = 6`` (m = 64, ~13 % std err), the
+    HyperANF operating point (Boldi-Vigna run 2^4–2^7 registers per
+    node; web-scale centrality ranking needs ordering, not exact
+    counts) — because the round-merge join volume is edges ×
+    set-registers: m = 1024 measured 95 s at sf0.1 where m = 64 keeps
+    the same chain tens of seconds with the identical parity contract.
+    At 100 TB the register relation is exactly the ingest-maintained
+    artifact class the sketch family already ships."""
+    from demo_pgvector_spark.operators import sketch as sketch_ops
+
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    items0 = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("member")
+    )
+    state = sketch_ops.hll_build(
+        items0, "member", group_cols=("node",), p=p
+    ).localCheckpoint(eager=False)
+
+    def est(s: DataFrame, alias: str) -> DataFrame:
+        return sketch_ops.hll_estimate(s, ("node",), p=p).select(
+            "node", F.col("hll_est").alias(alias)
+        )
+
+    ests = [est(state, "e0")]
+    for r in range(1, rounds + 1):
+        neigh = sym.join(state, sym["dst"] == state["node"]).select(
+            sym["src"].alias("node"), "register", "rho"
+        )
+        state = (
+            state.unionByName(neigh)
+            .groupBy("node", "register")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        ests.append(est(state, f"e{r}"))
+    joined = ests[0]
+    for e in ests[1:]:
+        joined = joined.join(e, "node")
+    harmonic = F.lit(0.0)
+    for r in range(1, rounds + 1):
+        harmonic = harmonic + (F.col(f"e{r}") - F.col(f"e{r-1}")) / F.lit(
+            float(r)
+        )
+    # Display contract: the ts_interpolate floor(x·1e4 + 0.5) BIGINT —
+    # round() here is the one op the engines implement differently
+    # (Spark exact-decimal HALF_UP vs DuckDB float round), and the sum
+    # of three rounded-quotient terms lands near a 4dp boundary often
+    # enough to flip last digits (8/2000 at sf0.01); floor of the same
+    # double expression is bit-identical everywhere.
+    return joined.withColumn("__harm", harmonic).select(
+        F.col("node").alias("node_id"),
+        *[F.col(f"e{r}").alias(f"ball_{r}") for r in range(1, rounds + 1)],
+        F.expr("cast(floor(__harm * 10000 + 0.5) as bigint)").alias(
+            "harmonic_e4"
+        ),
+    )

@@ -5213,6 +5213,118 @@ SELECT id AS node_id, 'authority' AS kind, a / 1000000.0 AS score FROM a4
 """
 
 
+# HyperBall harmonic centrality (registry q_graph_hyperball,
+# operators/graph.py hyperball_harmonic; Boldi & Vigna 2013): 3
+# register-MAX merge rounds over the symmetrized co-order graph
+# replayed as a CTE chain — md5-bridge registers at the HyperANF
+# per-node counter size (p = 6, m = 64), exact-BIGINT z_num, the
+# shared one-literal estimate @4dp per round, and the harmonic
+# displayed via the floor(x·1e4 + 0.5) BIGINT contract (round() at
+# 4dp flipped last digits on 8/2000 near-boundary sums).
+O_GRAPH_HYPERBALL = """
+WITH raw AS (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > 25 AND b.l_quantity > 25
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT id_a AS src, id_b AS dst FROM raw
+  UNION
+  SELECT DISTINCT id_b, id_a FROM raw
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+s0 AS MATERIALIZED (
+  SELECT node, _h % 64 AS register,
+         MAX(CASE WHEN _h // 64 = 0 THEN 27
+                  ELSE 26 - length(bin(_h // 64)) + 1 END) AS rho
+  FROM (
+    SELECT node,
+           CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS _h
+    FROM verts
+  ) GROUP BY 1, 2
+),
+g0 AS (
+  SELECT node, CAST(64 - COUNT(*) AS INT) AS zeros,
+         CAST((64 - COUNT(*)) * (CAST(1 AS BIGINT) << 27)
+           + SUM(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT) AS z_num
+  FROM s0 GROUP BY 1
+),
+e0 AS (
+  SELECT node, round(CASE WHEN (389964313951.88196 / z_num) <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE 389964313951.88196 / z_num END, 4) AS est
+  FROM g0
+),
+s1 AS MATERIALIZED (
+  SELECT node, register, MAX(rho) AS rho FROM (
+    SELECT node, register, rho FROM s0
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho
+    FROM sym e JOIN s0 s ON s.node = e.dst
+  ) GROUP BY 1, 2
+),
+g1 AS (
+  SELECT node, CAST(64 - COUNT(*) AS INT) AS zeros,
+         CAST((64 - COUNT(*)) * (CAST(1 AS BIGINT) << 27)
+           + SUM(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT) AS z_num
+  FROM s1 GROUP BY 1
+),
+e1 AS (
+  SELECT node, round(CASE WHEN (389964313951.88196 / z_num) <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE 389964313951.88196 / z_num END, 4) AS est
+  FROM g1
+),
+s2 AS MATERIALIZED (
+  SELECT node, register, MAX(rho) AS rho FROM (
+    SELECT node, register, rho FROM s1
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho
+    FROM sym e JOIN s1 s ON s.node = e.dst
+  ) GROUP BY 1, 2
+),
+g2 AS (
+  SELECT node, CAST(64 - COUNT(*) AS INT) AS zeros,
+         CAST((64 - COUNT(*)) * (CAST(1 AS BIGINT) << 27)
+           + SUM(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT) AS z_num
+  FROM s2 GROUP BY 1
+),
+e2 AS (
+  SELECT node, round(CASE WHEN (389964313951.88196 / z_num) <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE 389964313951.88196 / z_num END, 4) AS est
+  FROM g2
+),
+s3 AS MATERIALIZED (
+  SELECT node, register, MAX(rho) AS rho FROM (
+    SELECT node, register, rho FROM s2
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho
+    FROM sym e JOIN s2 s ON s.node = e.dst
+  ) GROUP BY 1, 2
+),
+g3 AS (
+  SELECT node, CAST(64 - COUNT(*) AS INT) AS zeros,
+         CAST((64 - COUNT(*)) * (CAST(1 AS BIGINT) << 27)
+           + SUM(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT) AS z_num
+  FROM s3 GROUP BY 1
+),
+e3 AS (
+  SELECT node, round(CASE WHEN (389964313951.88196 / z_num) <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE 389964313951.88196 / z_num END, 4) AS est
+  FROM g3
+)
+SELECT e0.node AS node_id, e1.est AS ball_1, e2.est AS ball_2, e3.est AS ball_3,
+       CAST(floor((0.0 + (e1.est - e0.est) / 1.0 + (e2.est - e1.est) / 2.0 + (e3.est - e2.est) / 3.0) * 10000 + 0.5) AS BIGINT) AS harmonic_e4
+FROM e0
+JOIN e1 ON e1.node = e0.node
+JOIN e2 ON e2.node = e0.node
+JOIN e3 ON e3.node = e0.node
+"""
+
+
 O_GRAPH_KCORE = """
 WITH raw AS (
   SELECT a.l_partkey AS id_a, b.l_partkey AS id_b

@@ -140,6 +140,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_JOIN_ASOF_NEAREST,
     O_TABLE_TIME_TRAVEL,
     O_GRAPH_HITS,
+    O_GRAPH_HYPERBALL,
     O_GRAPH_KCORE,
     O_PROFILE_CORR,
     O_TS_INTERPOLATE,
@@ -4236,6 +4237,37 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.hits(edges)
 
 
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall bounded-radius harmonic centrality (operators/graph.py
+    hyperball_harmonic; Boldi & Vigna 2013) over the co-order part
+    graph — the published algorithm web-scale pipelines use to rank
+    hosts for corpus quality weighting, here composing the sketch
+    family's HLL register relation into the graph family: three
+    register-MAX merge rounds give every node its ball-size estimates
+    and harmonic(v) ≈ Σ (|ball r| − |ball r−1|)/r. Registers are
+    md5-bridge integers, z_num exact BIGINT, estimates the shared
+    one-literal division @4dp, the harmonic a fixed left fold — the
+    DuckDB oracle replays the whole chain bit-for-bit."""
+    tune_session(spark)
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_QTY_MIN
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    return graph_ops.hyperball_harmonic(pairs, nodes)
+
+
 def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components as a public graph key (VERDICT-r6-era
     machinery made first-class): the operators/dedup.py min-label +
@@ -6422,6 +6454,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round-11 past-window breadth (round-12 window candidates) --
     "ts_ewma": (q_ts_ewma, O_TS_EWMA),
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
+    "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
 }
 
 

@@ -345,3 +345,75 @@ def test_hits_matches_python_replay_and_reinforces(spark):
     assert got[("authority", 10)] > got[("authority", 11)] > got[("authority", 12)]
     assert got[("hub", 1)] > got[("hub", 2)] > got[("hub", 3)]
     assert got[("hub", 1)] == 1.0 and got[("authority", 10)] == 1.0  # max-norm
+
+
+def test_hyperball_matches_python_replay(spark):
+    """hyperball_harmonic: registers, per-round ball estimates, and the
+    floor-scaled harmonic all equal a pure-Python replay of the same
+    md5-bridge/HLL/merge chain on a known graph, and the structural
+    ordering holds (the star hub sees more of the graph per hop than
+    the path tail)."""
+    import hashlib
+    import math
+
+    from demo_pgvector_spark.operators import graph as g
+    from demo_pgvector_spark.operators import sketch as sketch_ops
+
+    P, ROUNDS = 6, 3
+    M = 1 << P
+    Q = sketch_ops.HLL_BITS - P
+
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes_df = spark.createDataFrame(
+        sorted({(v,) for e in edges for v in e}), "node long"
+    )
+    got = {
+        r["node_id"]: (r["ball_1"], r["ball_2"], r["ball_3"], r["harmonic_e4"])
+        for r in g.hyperball_harmonic(df, nodes_df, rounds=ROUNDS, p=P).collect()
+    }
+
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    nodes = sorted(sym)
+
+    def regs_of(members):
+        regs = {}
+        for v in members:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            reg, suf = h % M, h // M
+            rho = Q + 1 if suf == 0 else Q - suf.bit_length() + 1
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    def est(regs):
+        zeros = M - len(regs)
+        z_num = zeros * (1 << (Q + 1)) + sum(
+            1 << (Q + 1 - rho) for rho in regs.values()
+        )
+        raw = sketch_ops.hll_alpha_num(P) / z_num
+        if raw <= 2.5 * M and zeros > 0:
+            return round(float(M) * math.log(float(M) / zeros), 4)
+        return round(raw, 4)
+
+    balls = {v: {v} for v in nodes}
+    ests = {v: [est(regs_of(balls[v]))] for v in nodes}
+    for _ in range(ROUNDS):
+        balls = {
+            v: balls[v] | set().union(*(balls[u] for u in sym[v]))
+            for v in nodes
+        }
+        for v in nodes:
+            ests[v].append(est(regs_of(balls[v])))
+    for v in nodes:
+        e = ests[v]
+        harm = 0.0
+        for r in range(1, ROUNDS + 1):
+            harm = harm + (e[r] - e[r - 1]) / float(r)
+        want = (e[1], e[2], e[3], int(math.floor(harm * 10000 + 0.5)))
+        assert got[v] == want, (v, got[v], want)
+    # structural ordering: the hub's 1-ball dominates the tail's
+    assert got[1][0] > got[8][0]
+    assert got[1][3] > got[8][3]
