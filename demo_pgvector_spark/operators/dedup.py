@@ -1250,3 +1250,74 @@ def substring_pairs(
         )
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide LINE/paragraph deduplication — the CCNet §4.1 /
+    C4 / Dolma boilerplate-removal step that runs BEFORE document-level
+    dedup: a line whose normalized text (lower + trim) appears in
+    ``min_docs`` or more DISTINCT documents is dropped from every
+    document carrying it (navigation chrome, cookie banners, share
+    footers — the per-page noise document-level near-dup cannot see);
+    within-document repeats alone never trigger removal. Documents are
+    reassembled with surviving lines in their original positions.
+
+    Plan: posexplode lines (one Generate, line count not corpus² —
+    nothing pairwise anywhere), count DISTINCT carrying documents per
+    line key (one partial-combining aggregate), join the per-key
+    verdict back onto the exploded lines (8-byte key equi-join), and
+    re-aggregate per document with the ordered array fold
+    (``array_join(transform(array_sort(collect_list(struct(pos,
+    line)))), '\\n')`` — the agg_context_concat idiom, so
+    reassembly order is engine-exact).
+
+    Line keys are 60-bit integers from the md5 bridge
+    (``conv(substring(md5(line), 1, 15), 16, 10)`` — identical on any
+    engine, so the DuckDB oracle groups on the same key; a collision
+    could only MERGE two distinct lines, over-dropping, and at
+    2^-60 per pair is unreachable at any tested scale — the
+    xxhash64+exact-verify upgrade of the pair family applies if a
+    pipeline must be collision-proof). Output: (doc_id, n_lines,
+    n_kept, text_clean). No floats anywhere."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+    ).select(
+        id_col,
+        "pos",
+        F.col("_raw").alias("line"),
+        F.expr(
+            "cast(conv(substring(md5(lower(trim(_raw))), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("_k"),
+    )
+    per_key = lines.groupBy("_k").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    kept = lines.join(per_key, "_k").filter(F.col("_ndocs") < min_docs)
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_lines"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("int").alias("n_kept"),
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(pos, line))), s -> s.line), '\n')"
+                ).alias("text_clean"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

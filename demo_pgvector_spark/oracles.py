@@ -4946,6 +4946,40 @@ FROM sims s JOIN mom USING (cluster)
 # Rolling z-score anomaly detection (registry q_ts_anomaly): exact
 # integer window moments over the trailing-20 frame, the vec_ood_score
 # z formula, flag at |z| > 3 with >= 8 history rows.
+# Corpus-wide line dedup (registry q_dedup_lines, operators/dedup.py
+# line_dedup — the CCNet/C4/Dolma boilerplate screen): identical
+# augmentation, 60-bit md5-bridge line keys, COUNT(DISTINCT doc) per
+# key, position-ordered reassembly via string_agg(... ORDER BY pos).
+O_DEDUP_LINES = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'Share this article on social media.'
+              || chr(10) || source || ' newsletter - subscribe today!'
+              || chr(10) || 'ref code ' || CAST(doc_id AS VARCHAR)
+              || '-' || CAST(doc_id % 97 AS VARCHAR) AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, s[u.i] AS line,
+         CAST(('0x' || substr(md5(lower(trim(s[u.i]))), 1, 15))::UBIGINT
+           AS BIGINT) AS k
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS s FROM aug)
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i) u
+),
+per_key AS (SELECT k, COUNT(DISTINCT doc_id) AS ndocs FROM lines GROUP BY k),
+kept AS (SELECT l.* FROM lines l JOIN per_key p USING (k) WHERE p.ndocs < 2),
+ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+la AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines FROM lines GROUP BY doc_id)
+SELECT la.doc_id, la.n_lines, COALESCE(ka.n_kept, 0) AS n_kept,
+       COALESCE(ka.text_clean, '') AS text_clean
+FROM la LEFT JOIN ka USING (doc_id)
+"""
+
+
 # EWMA over the trailing 16 events, α = 1/2 (registry q_ts_ewma,
 # operators/timeseries.py ewma_trailing): every weight an exact power
 # of two, numerator/denominator exact BIGINT sums of micro-scaled

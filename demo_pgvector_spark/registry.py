@@ -119,6 +119,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_GRAPH_PAGERANK,
     O_DECON_BLOOM,
     O_DEDUP_INCREMENTAL,
+    O_DEDUP_LINES,
     O_DEDUP_INDEX,
     O_DEDUP_URL,
     O_JOIN_INTERVAL,
@@ -6063,6 +6064,36 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line/paragraph dedup (operators/dedup.py line_dedup —
+    the CCNet §4.1 / C4 / Dolma boilerplate-removal step): a line
+    appearing in ≥ 2 distinct documents is dropped from every carrier;
+    documents reassemble in position order. The synthetic corpus has
+    no newlines, so the row appends three deterministic lines per doc
+    (the text_scrub convention): a universal share-footer (in every
+    doc → always removed), a per-source newsletter line (removed
+    wherever the source has ≥ 2 docs), and a unique ref-code line
+    (always kept) — every verdict class fires both ways; the oracle
+    builds the identical augmentation. Cross-doc duplicate ORIGINAL
+    texts (the corpus has them — dedup_exact's reason to exist) drop
+    too, identically on both engines. 60-bit md5-bridge line keys, no
+    floats anywhere."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\nShare this article on social media."),
+        F.lit("\n"),
+        F.col("source"),
+        F.lit(" newsletter - subscribe today!"),
+        F.lit("\nref code "),
+        F.col("doc_id").cast("string"),
+        F.lit("-"),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    return dedup_ops.line_dedup(docs.withColumn("text", aug))
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking + C4-style line cleaning over the documents corpus.
     The synthetic corpus has no PII and no newlines, so the row
@@ -6455,6 +6486,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_ewma": (q_ts_ewma, O_TS_EWMA),
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
+    "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
 }
 
 

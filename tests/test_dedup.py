@@ -606,3 +606,27 @@ def test_substring_pairs_plan_is_gram_bounded(spark):
     # only hits are the 9 diagonal gram matches of that one pair
     out = dedup.substring_pairs(docs).collect()
     assert [(r["id_a"], r["id_b"], r["span_len"]) for r in out] == [(0, 100, 20)]
+
+
+def test_line_dedup_semantics_and_reassembly_order(spark):
+    """line_dedup: a line in >= 2 DISTINCT docs drops from every
+    carrier; a within-doc repeat alone is kept (both copies);
+    normalization is lower+trim; survivors reassemble in original
+    position order; a doc losing every line emits (n_kept=0, '')."""
+    from demo_pgvector_spark.operators.dedup import line_dedup
+
+    docs = [
+        (1, "alpha\nSHARED LINE\nbeta\nbeta"),       # within-doc repeat kept
+        (2, "  shared line \ngamma"),                 # norm matches doc 1
+        (3, "delta"),                                 # untouched
+        (4, "shared line"),                           # loses its only line
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in line_dedup(df).collect()
+    }
+    assert got[1] == (4, 3, "alpha\nbeta\nbeta")
+    assert got[2] == (2, 1, "gamma")
+    assert got[3] == (1, 1, "delta")
+    assert got[4] == (1, 0, "")
