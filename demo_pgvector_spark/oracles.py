@@ -4576,6 +4576,38 @@ FROM agg
 """
 
 
+# Binary-quantization top-k (registry q_vec_bq_topk, operators/ann.py
+# bq_topk — the BQ + exact-rescore serving pattern): sign-bit pack of
+# corpus and query replayed in SQL (same > 0 rule on the same stored
+# doubles), integer Hamming shortlist of 50 with id tiebreak, exact
+# cosine re-rank @6dp of the shortlist down to 10.
+O_VEC_BQ_TOPK = f"""
+WITH q AS ({_ORACLE_QVEC}),
+qp AS (
+  SELECT CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN qv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 0)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qlo,
+         CAST(list_sum(list_transform(range(32, 64), i -> CASE WHEN qv[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qhi
+  FROM q
+),
+packed AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN (CAST(e.embedding AS DOUBLE[]))[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 0)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(32, 64), i -> CASE WHEN (CAST(e.embedding AS DOUBLE[]))[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+  FROM embeddings e
+),
+short AS (
+  SELECT p.vec_id, p.label, p.v,
+         CAST(bit_count(xor(p.lo, qp.qlo))
+              + bit_count(xor(p.hi, qp.qhi)) AS INT) AS hamming
+  FROM packed p, qp
+  ORDER BY hamming ASC, p.vec_id ASC LIMIT 50
+)
+SELECT s.vec_id, s.label, s.hamming,
+       ROUND(list_cosine_similarity(s.v, q.qv), 6) AS bq_score
+FROM short s, q
+ORDER BY bq_score DESC, s.vec_id ASC LIMIT 10
+"""
+
+
 # IVF-SQ8 pruned probe (registry q_vec_ivfsq_pruned, operators/ann.py
 # ivfsq_write/ivfsq_topk_pruned): the O_VEC_IVF_TOPK assignment/probe
 # chain composed with the O_VEC_SQ8_TOPK bounds/quantize/decode/fold

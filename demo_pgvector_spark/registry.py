@@ -228,6 +228,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_UPSERT_SOURCE,
     O_VEC_ANN_JOIN,
     O_VEC_ANN_TOPK,
+    O_VEC_BQ_TOPK,
     O_VEC_COSINE_DIST,
     O_VEC_IVF_DRIFT,
     O_VEC_IVF_TOPK,
@@ -1887,6 +1888,21 @@ def q_vec_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.sq8_topk(emb, _query_vec(spark, sf_dir), top_k=10)
+
+
+def q_vec_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization top-k (operators/ann.py bq_topk) — the third
+    quantization member after PQ codebooks and SQ8 affine: sign-bit
+    vectors (64x less scan I/O), two xor+bit_count BIGINT ops per
+    candidate, Hamming shortlist of 50 with id tiebreak, exact cosine
+    re-rank of the shortlist down to 10 @6dp — the BQ + rescore
+    serving pattern of modern vector stores. The float query touches
+    only the <=50-row shortlist; the corpus scan is integer-only.
+    Oracle replays pack -> Hamming -> shortlist -> rescore; recall@10
+    vs the exact scan is pytest-gated."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.bq_topk(emb, _query_vec(spark, sf_dir), top_k=10)
 
 
 def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6487,6 +6503,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
     "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
+    "vec_bq_topk": (q_vec_bq_topk, O_VEC_BQ_TOPK),
 }
 
 

@@ -349,3 +349,52 @@ def test_ivfsq_pruned_reads_codes_only_from_nprobe_partitions(
     assert [r["vec_id"] for r in pruned.collect()] == [
         r["vec_id"] for r in direct.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (operators/ann.py bq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_bq_pack_bits_and_query_halves_agree(spark):
+    """The SQL sign-bit pack equals the Python pack of the same vector
+    (the query halves are folded in Python, the corpus halves in SQL —
+    they must implement one rule)."""
+    vec = [1.0 if i % 3 == 0 else -0.5 for i in range(64)]
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    lo_sql, hi_sql = ann._bq_pack_sql("embedding", 32, 64)
+    row = df.select(
+        F.expr(lo_sql).alias("lo"), F.expr(hi_sql).alias("hi")
+    ).collect()[0]
+    want_lo = sum(1 << i for i in range(32) if vec[i] > 0)
+    want_hi = sum(1 << (i - 32) for i in range(32, 64) if vec[i] > 0)
+    assert (row["lo"], row["hi"]) == (want_lo, want_hi)
+
+
+def test_bq_recall_vs_exact_on_clustered(spark, clustered_df):
+    """Sign bits quantize hard, but with the 50-deep exact-rescore
+    shortlist the clustered corpus keeps recall@10 >= 0.8 against the
+    float64 brute force (the BQ + rescore operating point)."""
+    rows = [(r["vec_id"], r["embedding"]) for r in clustered_df.collect()]
+    q = np.array(rows[0][1])
+    exact = set(_exact_topk(rows, q, 10))
+    got = {
+        r["vec_id"]
+        for r in ann.bq_topk(
+            clustered_df, rows[0][1], top_k=10, payload_cols=()
+        ).collect()
+    }
+    assert len(got & exact) >= 8, (got, exact)
+
+
+def test_bq_topk_integer_scan_no_corpus_shuffle(spark, clustered_df):
+    """The Hamming scan is scan-fused (no exchange carries the corpus:
+    sign pack + xor + bit_count are all projections) and the shortlist
+    is a TakeOrderedAndProject; the float cosine appears only past the
+    50-row limit."""
+    rows0 = clustered_df.limit(1).collect()[0]["embedding"]
+    plan = ann.bq_topk(
+        clustered_df, rows0, top_k=10, payload_cols=()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
