@@ -1190,3 +1190,74 @@ def dsir_weights(
             " 0D, (a, x) -> a + x._lr)"
         ).alias("_w"),
     )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    target_total: int,
+    salt: str = "r11t",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Temperature-balanced domain sampling at T = 2 (α = 1/2) — the
+    multilingual-LM rebalancing step (the XLM-R / mT5 exponent-smoothed
+    sampling family, q_d ∝ n_d^α with α < 1): low-resource domains are
+    upweighted RELATIVE to their raw share without anyone hand-writing
+    mixture weights (contrast ``sample_mixture``, which takes explicit
+    targets). Expected kept count per domain is
+    target_total · √n_d / Σ_e √n_e.
+
+    α = 1/2 is the determinism choice: n^α = sqrt(n), and IEEE-754
+    sqrt is CORRECTLY ROUNDED — bit-identical on the JVM, DuckDB and
+    numpy — where a general pow(n, 0.3) is a libm function with no
+    such guarantee. The denominator Σ √n_e is an ORDERED fold over the
+    (tiny) per-domain count relation (array_sort(collect_list(...))
+    ↔ list_sum(list(... ORDER BY domain)) — the bigram-LM addend-order
+    contract), each per-domain acceptance threshold is ONE shared-shape
+    float expression floored to an integer
+
+        thr_d = floor(1e6 · target_total · √n_d / (S · n_d))
+
+    and the keep decision is the pure-integer ``ticket < thr_d`` on
+    a salted md5 MICRO-ticket (0-999999; the siblings' per-mille
+    granularity floors the sub-0.1% rates a 100×-replica corpus
+    produces to zero, so this row carries the finer wheel) —
+    exact at the boundary, rerunnable, append-stable per salt. A
+    domain small enough that thr_d ≥ 1000 saturates at full inclusion
+    (the sampler never oversamples it; the shortfall is the caller's
+    signal, the sample_mixture convention).
+
+    Plan: one partial-combined domain count (|domains| rows), the
+    1-row ordered-fold denominator broadcast onto it, thresholds
+    broadcast back onto the scan, then a scan-fused integer filter —
+    the corpus itself never shuffles."""
+    counts = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("_n_dom")
+    )
+    den = counts.agg(
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct({domain_col}, _n_dom))),"
+            " 0D, (acc, x) -> acc + sqrt(cast(x._n_dom as double)))"
+        ).alias("_s")
+    )
+    thr = counts.crossJoin(F.broadcast(den)).select(
+        domain_col,
+        F.expr(
+            f"cast(floor(({float(1_000_000 * target_total)!r} *"
+            " sqrt(cast(_n_dom as double)))"
+            " / (_s * cast(_n_dom as double))) as bigint)"
+        ).alias("_thr"),
+    )
+    ticket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast("
+            f"{id_col} as string), ':{salt}')), 1, 8), 16, 10) as bigint)"
+        )
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(thr), domain_col)
+        .withColumn("ticket", ticket)
+        .filter(F.col("ticket") < F.col("_thr"))
+        .drop("_thr")
+    )

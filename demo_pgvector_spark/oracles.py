@@ -2418,7 +2418,7 @@ O_SAMPLE_STRATIFIED = """
 SELECT * FROM (
   SELECT doc_id, text, lang, source, n_chars,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8))::UBIGINT
-              AS BIGINT) % 1000 AS ticket
+              AS BIGINT) % 1000000 AS ticket
   FROM documents
 )
 WHERE ticket < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 500 END
@@ -3408,7 +3408,7 @@ WITH cnt AS (SELECT lang, COUNT(*) AS n_dom FROM documents GROUP BY lang),
 t AS (
   SELECT d.doc_id, d.lang, d.source, c.n_dom,
          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':r5'), 1, 8))::UBIGINT
-              AS BIGINT) % 1000 AS ticket
+              AS BIGINT) % 1000000 AS ticket
   FROM documents d JOIN cnt c USING (lang)
 )
 SELECT doc_id, lang, source, ticket
@@ -4978,6 +4978,30 @@ FROM sims s JOIN mom USING (cluster)
 # Rolling z-score anomaly detection (registry q_ts_anomaly): exact
 # integer window moments over the trailing-20 frame, the vec_ood_score
 # z formula, flag at |z| > 3 with >= 8 history rows.
+# Temperature-balanced sampling at T = 2 (registry q_sample_temperature,
+# operators/curation.py sample_temperature): per-lang counts, the
+# ordered-fold sqrt denominator (list ORDER BY lang — the bigram
+# addend-order contract), the shared-shape floored threshold, and the
+# same salted md5 ticket as the sampling siblings.
+O_SAMPLE_TEMPERATURE = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+den AS (
+  SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS s
+  FROM counts
+),
+thr AS (
+  SELECT lang,
+         CAST(floor((400000000.0 * sqrt(CAST(n AS DOUBLE)))
+                    / (s * CAST(n AS DOUBLE))) AS BIGINT) AS thr
+  FROM counts, den
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':r11t'), 1, 8))::UBIGINT AS BIGINT) % 1000000 AS ticket
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':r11t'), 1, 8))::UBIGINT AS BIGINT) % 1000000 < thr.thr
+"""
+
+
 # Corpus-wide line dedup (registry q_dedup_lines, operators/dedup.py
 # line_dedup — the CCNet/C4/Dolma boilerplate screen): identical
 # augmentation, 60-bit md5-bridge line keys, COUNT(DISTINCT doc) per

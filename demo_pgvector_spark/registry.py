@@ -192,6 +192,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_PACK_SEQUENCES,
     O_SAMPLE_MIXTURE,
     O_SAMPLE_STRATIFIED,
+    O_SAMPLE_TEMPERATURE,
     O_TEXT_BM25,
     O_TEXT_DECONTAMINATE,
     O_TEXT_PERPLEXITY,
@@ -6006,6 +6007,23 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "ticket")
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain sampling at T = 2 (operators/
+    curation.py sample_temperature) — the multilingual rebalancing
+    member of the sampling family next to stratified (explicit rates),
+    mixture (explicit targets) and priority (weighted top-k): expected
+    kept count per lang ∝ √n_lang, no hand-written weights. α = 1/2
+    because IEEE sqrt is correctly rounded on every engine (a general
+    pow has no such guarantee); the Σ√n denominator is an ordered
+    fold, thresholds floor to integers, and the keep decision is the
+    pure-integer salted-ticket test — exact at the boundary. Oracle
+    replays counts → ordered-fold denominator → thresholds → tickets."""
+    tune_session(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    out = curation_ops.sample_temperature(docs, target_total=400)
+    return out.select("doc_id", "lang", "source", "ticket")
+
+
 def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style mean INTERPOLATED-BIGRAM log-probability per document
     under a corpus-trained LM (operators/curation.py bigram_logprob —
@@ -6504,6 +6522,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
     "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
     "vec_bq_topk": (q_vec_bq_topk, O_VEC_BQ_TOPK),
+    "sample_temperature": (
+        q_sample_temperature,
+        O_SAMPLE_TEMPERATURE,
+    ),
 }
 
 

@@ -755,3 +755,46 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark):
     widths = [len(v) for v in by.values()]
     assert max(widths) - min(widths) <= 1, widths
     assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"]) >= max(by["tail"])
+
+
+def test_sample_temperature_rebalances_and_replays(spark):
+    """sample_temperature: kept counts match the pure-Python replay of
+    counts → ordered-fold √ denominator → floored thresholds → md5
+    micro-tickets exactly; the skewed domain's kept SHARE shrinks vs
+    its raw share (temperature flattening) while the small domain's
+    grows; re-running is deterministic."""
+    import hashlib
+    import math
+
+    from demo_pgvector_spark.operators.curation import sample_temperature
+
+    rows = [(i, "big" if i < 900 else "small", f"t{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = sample_temperature(df, target_total=200)
+    got = sorted(r["doc_id"] for r in out.collect())
+    got2 = sorted(r["doc_id"] for r in sample_temperature(df, 200).collect())
+    assert got == got2  # deterministic
+
+    counts = {"big": 900, "small": 100}
+    s = 0.0
+    for d in sorted(counts):  # ordered fold
+        s = s + math.sqrt(float(counts[d]))
+    thr = {
+        d: int(math.floor((1_000_000.0 * 200 * math.sqrt(float(n)))
+                          / (s * float(n))))
+        for d, n in counts.items()
+    }
+
+    def ticket(doc_id):
+        h = int(hashlib.md5(f"{doc_id}:r11t".encode()).hexdigest()[:8], 16)
+        return h % 1_000_000
+
+    want = sorted(
+        i for i, lang, _ in rows if ticket(i) < thr[lang]
+    )
+    assert got == want
+    kept_small = sum(1 for i in got if i >= 900)
+    kept_big = len(got) - kept_small
+    # raw shares 90/10; √-flattened expected shares √900:√100 = 3:1
+    assert kept_small / max(kept_big, 1) > 0.2  # far above the raw 1/9
+    assert kept_big > kept_small  # but the big domain still dominates
