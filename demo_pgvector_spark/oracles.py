@@ -2418,7 +2418,7 @@ O_SAMPLE_STRATIFIED = """
 SELECT * FROM (
   SELECT doc_id, text, lang, source, n_chars,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 8))::UBIGINT
-              AS BIGINT) % 1000000 AS ticket
+              AS BIGINT) % 1000 AS ticket
   FROM documents
 )
 WHERE ticket < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 300 ELSE 500 END
@@ -3408,7 +3408,7 @@ WITH cnt AS (SELECT lang, COUNT(*) AS n_dom FROM documents GROUP BY lang),
 t AS (
   SELECT d.doc_id, d.lang, d.source, c.n_dom,
          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':r5'), 1, 8))::UBIGINT
-              AS BIGINT) % 1000000 AS ticket
+              AS BIGINT) % 1000 AS ticket
   FROM documents d JOIN cnt c USING (lang)
 )
 SELECT doc_id, lang, source, ticket
