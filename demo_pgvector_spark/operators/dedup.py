@@ -1267,14 +1267,17 @@ def line_dedup(
     within-document repeats alone never trigger removal. Documents are
     reassembled with surviving lines in their original positions.
 
-    Plan: posexplode lines (one Generate, line count not corpus² —
-    nothing pairwise anywhere), count DISTINCT carrying documents per
-    line key (one partial-combining aggregate), join the per-key
-    verdict back onto the exploded lines (8-byte key equi-join), and
-    re-aggregate per document with the ordered array fold
-    (``array_join(transform(array_sort(collect_list(struct(pos,
-    line)))), '\\n')`` — the agg_context_concat idiom, so
-    reassembly order is engine-exact).
+    Plan: posexplode lines ONCE (an eager localCheckpoint — the line
+    relation feeds both the per-key verdict aggregate and the join
+    probe side, and without it the corpus scan+explode runs once per
+    branch; the plan pin counts exactly one Generate), count DISTINCT
+    carrying documents per line key (one partial-combining aggregate),
+    join the verdicts back (8-byte key equi-join), and ONE per-document
+    aggregate computes n_lines, n_kept AND the reassembly together —
+    the ordered fold keeps every line with its keep flag, sorts by
+    position, filters, then joins (the agg_context_concat idiom, so
+    reassembly order is engine-exact and all-dropped documents fall
+    out as ('' , 0) with no extra pass).
 
     Line keys are 60-bit integers from the md5 bridge
     (``conv(substring(md5(line), 1, 15), 16, 10)`` — identical on any
@@ -1284,40 +1287,38 @@ def line_dedup(
     xxhash64+exact-verify upgrade of the pair family applies if a
     pipeline must be collision-proof). Output: (doc_id, n_lines,
     n_kept, text_clean). No floats anywhere."""
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
-    ).select(
-        id_col,
-        "pos",
-        F.col("_raw").alias("line"),
-        F.expr(
-            "cast(conv(substring(md5(lower(trim(_raw))), 1, 15), 16, 10)"
-            " as bigint)"
-        ).alias("_k"),
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "_raw"
+            ),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.col("_raw").alias("line"),
+            F.expr(
+                "cast(conv(substring(md5(lower(trim(_raw))), 1, 15), 16, 10)"
+                " as bigint)"
+            ).alias("_k"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_key = lines.groupBy("_k").agg(
         F.countDistinct(id_col).alias("_ndocs")
     )
-    kept = lines.join(per_key, "_k").filter(F.col("_ndocs") < min_docs)
-    return (
-        lines.groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("n_lines"))
-        .join(
-            kept.groupBy(id_col).agg(
-                F.count(F.lit(1)).cast("int").alias("n_kept"),
-                F.expr(
-                    "array_join(transform(array_sort("
-                    "collect_list(struct(pos, line))), s -> s.line), '\n')"
-                ).alias("text_clean"),
-            ),
-            id_col,
-            "left",
-        )
-        .select(
-            id_col,
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-        )
+    flagged = lines.join(per_key, "_k").withColumn(
+        "_keep", F.col("_ndocs") < min_docs
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.expr(
+            "array_join(transform(filter(array_sort("
+            "collect_list(struct(pos, line, _keep))), s -> s._keep),"
+            " s -> s.line), '\n')"
+        ).alias("text_clean"),
     )

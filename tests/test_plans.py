@@ -663,3 +663,35 @@ def test_graph_hits_final_segment_equi_joins_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") <= 2
+
+
+def test_dedup_lines_explodes_once_no_cartesian(spark):
+    """dedup_lines: the exploded line relation materializes ONCE (an
+    eager localCheckpoint — without it the corpus scan+posexplode
+    re-ran per consuming branch, 3 Generates in the round-11 first
+    cut), so the final plan shows ZERO Generates and exactly TWO
+    RDD-scan leaves (the verdict-aggregate side and the join probe
+    side of the same materialized relation); equi-joins only, verdict
+    aggregate partial-combining, no cartesian anywhere."""
+    plan = _plan(spark, "dedup_lines")
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sample_temperature_corpus_never_shuffles(spark):
+    """sample_temperature: the corpus-sized path is scan → broadcast
+    threshold join → scan-fused integer filter; the only exchanges
+    carry the |domains|-row count/denominator frames, and the corpus
+    reaches the filter without repartitioning (no range/single
+    partition exchange; hash exchanges only on the tiny aggregates)."""
+    plan = _plan(spark, "sample_temperature")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # thresholds broadcast onto the scan
+    # the documents scan feeds the broadcast join directly — no exchange
+    # between scan and join on the corpus side: every hash exchange in
+    # the plan belongs to a groupBy over domain counts (<= 2 of them)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
