@@ -32,6 +32,20 @@ The query set deliberately mixes the two workload families the engine
 serves: the reference's vector-retrieval path (flagship top-k, kNN join)
 and shuffle-heavy relational analytics over the biggest testdata table
 (TPC-H-style aggregate + big join), plus a text-pipeline aggregate.
+
+Box-state calibration (round 12 — VERDICT r11 #5/#4): the r10→r11 bench
+dispute burned two rounds because a loaded box inflated the driver's
+numbers 1.2–4.7× per key with no signal in the artifact. The printed
+line and BENCH_DETAIL.json now carry ``calib_sec``: min-of-3 wall-clock
+of a FIXED synthetic Spark workload (a 20M-row in-memory range →
+mod-1000 hash aggregate → sort; no I/O, no data dependence, constant
+across rounds and scale factors). To compare BENCH_rN across rounds,
+read each per-key time relative to its round's ``calib_sec`` — a run
+whose calibration is 2× another's was taken on a ~2×-loaded box and its
+per-key times should be discounted accordingly before calling a
+regression. The calibration runs AFTER the warmup and BEFORE the keys,
+plus once more at the end (``calib_sec_end`` in BENCH_DETAIL.json) so
+load drift WITHIN the run is visible too.
 """
 
 from __future__ import annotations
@@ -67,6 +81,26 @@ BRANCH_KEYS = (
 BENCH_KEYS = tuple(registry.REGISTRY) + BRANCH_KEYS
 
 
+def calibrate(spark) -> float:
+    """Fixed synthetic workload (no I/O, constant size): 20M-row range →
+    mod-1000 hash aggregate → sort. min-of-3 wall-clock; the box-state
+    yardstick every per-key time should be read against."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 16)
+            .groupBy((F.col("id") % 1000).alias("g"))
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+            .orderBy("g")
+            .collect()
+        )
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,6 +111,8 @@ def main() -> None:
 
     # Warmup: first Spark job pays JVM + codegen + parquet-footer startup.
     registry.REGISTRY["vec_sim_topk"][0](spark, sf_dir).collect()
+
+    calib = calibrate(spark)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -94,6 +130,8 @@ def main() -> None:
         cold[key] = runs[0]
         timings[key] = min(runs)
 
+    calib_end = calibrate(spark)
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -105,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "calib_sec": calib,
+                "calib_sec_end": calib_end,
                 "sf": sf,
             },
             f,
@@ -135,6 +175,7 @@ def main() -> None:
             sum(v for k, v in timings.items() if k not in slowest), 2
         ),
         "n_keys": len(timings),
+        "calib_sec": calib,
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }

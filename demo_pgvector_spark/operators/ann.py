@@ -1023,6 +1023,16 @@ def bq_topk(
     bits quantize hard); the pytest gate pins recall@10 against the
     exact scan on the clustered corpus."""
     dim = len(qvec)
+    if not 32 < dim <= 96:
+        # the two-word (lo 32 bits + hi <=64 bits) packing assumes both
+        # halves are non-empty and the hi shift stays under 63 bits:
+        # dim <= 32 would make the hi half's sequence(lo_bits, dim-1)
+        # a DESCENDING probe of out-of-bounds indexes, dim > 96 would
+        # overflow the BIGINT hi word
+        raise ValueError(
+            f"bq_topk packs sign bits into two BIGINT words and needs "
+            f"32 < dim <= 96 (got dim={dim})"
+        )
     lo_bits = min(32, dim)
     q_lo = sum(1 << i for i in range(lo_bits) if qvec[i] > 0)
     q_hi = sum(
@@ -1054,3 +1064,179 @@ def bq_topk(
         ),
     )
     return rescored.orderBy(F.desc("bq_score"), F.asc(id_col)).limit(top_k)
+
+
+def smallworld_build(
+    emb: DataFrame,
+    planes: np.ndarray,
+    m: int = 6,
+    coarse_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Navigable-small-world adjacency build — the INGEST half of the
+    graph-ANN serving pattern (pgvector's second index family next to
+    ivfflat; reference config/init.sql:27-32 creates neither, so both
+    are this engine's documented scale path).
+
+    Neighbor candidates are BUCKET-BOUNDED, never all-pairs: nodes
+    sharing a ``coarse_bits``-bit LSH signature prefix in ANY of the
+    hash tables (the first ``coarse_bits`` hyperplanes of each table —
+    the same golden planes the LSH family shares with the DuckDB
+    oracle, so both engines derive the identical graph). Out-neighbors
+    = the top ``m`` bucket-mates by exact cosine (desc, id asc
+    tiebreak) — the NSW construction rule with LSH buckets standing in
+    for HNSW's insert-order beam (deterministic and cross-engine
+    replayable, which an insertion-order-dependent build is not).
+
+    Plan: one codegen signature pass over the corpus (no shuffle), one
+    equi-join on (table, coarse_sig) for candidate pairs, one pair
+    dedup, one per-src window for top-m — three key-partitioned
+    shuffles, all at INGEST time; probes never rebuild it. Candidate
+    volume is Σ_buckets |bucket|² per table — bounded by the bucket
+    granularity knob exactly like dedup's banded LSH, and at 100 TB
+    ``coarse_bits`` grows with the corpus so buckets stay fixed-size
+    (the same contract as vec_ivf's cell count).
+    """
+    coarse = planes[:, :coarse_bits, :]
+    n_tables = coarse.shape[0]
+    sigs = with_signatures(emb, coarse, vec_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.col(f"sig_{t}").alias("sig")
+            )
+            for t in range(n_tables)
+        ]
+    )
+    # candidate pairs travel as BARE ID PAIRS through the bucket join
+    # and the dedup shuffle; the 64-dim vectors only attach afterwards
+    # (two id equi-joins the optimizer is free to broadcast at test
+    # scale and shuffle-on-id at cluster scale) - shuffling ~pair-count
+    # x 1 KB of vector payload twice was the build's dominant cost.
+    exploded = sigs.select(
+        F.col(id_col),
+        F.explode(entries).alias("e"),
+    ).select(id_col, F.col("e.t").alias("t"), F.col("e.sig").alias("sig"))
+    a = exploded.select("t", "sig", F.col(id_col).alias("src"))
+    b = exploded.select("t", "sig", F.col(id_col).alias("dst"))
+    pairs = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    scored = (
+        pairs.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("_s"), F.asc("dst"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(m))
+        .select("src", "dst")
+    )
+
+
+def smallworld_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    m: int = 6,
+    beam: int = 12,
+    rounds: int = 3,
+    entries_n: int = 3,
+    coarse_bits: int = 6,
+    planes: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Graph-ANN top-k: coarse ROUTING layer + greedy BEAM SEARCH over
+    the small-world adjacency — the HNSW serving pattern. HNSW's upper
+    layers are a sparse routing subgraph whose only job is delivering
+    the search to the right region of the bottom layer; here that role
+    is played deterministically by ONE REPRESENTATIVE PER table-0
+    bucket (the MIN-id member — data-independent, replayable), scored
+    against the query, top-``entries_n`` forming the initial beam.
+    Without it a pure nearest-neighbor graph is NOT navigable across
+    well-separated clusters (top-m cosine out-neighbors of a tight
+    cluster never leave it, so a far entry strands the walk — the
+    classic kNN-graph failure HNSW's hierarchy exists to fix; the
+    recall gate in tests/test_ann.py demonstrates both halves).
+
+    Search contract (unrolled, engine-replayable — the graph family's
+    fixed-rounds rule): c₀ = top-``entries_n`` bucket representatives
+    by (query cosine desc, id asc), then ``rounds`` times c_{r+1} =
+    top-``beam`` by (query cosine desc, id asc) over c_r ∪
+    out-neighbors(c_r); answer = top-k of the final beam. Keeping the
+    current beam inside the candidate set makes the walk monotone (the
+    beam's worst member only improves), so a fixed round count is a
+    principled truncation, not a convergence gamble.
+
+    Plan shape at probe time: the beam is ≤ ``beam`` rows, so every
+    step is a BROADCAST join (beam ids → adjacency, candidate ids →
+    scored corpus) + TakeOrderedAndProject — the corpus is never
+    shuffled by a probe. At 100 TB the adjacency and vector store are
+    id-bucketed at ingest (smallworld_build's contract), so each
+    broadcast join prunes to the touched buckets: per-probe I/O is
+    O(beam · m · rounds) point lookups, the property that makes graph
+    ANN the lowest-latency serving family. Recall is data-dependent
+    (pytest-gates recall@10 on the clustered corpus, the bq_topk
+    protocol); the CORRECTNESS row gates implementation parity — the
+    DuckDB oracle rebuilds the identical graph from the shared golden
+    planes and replays the identical unrolled walk.
+    """
+    if planes is None:
+        planes = hyperplanes(len(qvec))
+    adj = smallworld_build(
+        emb, planes, m=m, coarse_bits=coarse_bits, id_col=id_col, vec_col=vec_col
+    )
+    if checkpoint:
+        adj = adj.localCheckpoint(eager=False)
+    q = query_vector_literal(qvec)
+    scores = emb.select(
+        F.col(id_col).alias("id"),
+        cosine_similarity(F.col(vec_col), q).alias("_qs"),
+    )
+    # routing layer: MIN-id representative per table-0 coarse bucket
+    # (<= 2^coarse_bits rows), scored once, top-entries_n = c0
+    reps = (
+        with_signatures(emb, planes[:1, :coarse_bits, :], vec_col)
+        .groupBy("sig_0")
+        .agg(F.min(F.col(id_col)).alias("id"))
+        .select("id")
+    )
+    beam_df = (
+        scores.join(F.broadcast(reps), "id")
+        .orderBy(F.desc("_qs"), F.asc("id"))
+        .limit(int(entries_n))
+    )
+    for _ in range(int(rounds)):
+        nbrs = adj.join(
+            F.broadcast(beam_df.select(F.col("id").alias("src"))), "src"
+        ).select(F.col("dst").alias("id"))
+        cand = beam_df.select("id").unionByName(nbrs).distinct()
+        beam_df = scores.join(F.broadcast(cand), "id").orderBy(
+            F.desc("_qs"), F.asc("id")
+        ).limit(int(beam))
+        if checkpoint:
+            beam_df = beam_df.localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    top = beam_df.orderBy(F.desc("_qs"), F.asc("id")).limit(int(k))
+    w = Window.orderBy(F.desc("_qs"), F.asc("id"))
+    return top.select(
+        F.col("id").alias(id_col),
+        F.round("_qs", 6).alias("similarity_score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1223,7 +1223,7 @@ def sample_temperature(
     granularity floors the sub-0.1% rates a 100×-replica corpus
     produces to zero, so this row carries the finer wheel) —
     exact at the boundary, rerunnable, append-stable per salt. A
-    domain small enough that thr_d ≥ 1000 saturates at full inclusion
+    domain small enough that thr_d ≥ 1,000,000 saturates at full inclusion
     (the sampler never oversamples it; the shortfall is the caller's
     signal, the sample_mixture convention).
 

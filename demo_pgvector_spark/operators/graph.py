@@ -505,6 +505,12 @@ def hits(
     rows. Every hub has out-degree ≥ 1 and every authority in-degree
     ≥ 1 by construction, so both max() scalars are positive and the
     integer divisions are total."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits() needs iterations >= 1 (got {iterations}): the "
+            "authority relation only exists after the first a <- A'h "
+            "half-step"
+        )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])

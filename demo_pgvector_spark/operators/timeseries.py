@@ -206,9 +206,15 @@ def ewma_trailing(
     2^(W−1−d), so numerator and denominator are EXACT BIGINT sums of
     dyadically-scaled micro-integers (floor(value·1e6 + 0.5), the
     ts_anomaly contract) — bit-identical on any engine in any
-    accumulation order — and the displayed mean is ONE double division
-    of exact operands. Overflow headroom: |value| ≤ 1e12 · 2^15 · 16
-    ≈ 5e17 < 2^63 even for 1e6-magnitude values.
+    accumulation order. The displayed mean follows the module's
+    floor-micro display contract (the ts_interpolate/graph.py:650
+    form): ``ewma_e6 = cast(floor(num/den + 0.5) as bigint)`` — the
+    quotient is already in micro units, the ONE double division is
+    IEEE-correctly-rounded identically on both engines, and floor
+    avoids the Spark-HALF_UP-vs-DuckDB-float round() divergence that
+    flipped 8/2000 rows on graph_hyperball at 4 dp. Overflow headroom:
+    |value| ≤ 1e12 · 2^15 · 16 ≈ 5e17 < 2^63 even for 1e6-magnitude
+    values.
 
     Plan shape: one shuffle on the key, one in-partition sort, a
     ROWS-frame ``collect_list`` of the scaled values (frame order =
@@ -255,7 +261,8 @@ def ewma_trailing(
         F.col("_ts_s").alias(ts_col),
         F.col("_v").alias("v_scaled"),
         F.size("_arr").cast("int").alias("n_window"),
-        F.round(
-            F.expr(f"cast({num} as double) / cast({den} as double)") / 1e6, 6
-        ).alias("ewma"),
+        F.expr(
+            f"cast(floor(cast({num} as double) / cast({den} as double)"
+            f" + 0.5d) as bigint)"
+        ).alias("ewma_e6"),
     )

@@ -5039,10 +5039,13 @@ FROM la LEFT JOIN ka USING (doc_id)
 # EWMA over the trailing 16 events, α = 1/2 (registry q_ts_ewma,
 # operators/timeseries.py ewma_trailing): every weight an exact power
 # of two, numerator/denominator exact BIGINT sums of micro-scaled
-# integers, ONE double division (+ one by the 1e6 display literal) —
-# the same indexed fold Spark runs, via windowed list() + the indexed
-# list_transform lambda. Element p (1-based) of an n-element frame
-# list sits at lag n − p → weight 2^(16−1−n+p).
+# integers, ONE double division — the same indexed fold Spark runs,
+# via windowed list() + the indexed list_transform lambda. Element p
+# (1-based) of an n-element frame list sits at lag n − p → weight
+# 2^(16−1−n+p). Display is the module's floor-micro contract
+# (ewma_e6 BIGINT = floor(num/den + 0.5)) — the quotient is already
+# micro-scaled, and floor on the IEEE-identical quotient sidesteps
+# the round() HALF_UP-vs-float divergence.
 O_TS_EWMA = """
 WITH scaled AS (
   SELECT event_id, user_id, ts,
@@ -5058,12 +5061,12 @@ framed AS (
 SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
        v AS v_scaled,
        CAST(len(arr) AS INT) AS n_window,
-       round(CAST(list_sum(list_transform(arr,
+       CAST(floor(CAST(list_sum(list_transform(arr,
                  (x, p) -> x * ((1::BIGINT) << (15 - len(arr) + p))))
                AS DOUBLE)
              / CAST(((1::BIGINT) << 16) - ((1::BIGINT) << (16 - len(arr)))
                AS DOUBLE)
-             / 1000000.0, 6) AS ewma
+             + 0.5) AS BIGINT) AS ewma_e6
 FROM framed
 """
 
@@ -5541,4 +5544,63 @@ fin AS (SELECT node FROM k12)
 SELECT v.node AS node_id, f.node IS NOT NULL AS in_kcore,
        (SELECT COUNT(*) FROM k11) = (SELECT COUNT(*) FROM k12) AS converged
 FROM verts v LEFT JOIN fin f ON f.node = v.node
+"""
+
+
+# Graph-ANN (small-world) top-k (registry q_vec_hnsw_topk,
+# operators/ann.py smallworld_build + smallworld_topk — the HNSW
+# serving pattern as a single navigable layer): the oracle rebuilds the
+# IDENTICAL neighbor graph from the shared golden planes (6-bit
+# signature prefix per table -> bucket-mate pairs -> top-6 by exact
+# cosine, id tiebreak) and replays the identical unrolled beam walk
+# (c0 = the top-3 by query cosine of the MIN-id representative per
+# table-0 bucket — the deterministic stand-in for HNSW's routing
+# layers — then three rounds of top-12 by query cosine over
+# beam ∪ out-neighbors; SQL UNION dedupes exactly like the Spark
+# distinct()), then displays the final beam's top-10 @6dp.
+O_VEC_HNSW_TOPK = f"""
+WITH p AS (
+  SELECT t, j, plane
+  FROM read_parquet('/root/repo/golden/ann_planes.parquet') WHERE j < 6
+),
+vsig AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.t
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM vsig a JOIN vsig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+),
+sp AS (
+  SELECT pr.src, pr.dst,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS s
+  FROM pairs pr
+  JOIN embeddings ea ON ea.vec_id = pr.src
+  JOIN embeddings eb ON eb.vec_id = pr.dst
+),
+adj AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+    FROM sp
+  ) WHERE rn <= 6
+),
+q AS ({_ORACLE_QVEC}),
+qs AS (SELECT e.vec_id AS id, {_ORACLE_SIM} AS s FROM embeddings e, q),
+reps AS (SELECT MIN(vec_id) AS id FROM vsig WHERE t = 0 GROUP BY sig),
+c0 AS (
+  SELECT qs.id FROM qs JOIN reps USING (id) ORDER BY s DESC, id ASC LIMIT 3
+),
+e1 AS (SELECT id FROM c0 UNION SELECT a.dst FROM adj a JOIN c0 ON a.src = c0.id),
+b1 AS (SELECT qs.id, qs.s FROM qs JOIN e1 USING (id) ORDER BY s DESC, id ASC LIMIT 12),
+e2 AS (SELECT id FROM b1 UNION SELECT a.dst FROM adj a JOIN b1 ON a.src = b1.id),
+b2 AS (SELECT qs.id, qs.s FROM qs JOIN e2 USING (id) ORDER BY s DESC, id ASC LIMIT 12),
+e3 AS (SELECT id FROM b2 UNION SELECT a.dst FROM adj a JOIN b2 ON a.src = b2.id),
+b3 AS (SELECT qs.id, qs.s FROM qs JOIN e3 USING (id) ORDER BY s DESC, id ASC LIMIT 12)
+SELECT id AS vec_id, ROUND(s, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS INT) AS rank
+FROM b3 ORDER BY s DESC, id ASC LIMIT 10
 """

@@ -230,6 +230,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_ANN_JOIN,
     O_VEC_ANN_TOPK,
     O_VEC_BQ_TOPK,
+    O_VEC_HNSW_TOPK,
     O_VEC_COSINE_DIST,
     O_VEC_IVF_DRIFT,
     O_VEC_IVF_TOPK,
@@ -1904,6 +1905,27 @@ def q_vec_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.bq_topk(emb, _query_vec(spark, sf_dir), top_k=10)
+
+
+def q_vec_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-10 (operators/ann.py smallworld_build +
+    smallworld_topk) — pgvector's OTHER index family (hnsw, next to
+    ivfflat; reference config/init.sql:27-32 creates neither), closing
+    the quantization+graph serving matrix: a navigable small-world
+    layer built from LSH-bucket-bounded candidates (top-6 exact-cosine
+    out-neighbors, never all-pairs) and an unrolled 3-round beam-12
+    greedy walk seeded by a deterministic coarse-routing layer (top-3
+    bucket representatives by query cosine — the role of HNSW's upper
+    layers, without their insert-order nondeterminism). Probe plan: the corpus is
+    never shuffled — beam steps are broadcast joins +
+    TakeOrderedAndProject; the build's three shuffles are ingest-time.
+    Oracle rebuilds the identical graph from the shared golden planes
+    and replays the identical walk (SQL set-UNION = the Spark
+    distinct()); recall@10 on clustered data is pytest-gated (the
+    bq_topk protocol)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.smallworld_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
 def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4694,8 +4716,9 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen next to ts_anomaly's z-score: α = 1/2 makes every weight an
     exact power of two, so numerator and denominator are exact BIGINT
     sums of dyadically-scaled micro-integers (the ts_anomaly
-    floor(x·1e6+0.5) contract) and the displayed mean is one double
-    division of exact operands. One shuffle on user_id, a ROWS-frame
+    floor(x·1e6+0.5) contract) and the display is ewma_e6 BIGINT =
+    floor(num/den + 0.5) — the module's floor-micro contract on one
+    double division of exact operands. One shuffle on user_id, a ROWS-frame
     collect_list over the (ts, event_id) total order, scan-fused
     indexed fold — no self-join, no explode; oracle replays the frame
     list and the same indexed fold via DuckDB's windowed list() +
@@ -6300,36 +6323,99 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys - the rows CORRECTNESS_r11 records).
-    # Round-11 rotation, per SURVEY S2's precomputed plan and VERDICT
-    # r10 #1, with two documented swaps:
-    # (A) ONE key new this round - stream_dedup_watermark, the REAL
-    # dropDuplicatesWithinWatermark drain closing the last S2.9
-    # primitive (VERDICT r10 #8);
-    # (B) ONE key whose implementation changed this round and must
-    # re-verify - dedup_containment (VERDICT r10 #2: the last
-    # .rdd.getNumPartitions() probe retired for the metadata-only
-    # split estimate, voiding its r10 row);
-    # (C) the TWENTY-ONE round-10 additions that have never had a
-    # driver row (every one parity-green locally at sf0.001/0.01/0.1
-    # and on the replica ladder - SCALE.md);
-    # (D) TWENTY-SEVEN of the twenty-nine planned non-TPC-H round-8
-    # re-anchors - agg_word_counts and filt_files (the two lowest-
-    # regression-surface scalar rows of the 29, the sink_stdout
-    # precedent) are deferred to round 12 to make room for (A)+(B),
-    # and are named FIRST-IN-LINE in SURVEY S2's round-12 block next
-    # to the seventeen TPC-H rows and sink_stdout.
-    # 1 + 1 + 21 + 27 = 50 exactly; after this sweep nothing in the
-    # registry is older than round 9 except that documented r12 block.
+    # DRIVER WINDOW (first 50 keys - the rows CORRECTNESS_r12 records).
+    # Round-12 rotation, executed EXACTLY per SURVEY S2's precomputed
+    # "Round-12 window rotation" block and VERDICT r11 #1 (prose labels
+    # fixed per VERDICT r11 "What's wrong" #2 / ADVICE r11: the SIX
+    # never-driver-verified round-11 additions are NEW keys, listed
+    # first per the standing new-keys-first rule, not r9 re-anchors):
+    # (A) the SIX round-11 past-window additions with no driver row
+    #     yet - all parity-green at sf0.001/0.01/0.1 + 10x/30x, most
+    #     100x (SCALE.md); ts_ewma's display moved to the floor-micro
+    #     contract (ewma_e6 BIGINT) THIS round, before its first row;
+    # (B) the TWENTY r8-stale first-in-line rows (17 TPC-H +
+    #     sink_stdout from the r10 precomputation + agg_word_counts +
+    #     filt_files deferred out of the executed r11 window);
+    # (C) the SIX r9-new keys without a later driver row;
+    # (D) the SEVEN then-r5-stale vector/join serving keys (r9 rows);
+    # (E) the TWO r9-changed keys without an r10 row;
+    # (F) the first NINE of the thirty-two r9 (D) carries, in that
+    #     list's order.
+    # 6 + 20 + 6 + 7 + 2 + 9 = 50 exactly; after this sweep nothing in
+    # the registry is older than round 9 and the r9 residue is the
+    # single named 23-key block at the dict tail (round-13
+    # first-in-line). tests/test_registry_contract.py pins this list.
     # =====================================================================
-    # -- (A) new in round 11 --
+    # -- (A) the six round-11 additions, first driver row --
+    "ts_ewma": (q_ts_ewma, O_TS_EWMA),
+    "graph_hits": (q_graph_hits, O_GRAPH_HITS),
+    "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
+    "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
+    "vec_bq_topk": (q_vec_bq_topk, O_VEC_BQ_TOPK),
+    "sample_temperature": (q_sample_temperature, O_SAMPLE_TEMPERATURE),
+    # -- (B) the twenty r8-stale first-in-line rows --
+    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
+    "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
+    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
+    "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
+    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
+    "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
+    "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
+    "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, O_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
+    "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
+    "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
+    "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
+    "filt_files": (q_filt_files, O_FILT_FILES),
+    # -- (C) the six r9-new keys without a later driver row --
+    "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
+    "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
+    "dedup_incremental_indexed": (
+        q_dedup_incremental_indexed,
+        O_DEDUP_INCREMENTAL,
+    ),
+    "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
+    "layout_zorder_append": (q_layout_zorder_append, O_LAYOUT_ZORDER_PRUNED),
+    "curate_incremental": (q_curate_incremental, O_CURATE_INCREMENTAL),
+    # -- (D) the seven vector/join serving re-anchors --
+    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
+    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
+    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
+    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
+    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
+    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
+    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
+    # -- (E) the two r9-changed keys without an r10 row --
+    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
+    # -- (F) the first nine r9 (D) carries --
+    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
+    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
+    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
+    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
+    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
+    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
+    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
+    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
+    "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    # =====================================================================
+    # position 51+ - carries under the unchanged-code rule. tools/
+    # parity.py re-verifies ALL keys locally each round regardless of
+    # position.
+    # =====================================================================
+    # -- round-11 window rows, now fresh r11 carries --
     "stream_dedup_watermark": (
         q_stream_dedup_watermark,
         O_STREAM_DEDUP_WATERMARK,
     ),
-    # -- (B) implementation changed in round 11 - must re-verify --
     "dedup_containment": (q_dedup_containment, O_DEDUP_CONTAINMENT),
-    # -- (C) the 21 never-driver-verified round-10 additions --
     "text_gopher_quality": (q_text_gopher_quality, O_TEXT_GOPHER_QUALITY),
     "mm_phash_incremental": (q_mm_phash_incremental, O_MM_PHASH_INCREMENTAL),
     "sketch_hll": (q_sketch_hll, O_SKETCH_HLL),
@@ -6351,7 +6437,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "stream_anomaly": (q_stream_anomaly, O_TS_ANOMALY),
     "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
-    # -- (D) 27 of the 29 non-TPC-H round-8 re-anchors --
     "agg_approx_distinct": (q_agg_approx_distinct, O_AGG_APPROX_DISTINCT),
     "agg_percentiles": (q_agg_percentiles, O_AGG_PERCENTILES),
     "agg_percentiles_approx": (
@@ -6385,14 +6470,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
-    # =====================================================================
-    # position 51+ - carries under the unchanged-code rule (round-9 or
-    # round-10 driver rows <= 2 rounds old, plus the documented round-12
-    # first-in-line block: 17 TPC-H rows + sink_stdout + agg_word_counts
-    # + filt_files). tools/parity.py re-verifies ALL keys locally each
-    # round regardless of position.
-    # =====================================================================
-    # -- round-10 window rows, now carries --
+    # -- round-10 window rows, r10 carries --
     "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
     "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
     "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
@@ -6445,34 +6523,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
     "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
     "profile_table": (q_profile_table, O_PROFILE_TABLE),
-    # -- older carries and the deferred round-12 block --
-    "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
-    "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
-    "dedup_incremental_indexed": (
-        q_dedup_incremental_indexed,
-        O_DEDUP_INCREMENTAL,
-    ),
-    "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
-    "layout_zorder_append": (q_layout_zorder_append, O_LAYOUT_ZORDER_PRUNED),
-    "curate_incremental": (q_curate_incremental, O_CURATE_INCREMENTAL),
-    "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
-    "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
-    "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
-    "vec_ivf_topk": (q_vec_ivf_topk, O_VEC_IVF_TOPK),
-    "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
-    "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
-    "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
-    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
-    "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
-    "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
-    "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
-    "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
-    "chunk_docling": (q_chunk_docling, O_CHUNK_DOCLING),
-    "classify_source_type": (q_classify_source_type, O_CLASSIFY_SOURCE_TYPE),
-    "extract_year": (q_extract_year, O_EXTRACT_YEAR),
-    "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
-    "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
-    "json_metadata": (q_json_metadata, O_JSON_METADATA),
+    # -- the twenty-three r9 (D) residue rows - the documented
+    # round-13 first-in-line block (SURVEY S2 round-13 precomputation) --
     "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
@@ -6496,36 +6548,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    "tpch_q6": (q_tpch_q6, O_TPCH_Q6),
-    "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
-    "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
-    "filt_files": (q_filt_files, O_FILT_FILES),
-    "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
-    "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
-    "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
-    "tpch_q4": (q_tpch_q4, O_TPCH_Q4),
-    "tpch_q7": (q_tpch_q7, O_TPCH_Q7),
-    "tpch_q10": (q_tpch_q10, O_TPCH_Q10),
-    "tpch_q11": (q_tpch_q11, O_TPCH_Q11),
-    "tpch_q13": (q_tpch_q13, O_TPCH_Q13),
-    "tpch_q14": (q_tpch_q14, O_TPCH_Q14),
-    "tpch_q15": (q_tpch_q15, O_TPCH_Q15),
-    "tpch_q16": (q_tpch_q16, O_TPCH_Q16),
-    "tpch_q17": (q_tpch_q17, O_TPCH_Q17),
-    "tpch_q18": (q_tpch_q18, O_TPCH_Q18),
-    "tpch_q19": (q_tpch_q19, O_TPCH_Q19),
-    "tpch_q21": (q_tpch_q21, O_TPCH_Q21),
-    "tpch_q22": (q_tpch_q22, O_TPCH_Q22),
-    # -- round-11 past-window breadth (round-12 window candidates) --
-    "ts_ewma": (q_ts_ewma, O_TS_EWMA),
-    "graph_hits": (q_graph_hits, O_GRAPH_HITS),
-    "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
-    "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
-    "vec_bq_topk": (q_vec_bq_topk, O_VEC_BQ_TOPK),
-    "sample_temperature": (
-        q_sample_temperature,
-        O_SAMPLE_TEMPERATURE,
-    ),
+    # -- round-12 past-window breadth (round-13 window candidate,
+    # first-in-line per the standing new-keys-first rule) --
+    "vec_hnsw_topk": (q_vec_hnsw_topk, O_VEC_HNSW_TOPK),
 }
 
 

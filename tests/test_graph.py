@@ -306,6 +306,19 @@ def test_kcore_converges_and_is_a_proper_core(spark):
         assert deg >= g.KCORE_K, (n, deg)
 
 
+def test_hits_rejects_zero_iterations(spark):
+    """hits(iterations=0) has no authority relation to return — the
+    guard raises a meaningful ValueError instead of crashing at the
+    auth join (ADVICE r11)."""
+    import pytest
+
+    from demo_pgvector_spark.operators import graph as g
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        g.hits(edges, iterations=0)
+
+
 def test_hits_matches_python_replay_and_reinforces(spark):
     """hits(): the integer fixed-point chain equals a pure-Python replay
     of the same max-normalized recurrence on a crafted directed graph,

@@ -29,37 +29,33 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-11 plan (SURVEY §2 preamble "Round-11 window rotation",
-    # VERDICT r10 #1 with two documented swaps; registry.py block
-    # comments are the same contract) --
-    # (A) new this round (never driver-verified): the real
-    # dropDuplicatesWithinWatermark drain (VERDICT r10 #8):
-    "stream_dedup_watermark",
-    # (B) implementation changed in round 11 — a green r10 row does
-    # not carry across a diff (dedup_containment: the last
-    # .rdd.getNumPartitions() probe retired, VERDICT r10 #2):
-    "dedup_containment",
-    # (C) the twenty-one round-10 additions that never had a driver
-    # row (all parity-green locally at three SFs + replica ladder):
-    "text_gopher_quality", "mm_phash_incremental", "sketch_hll",
-    "stream_hll", "src_sniff_magic", "vec_sq8_topk", "text_dsir",
-    "text_ccnet_buckets", "vec_ivfsq_pruned", "scd2_apply",
-    "sketch_hll_algebra", "profile_corr", "stream_scd2",
-    "rag_hybrid_prompts", "vec_ood_score", "ts_anomaly",
-    "mm_audio_dedup", "join_asof_nearest", "table_time_travel",
-    "stream_anomaly", "graph_kcore",
-    # (D) twenty-seven of the twenty-nine planned non-TPC-H round-8
-    # re-anchors; agg_word_counts and filt_files (the two lowest-
-    # regression-surface scalar rows) defer to round 12's
-    # first-in-line block to make room for (A)+(B):
-    "agg_approx_distinct", "agg_percentiles", "agg_percentiles_approx",
-    "cluster_kmeans", "decon_bloom", "emb_generate", "filt_predicates",
-    "graph_bfs", "graph_lpa", "graph_ppr", "join_interval",
-    "join_lineitem_orders", "layout_zorder_pruned", "profile_skew",
-    "sample_priority", "seq_funnel", "sketch_countmin", "stream_dedup",
-    "stream_session_windows", "stream_windows", "text_fingerprint",
-    "text_lang_id", "text_quality", "ts_resample", "vec_cosine_dist",
-    "vec_ivf_append", "win_range_frame",
+    # -- round-12 plan (SURVEY §2 preamble "Round-12 window rotation
+    # (PRECOMPUTED)", VERDICT r11 #1; registry.py block comments are
+    # the same contract). 6 + 20 + 6 + 7 + 2 + 9 = 50 exactly. --
+    # (A) the SIX round-11 past-window additions with no driver row
+    # yet (new-keys-first; ts_ewma's display moved to the floor-micro
+    # ewma_e6 contract this round, before its first row):
+    "ts_ewma", "graph_hits", "graph_hyperball", "dedup_lines",
+    "vec_bq_topk", "sample_temperature",
+    # (B) the TWENTY r8-stale first-in-line rows (17 TPC-H +
+    # sink_stdout + the agg_word_counts/filt_files pair deferred out
+    # of the executed r11 window):
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7",
+    "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21",
+    "tpch_q22", "sink_stdout", "agg_word_counts", "filt_files",
+    # (C) the SIX r9-new keys without a later driver row:
+    "stream_bloom", "dedup_index_write", "dedup_incremental_indexed",
+    "join_skew_adaptive", "layout_zorder_append", "curate_incremental",
+    # (D) the SEVEN then-r5-stale vector/join serving keys (r9 rows):
+    "vec_sim_topk", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
+    "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
+    # (E) the TWO r9-changed keys without an r10 row:
+    "dedup_incremental", "ts_interpolate",
+    # (F) the first NINE of the thirty-two r9 (D) carries:
+    "agg_context_concat", "chunk_bpe", "chunk_bpe_pretrained",
+    "chunk_docling", "classify_source_type", "extract_year",
+    "ins_chunk_txn", "join_skew_salted", "json_metadata",
 }
 
 

@@ -108,9 +108,10 @@ def test_ts_anomaly_flags_planted_spike(spark, monkeypatch):
 
 def test_ewma_matches_python_reference_and_windows_truncate(spark):
     """ewma_trailing: the dyadic-weight fold equals a pure-Python
-    truncated EWMA (alpha = 1/2, window 16) on a crafted series, the
-    first row's window is 1 (ewma == value), and rows past the window
-    forget observation 17 back."""
+    truncated EWMA (alpha = 1/2, window 16) on a crafted series under
+    the floor-micro display contract (ewma_e6 BIGINT), the first row's
+    window is 1 (ewma_e6 == micro-scaled value), and rows past the
+    window forget observation 17 back."""
     from pyspark.sql import functions as F
 
     from demo_pgvector_spark.operators import timeseries as ts
@@ -128,9 +129,11 @@ def test_ewma_matches_python_reference_and_windows_truncate(spark):
         .drop("ts_s")
     )
     got = {
-        r["event_id"]: (r["n_window"], r["ewma"])
+        r["event_id"]: (r["n_window"], r["ewma_e6"])
         for r in ts.ewma_trailing(df).collect()
     }
+
+    import math
 
     def ref(i):
         window = vals[max(0, i - 15): i + 1]
@@ -140,13 +143,14 @@ def test_ewma_matches_python_reference_and_windows_truncate(spark):
             for p, v in enumerate(window, start=1)
         )
         den = (1 << 16) - (1 << (16 - n))
-        return round(num / den / 1e6, 6)
+        return math.floor(num / den + 0.5)
 
     for i in range(len(vals)):
         n, e = got[i]
         assert n == min(i + 1, 16), (i, n)
         assert e == ref(i), (i, e, ref(i))
-    assert got[0][1] == vals[0]  # single-element window is the value itself
+    # single-element window is the micro-scaled value itself
+    assert got[0][1] == int(vals[0] * 1_000_000)
 
 
 def test_ewma_plan_one_exchange_no_join(spark):
