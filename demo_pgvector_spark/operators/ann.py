@@ -1066,6 +1066,60 @@ def bq_topk(
     return rescored.orderBy(F.desc("bq_score"), F.asc(id_col)).limit(top_k)
 
 
+def _sw_entries(
+    df: DataFrame,
+    coarse: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, t, sig) bucket membership rows — codegen signatures, then
+    one explode; vectors deliberately left behind (bare ids travel
+    through the bucket join and dedup shuffles)."""
+    sigs = with_signatures(df, coarse, vec_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.col(f"sig_{t}").alias("sig")
+            )
+            for t in range(coarse.shape[0])
+        ]
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.explode(entries).alias("e"),
+    ).select(id_col, F.col("e.t").alias("t"), F.col("e.sig").alias("sig"))
+
+
+def _sw_topm(
+    pairs: DataFrame,
+    emb: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Attach vectors to bare (src, dst) id pairs by id join, score the
+    exact cosine, keep each src's top-m (desc, dst-asc tiebreak)."""
+    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    scored = (
+        pairs.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("_s"), F.asc("dst"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(m))
+        .select("src", "dst")
+    )
+
+
 def smallworld_build(
     emb: DataFrame,
     planes: np.ndarray,
@@ -1099,25 +1153,12 @@ def smallworld_build(
     (the same contract as vec_ivf's cell count).
     """
     coarse = planes[:, :coarse_bits, :]
-    n_tables = coarse.shape[0]
-    sigs = with_signatures(emb, coarse, vec_col)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), F.col(f"sig_{t}").alias("sig")
-            )
-            for t in range(n_tables)
-        ]
-    )
     # candidate pairs travel as BARE ID PAIRS through the bucket join
     # and the dedup shuffle; the 64-dim vectors only attach afterwards
     # (two id equi-joins the optimizer is free to broadcast at test
     # scale and shuffle-on-id at cluster scale) - shuffling ~pair-count
     # x 1 KB of vector payload twice was the build's dominant cost.
-    exploded = sigs.select(
-        F.col(id_col),
-        F.explode(entries).alias("e"),
-    ).select(id_col, F.col("e.t").alias("t"), F.col("e.sig").alias("sig"))
+    exploded = _sw_entries(emb, coarse, id_col, vec_col)
     a = exploded.select("t", "sig", F.col(id_col).alias("src"))
     b = exploded.select("t", "sig", F.col(id_col).alias("dst"))
     pairs = (
@@ -1126,25 +1167,67 @@ def smallworld_build(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
-    scored = (
-        pairs.join(va, "src")
-        .join(vb, "dst")
-        .select(
-            "src",
-            "dst",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_s"),
-        )
-    )
-    from pyspark.sql import Window
+    return _sw_topm(pairs, emb, m, id_col, vec_col)
 
-    w = Window.partitionBy("src").orderBy(F.desc("_s"), F.asc("dst"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= int(m))
+
+def smallworld_append(
+    emb_base: DataFrame,
+    emb_batch: DataFrame,
+    planes: np.ndarray,
+    m: int = 6,
+    coarse_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backlinks: bool = True,
+) -> DataFrame:
+    """Incremental small-world maintenance — the graph-ANN member of
+    the module's O(batch) family (ivf_append / dedup_index /
+    layout_zorder_append / mm_phash_incremental): a new crawl batch
+    joins the index WITHOUT rebuilding it.
+
+    Returns the batch's FORWARD links — each batch node's top-m
+    exact-cosine bucket-mates across the GROWN corpus (base ∪ batch),
+    identical row for row to what a full rebuild would give those
+    nodes (the candidate rule is a pure function of (node, corpus
+    buckets); pytest pins the equality with ``backlinks=False``) —
+    PLUS, by default, their REVERSES. The backlinks are the HNSW
+    insert's bidirectional half: without them an appended node is
+    reachable only through other batch nodes (base out-neighbor lists
+    predate it), and a probe for new content goes blind — the recall
+    test demonstrates the failure. Base nodes' lists are still never
+    RE-SELECTED (no candidate re-scoring); backlinks may push a base
+    node's out-degree past m, which real HNSW implementations also
+    allow between inserts and resolve at the next prune/compaction —
+    here the next full smallworld_build plays that role.
+
+    Work is O(batch × bucket-mates): the pair join's src side is the
+    BATCH's bucket entries only, so candidate volume is
+    Σ_buckets |batch_b|·|corpus_b| — the per-batch cost a daily crawl
+    pays, vs the full build's Σ|corpus_b|² (the reverses are the same
+    ≤ m·|batch| rows flipped — no extra scoring). The merged index is
+    ``build(base) UNION ALL append(base, batch)``; probes pass it to
+    ``smallworld_topk(adj=...)`` unchanged (duplicate edges are
+    harmless there: the walk consumes adjacency only through
+    set-distinct candidate unions)."""
+    coarse = planes[:, :coarse_bits, :]
+    grown = emb_base.unionByName(emb_batch)
+    batch_e = _sw_entries(emb_batch, coarse, id_col, vec_col)
+    all_e = _sw_entries(grown, coarse, id_col, vec_col)
+    a = batch_e.select("t", "sig", F.col(id_col).alias("src"))
+    b = all_e.select("t", "sig", F.col(id_col).alias("dst"))
+    pairs = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
     )
+    fwd = _sw_topm(pairs, grown, m, id_col, vec_col)
+    if not backlinks:
+        return fwd
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.unionByName(rev)
 
 
 def smallworld_topk(
@@ -1160,6 +1243,7 @@ def smallworld_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-ANN top-k: coarse ROUTING layer + greedy BEAM SEARCH over
     the small-world adjacency — the HNSW serving pattern. HNSW's upper
@@ -1198,9 +1282,13 @@ def smallworld_topk(
     """
     if planes is None:
         planes = hyperplanes(len(qvec))
-    adj = smallworld_build(
-        emb, planes, m=m, coarse_bits=coarse_bits, id_col=id_col, vec_col=vec_col
-    )
+    if adj is None:
+        # probes against a maintained index pass the stored adjacency
+        # (smallworld_build at bootstrap + smallworld_append per batch)
+        adj = smallworld_build(
+            emb, planes, m=m, coarse_bits=coarse_bits,
+            id_col=id_col, vec_col=vec_col,
+        )
     if checkpoint:
         adj = adj.localCheckpoint(eager=False)
     q = query_vector_literal(qvec)

@@ -5604,3 +5604,82 @@ SELECT id AS vec_id, ROUND(s, 6) AS similarity_score,
        CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS INT) AS rank
 FROM b3 ORDER BY s DESC, id ASC LIMIT 10
 """
+
+
+# Incremental graph-ANN maintenance (registry q_vec_hnsw_append,
+# operators/ann.py smallworld_append): the corpus splits 4/5 base (the
+# standing index) + 1/5 batch (the appended crawl, vec_id % 5 = 0 —
+# the ivf_append convention). The oracle rebuilds BOTH adjacency
+# halves exactly as the engine maintains them — base nodes' top-6
+# among BASE bucket-mates (the bootstrap build, untouched by the
+# append), batch nodes' top-6 among GROWN-corpus bucket-mates PLUS
+# their reverses (the bidirectional insert half; duplicates harmless,
+# the walk set-unions candidates) — then replays the identical
+# routing + unrolled beam walk over the merged graph (reps over the
+# full corpus).
+O_VEC_HNSW_APPEND = f"""
+WITH p AS (
+  SELECT t, j, plane
+  FROM read_parquet('/root/repo/golden/ann_planes.parquet') WHERE j < 6
+),
+vsig AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+             THEN (1 << p.j) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.t
+),
+pairs_base AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM vsig a JOIN vsig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0
+),
+pairs_batch AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM vsig a JOIN vsig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+sp AS (
+  SELECT pr.src, pr.dst, 'base' AS half,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS s
+  FROM pairs_base pr
+  JOIN embeddings ea ON ea.vec_id = pr.src
+  JOIN embeddings eb ON eb.vec_id = pr.dst
+  UNION ALL
+  SELECT pr.src, pr.dst, 'batch' AS half,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS s
+  FROM pairs_batch pr
+  JOIN embeddings ea ON ea.vec_id = pr.src
+  JOIN embeddings eb ON eb.vec_id = pr.dst
+),
+fwd AS (
+  SELECT src, dst, half FROM (
+    SELECT src, dst, half,
+           ROW_NUMBER() OVER (PARTITION BY half, src ORDER BY s DESC, dst ASC) AS rn
+    FROM sp
+  ) WHERE rn <= 6
+),
+adj AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  -- the batch insert's bidirectional half: backlinks of the appended
+  -- forward links (HNSW's existing->new edges; pruning deferred)
+  SELECT dst AS src, src AS dst FROM fwd WHERE half = 'batch'
+),
+q AS ({_ORACLE_QVEC}),
+qs AS (SELECT e.vec_id AS id, {_ORACLE_SIM} AS s FROM embeddings e, q),
+reps AS (SELECT MIN(vec_id) AS id FROM vsig WHERE t = 0 GROUP BY sig),
+c0 AS (
+  SELECT qs.id FROM qs JOIN reps USING (id) ORDER BY s DESC, id ASC LIMIT 3
+),
+e1 AS (SELECT id FROM c0 UNION SELECT a.dst FROM adj a JOIN c0 ON a.src = c0.id),
+b1 AS (SELECT qs.id, qs.s FROM qs JOIN e1 USING (id) ORDER BY s DESC, id ASC LIMIT 12),
+e2 AS (SELECT id FROM b1 UNION SELECT a.dst FROM adj a JOIN b1 ON a.src = b1.id),
+b2 AS (SELECT qs.id, qs.s FROM qs JOIN e2 USING (id) ORDER BY s DESC, id ASC LIMIT 12),
+e3 AS (SELECT id FROM b2 UNION SELECT a.dst FROM adj a JOIN b2 ON a.src = b2.id),
+b3 AS (SELECT qs.id, qs.s FROM qs JOIN e3 USING (id) ORDER BY s DESC, id ASC LIMIT 12)
+SELECT id AS vec_id, ROUND(s, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS INT) AS rank
+FROM b3 ORDER BY s DESC, id ASC LIMIT 10
+"""

@@ -230,6 +230,7 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_ANN_JOIN,
     O_VEC_ANN_TOPK,
     O_VEC_BQ_TOPK,
+    O_VEC_HNSW_APPEND,
     O_VEC_HNSW_TOPK,
     O_VEC_COSINE_DIST,
     O_VEC_IVF_DRIFT,
@@ -1926,6 +1927,37 @@ def q_vec_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return ann_ops.smallworld_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_vec_hnsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-ANN maintenance (operators/ann.py
+    smallworld_append) — the graph-index member of the O(batch)
+    family next to ivf_append / dedup_index / layout_zorder_append /
+    mm_phash_incremental: 4/5 of the corpus is the standing index
+    (bootstrap smallworld_build, untouched by the append), the last
+    1/5 (vec_id % 5 = 0, the ivf_append convention) joins as a crawl
+    batch whose out-neighbors are computed against the GROWN corpus
+    only — candidate volume Σ|batch_b|·|corpus_b|, never a rebuild's
+    Σ|corpus_b|² — plus their REVERSES (the bidirectional-insert half;
+    without backlinks appended nodes are unreachable from base lists
+    that predate them, pytest-demonstrated; base out-degree may
+    transiently exceed m, resolved at the next full build — the
+    HNSW insert-then-prune shape). The probe then runs the standard routing + beam walk
+    over the merged adjacency (reps recomputed over the grown corpus —
+    one MIN-id aggregate over bucket metadata). Oracle rebuilds both
+    adjacency halves exactly and replays the identical walk;
+    append-batch-rows ≡ full-rebuild-restricted-to-batch is
+    pytest-pinned (the pure-function candidate rule)."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    qvec = _query_vec(spark, sf_dir)
+    planes = ann_ops.hyperplanes(len(qvec))
+    adj = ann_ops.smallworld_build(base, planes).unionByName(
+        ann_ops.smallworld_append(base, batch, planes)
+    )
+    return ann_ops.smallworld_topk(emb, qvec, k=10, planes=planes, adj=adj)
 
 
 def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6548,9 +6580,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
     "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
     "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    # -- round-12 past-window breadth (round-13 window candidate,
+    # -- round-12 past-window breadth (round-13 window candidates,
     # first-in-line per the standing new-keys-first rule) --
     "vec_hnsw_topk": (q_vec_hnsw_topk, O_VEC_HNSW_TOPK),
+    "vec_hnsw_append": (q_vec_hnsw_append, O_VEC_HNSW_APPEND),
 }
 
 

@@ -490,3 +490,64 @@ def test_smallworld_probe_never_shuffles_corpus(spark, clustered_df):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "embedding" not in line and "_qs" not in line, line
+
+
+def test_smallworld_append_equals_rebuild_for_batch_nodes(spark, clustered_df):
+    """The O(batch) maintenance contract: a node's out-neighbors are a
+    pure function of (node, corpus buckets), so the appended batch's
+    FORWARD adjacency rows (backlinks=False) must equal a full
+    rebuild's rows restricted to batch srcs — row for row. (The base
+    half is untouched by construction; probes see build(base) UNION
+    append, where the default append also carries the bidirectional
+    backlinks.)"""
+    planes = ann.hyperplanes(64)
+    base = clustered_df.filter(F.col("vec_id") % 5 != 0)
+    batch = clustered_df.filter(F.col("vec_id") % 5 == 0)
+    appended = {
+        (r["src"], r["dst"])
+        for r in ann.smallworld_append(
+            base, batch, planes, backlinks=False
+        ).collect()
+    }
+    rebuild = {
+        (r["src"], r["dst"])
+        for r in ann.smallworld_build(clustered_df, planes).collect()
+        if r["src"] % 5 == 0
+    }
+    assert appended == rebuild
+
+
+def test_smallworld_append_probe_finds_batch_vectors(spark, clustered_df):
+    """A probe against the MAINTAINED index (build(base) ∪ append)
+    reaches the appended region: querying with a batch vector keeps
+    recall@10 >= 0.8 vs brute force over the grown corpus — new-crawl
+    vectors are servable without a rebuild. The backlink-free control
+    shows WHY the bidirectional half exists: base out-neighbor lists
+    predate the batch, so forward-only append leaves appended nodes
+    reachable only through each other and recall drops."""
+    planes = ann.hyperplanes(64)
+    base = clustered_df.filter(F.col("vec_id") % 5 != 0)
+    batch = clustered_df.filter(F.col("vec_id") % 5 == 0)
+    base_adj = ann.smallworld_build(base, planes)
+    rows = [(r["vec_id"], r["embedding"]) for r in clustered_df.collect()]
+    rows.sort()
+    probe = rows[120][1]  # vec 120: % 5 == 0 -> an appended vector
+    exact = set(_exact_topk(rows, np.array(probe), 10))
+
+    def search(backlinks):
+        adj = base_adj.unionByName(
+            ann.smallworld_append(base, batch, planes, backlinks=backlinks)
+        )
+        return {
+            r["vec_id"]
+            for r in ann.smallworld_topk(
+                clustered_df, probe, k=10, planes=planes, adj=adj
+            ).collect()
+        }
+
+    with_bl = search(True)
+    assert len(with_bl & exact) >= 8, (with_bl, exact)
+    without_bl = search(False)
+    assert len(without_bl & exact) < len(with_bl & exact), (
+        without_bl, with_bl, exact,
+    )
