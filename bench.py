@@ -46,6 +46,15 @@ per-key times should be discounted accordingly before calling a
 regression. The calibration runs AFTER the warmup and BEFORE the keys,
 plus once more at the end (``calib_sec_end`` in BENCH_DETAIL.json) so
 load drift WITHIN the run is visible too.
+
+``calib_io_sec`` (added after the first round-12 adjudication) is the
+I/O counterpart: a fixed full scan-and-reduce of sf lineitem. The CPU
+calibration is I/O-blind by design, and a COLD PAGE CACHE inflates
+short scan-bound keys 2-3× while calib_sec reads normal — exactly what
+the round-12 cross-round compare hit (unchanged tpch/upsert keys 2.5-4×
+"slower" on an idle box whose testdata cache had been dropped).
+BENCH_DETAIL records both calibrate_io runs (run 1 cold-vs-warm spread
+is the cache-state signal); the printed line carries the min.
 """
 
 from __future__ import annotations
@@ -62,11 +71,21 @@ from demo_pgvector_spark import registry  # noqa: E402
 from demo_pgvector_spark.session import get_session  # noqa: E402
 
 # Bench coverage is TOTAL by construction (VERDICT r10 #6): every
-# registry key is benched, in registry order, so a new key can never be
-# silently invisible to the round-over-round record. BRANCH_KEYS adds
-# the consolidated rows' standalone branch functions (their registry
-# row is a composite; benching the branches preserves per-key
-# comparability back to the rounds where they were standalone keys).
+# registry key is benched, so a new key can never be silently invisible
+# to the round-over-round record. BRANCH_KEYS adds the consolidated
+# rows' standalone branch functions (their registry row is a composite;
+# benching the branches preserves per-key comparability back to the
+# rounds where they were standalone keys).
+#
+# Keys run in ALPHABETICAL order, not registry order (round 12): the
+# registry head rotates every round, and per-key times are
+# position-sensitive — the first ~20 keys pay the JVM's front-loaded
+# warmup (JIT of shared Spark internals, footer caches), so a key
+# rotated from tail to head reads 1.5-3x "slower" with zero code
+# change (measured in the round-12 adjudication: tpch_q9 0.7 s at r11
+# tail position, 2.2 s solo-cold, 1.06 s after a 30-key warmup —
+# unchanged plan). A fixed order makes cross-round per-key compares
+# position-invariant by construction.
 BRANCH_KEYS = (
     "rag_prompt_context",
     "rag_prompt_nocontext",
@@ -78,13 +97,13 @@ BRANCH_KEYS = (
     "set_intersect",
     "set_except",
 )
-BENCH_KEYS = tuple(registry.REGISTRY) + BRANCH_KEYS
+BENCH_KEYS = tuple(sorted(tuple(registry.REGISTRY) + BRANCH_KEYS))
 
 
 def calibrate(spark) -> float:
-    """Fixed synthetic workload (no I/O, constant size): 20M-row range →
-    mod-1000 hash aggregate → sort. min-of-3 wall-clock; the box-state
-    yardstick every per-key time should be read against."""
+    """Fixed synthetic CPU workload (no I/O, constant size): 20M-row
+    range → mod-1000 hash aggregate → sort. min-of-3 wall-clock; the
+    box-CPU yardstick every per-key time should be read against."""
     from pyspark.sql import functions as F
 
     runs = []
@@ -101,6 +120,30 @@ def calibrate(spark) -> float:
     return round(min(runs), 3)
 
 
+def calibrate_io(spark, sf_dir: str) -> float:
+    """Fixed I/O workload: a full scan-and-reduce of the biggest fact
+    table (SUM over two numeric columns of lineitem — no shuffle, no
+    projection pruning tricks). The CPU calibration is deliberately
+    I/O-blind, and the round-12 adjudication showed why both are
+    needed: a cold page cache inflated unchanged short scan-bound keys
+    2-3x while the CPU calibration read normal. min-of-2; the FIRST
+    run doubles as the cache-state probe (cold vs warm spread is the
+    signal, so both runs are recorded in BENCH_DETAIL)."""
+    from pyspark.sql import functions as F
+
+    from demo_pgvector_spark import tables
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        li.agg(
+            F.sum("l_extendedprice"), F.sum("l_quantity"), F.count(F.lit(1))
+        ).collect()
+        runs.append(round(time.time() - t0, 3))
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -113,6 +156,7 @@ def main() -> None:
     registry.REGISTRY["vec_sim_topk"][0](spark, sf_dir).collect()
 
     calib = calibrate(spark)
+    calib_io = calibrate_io(spark, sf_dir)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -145,6 +189,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "calib_sec": calib,
                 "calib_sec_end": calib_end,
+                "calib_io_sec": calib_io,
                 "sf": sf,
             },
             f,
@@ -176,6 +221,7 @@ def main() -> None:
         ),
         "n_keys": len(timings),
         "calib_sec": calib,
+        "calib_io_sec": min(calib_io),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }
