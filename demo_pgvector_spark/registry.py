@@ -270,6 +270,7 @@ from demo_pgvector_spark.operators import timeseries as ts_ops
 from demo_pgvector_spark.operators import write as write_ops
 from demo_pgvector_spark.operators import similarity as similarity_ops
 from demo_pgvector_spark.operators.similarity import knn_join, mmr_rerank, sim_topk
+from demo_pgvector_spark.streaming import ann as stream_ann_ops
 from demo_pgvector_spark.streaming import ingest as stream_ingest_ops
 from demo_pgvector_spark.streaming import sketches as stream_sketch_ops
 from demo_pgvector_spark.streaming import curate as stream_curate_ops
@@ -1938,6 +1939,12 @@ def _sw_adjacency(spark: SparkSession, sf_dir: str, kind: str) -> str:
         adj = ann_ops.smallworld_build(base, planes).unionByName(
             ann_ops.smallworld_append(base, batch, planes)
         )
+    elif kind == "base":
+        # the standing 4/5 index alone - the streaming ingest row
+        # merges it with the drained appended half
+        adj = ann_ops.smallworld_build(
+            emb.filter(F.col("vec_id") % 5 != 0), planes
+        )
     else:
         adj = ann_ops.smallworld_build(emb, planes)
     adj.write.mode("overwrite").parquet(work)
@@ -1994,6 +2001,60 @@ def q_vec_hnsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.smallworld_topk(
         emb, _query_vec(spark, sf_dir), k=10, adj=adj
     )
+
+
+def q_stream_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-ANN index tick as a REAL STREAM (streaming/ann.py):
+    the 1/5 crawl batch lands as three ascending files drained through
+    ``readStream`` -> ``foreachBatch``, each epoch staging its slice
+    (idempotent anti-join upsert) and recomputing
+    ``smallworld_append(base, staged)`` over the FULL staged batch
+    against the never-re-scored base index, committing the appended
+    adjacency whole. Recomputing over the staged whole makes the final
+    graph EPOCH-SPLIT-INVARIANT (a later slice can displace an earlier
+    slice's top-m neighbor), so after the drain the merged index
+    (staged base adjacency + committed appended half) probes
+    identically to the one-shot batch append and this row shares
+    ``O_VEC_HNSW_APPEND`` verbatim - the stream_curate stream==batch
+    recipe applied to the serving index."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    _, landing = _stage_late_batches(
+        "hnswst",
+        sf_dir,
+        [f"vec_id % 5 = 0 AND (vec_id // 5) % 3 = {b}" for b in range(3)],
+        select="vec_id, CAST(embedding AS DOUBLE[]) AS embedding",
+        table="embeddings",
+        order_by="vec_id",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_hnswst_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = _query_vec(spark, sf_dir)
+    planes = ann_ops.hyperplanes(len(qvec))
+    root = os.path.join(work, "hnsw")
+    stream_ann_ops.run_hnsw_stream(
+        stream,
+        root,
+        base,
+        planes,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    adj = spark.read.parquet(_sw_adjacency(spark, sf_dir, "base")).unionByName(
+        stream_ann_ops.read_adjacency(spark, root)
+    )
+    return ann_ops.smallworld_topk(emb, qvec, k=10, adj=adj)
 
 
 def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6620,6 +6681,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # first-in-line per the standing new-keys-first rule) --
     "vec_hnsw_topk": (q_vec_hnsw_topk, O_VEC_HNSW_TOPK),
     "vec_hnsw_append": (q_vec_hnsw_append, O_VEC_HNSW_APPEND),
+    "stream_hnsw_ingest": (q_stream_hnsw_ingest, O_VEC_HNSW_APPEND),
 }
 
 

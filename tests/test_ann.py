@@ -551,3 +551,22 @@ def test_smallworld_append_probe_finds_batch_vectors(spark, clustered_df):
     assert len(without_bl & exact) < len(with_bl & exact), (
         without_bl, with_bl, exact,
     )
+
+
+def test_stream_hnsw_ingest_equals_batch_append(spark):
+    """The streaming index tick (streaming/ann.py) is epoch-split-
+    invariant: draining the crawl batch as three files and recomputing
+    smallworld_append over the staged whole per epoch commits a final
+    merged index whose probe result equals the one-shot batch append
+    row for row (the two registry fns share O_VEC_HNSW_APPEND; this
+    pins the Spark≡Spark half directly)."""
+    from demo_pgvector_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = [
+        tuple(r) for r in registry.q_stream_hnsw_ingest(spark, sf).collect()
+    ]
+    batch_rows = [
+        tuple(r) for r in registry.q_vec_hnsw_append(spark, sf).collect()
+    ]
+    assert stream_rows == batch_rows
