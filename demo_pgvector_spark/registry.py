@@ -6452,37 +6452,90 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # regardless of window position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # =====================================================================
-    # DRIVER WINDOW (first 50 keys - the rows CORRECTNESS_r12 records).
-    # Round-12 rotation, executed EXACTLY per SURVEY S2's precomputed
-    # "Round-12 window rotation" block and VERDICT r11 #1 (prose labels
-    # fixed per VERDICT r11 "What's wrong" #2 / ADVICE r11: the SIX
-    # never-driver-verified round-11 additions are NEW keys, listed
-    # first per the standing new-keys-first rule, not r9 re-anchors):
-    # (A) the SIX round-11 past-window additions with no driver row
-    #     yet - all parity-green at sf0.001/0.01/0.1 + 10x/30x, most
-    #     100x (SCALE.md); ts_ewma's display moved to the floor-micro
-    #     contract (ewma_e6 BIGINT) THIS round, before its first row;
-    # (B) the TWENTY r8-stale first-in-line rows (17 TPC-H +
-    #     sink_stdout from the r10 precomputation + agg_word_counts +
-    #     filt_files deferred out of the executed r11 window);
-    # (C) the SIX r9-new keys without a later driver row;
-    # (D) the SEVEN then-r5-stale vector/join serving keys (r9 rows);
-    # (E) the TWO r9-changed keys without an r10 row;
-    # (F) the first NINE of the thirty-two r9 (D) carries, in that
-    #     list's order.
-    # 6 + 20 + 6 + 7 + 2 + 9 = 50 exactly; after this sweep nothing in
-    # the registry is older than round 9 and the r9 residue is the
-    # single named 23-key block at the dict tail (round-13
+    # DRIVER WINDOW (first 50 keys - the rows CORRECTNESS_r13 records).
+    # Round-13 rotation, executed EXACTLY per SURVEY S2's precomputed
+    # "Round-13 window rotation" block (VERDICT r12 #1 - I re-derived
+    # the staleness arithmetic 50+50+49+23+3 = 175 from
+    # CORRECTNESS_r01-r12 before executing):
+    # (A) - new-keys-first - the THREE round-12 graph-ANN additions
+    #     with no driver row yet (vec_hnsw_topk vec_hnsw_append
+    #     stream_hnsw_ingest), all parity-green at sf0.001/0.01/0.1,
+    #     topk also at 10x full parity with 30x/100x bits-scaled
+    #     determinism probes (SCALE.md);
+    # (B) the TWENTY-THREE r9 residue rows, first-in-line since the
+    #     r12 precomputation, in that block's order;
+    # (C) TWENTY-FOUR of the forty-nine r10 rows re-anchoring, in
+    #     their registry (= r10 window) order.
+    # 3 + 23 + 24 = 50 exactly; after this sweep nothing in the
+    # registry is older than round 10 and the r10 residue is the
+    # single named 25-key block at the dict tail (round-14
     # first-in-line). tests/test_registry_contract.py pins this list.
     # =====================================================================
-    # -- (A) the six round-11 additions, first driver row --
+    # -- (A) the three round-12 graph-ANN additions, first driver row --
+    "vec_hnsw_topk": (q_vec_hnsw_topk, O_VEC_HNSW_TOPK),
+    "vec_hnsw_append": (q_vec_hnsw_append, O_VEC_HNSW_APPEND),
+    "stream_hnsw_ingest": (q_stream_hnsw_ingest, O_VEC_HNSW_APPEND),
+    # -- (B) the twenty-three r9 residue rows --
+    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
+    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
+    "src_route": (q_src_route, O_SRC_ROUTE),
+    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
+    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
+    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
+    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
+    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
+    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
+    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
+    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
+    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
+    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
+    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
+    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
+    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
+    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
+    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
+    # -- (C) the twenty-four r10 re-anchors, registry order --
+    "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
+    "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
+    "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
+    "mm_phash_dedup": (q_mm_phash_dedup, O_MM_PHASH_DEDUP),
+    "set_ops": (q_set_ops, O_SET_OPS),
+    "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
+    "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
+    "dedup_url": (q_dedup_url, O_DEDUP_URL),
+    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
+    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
+    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
+    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
+    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
+    "stream_join": (q_stream_join, O_STREAM_JOIN),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
+    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
+    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
+    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
+    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    # =====================================================================
+    # position 51+ - carries under the unchanged-code rule. tools/
+    # parity.py re-verifies ALL keys locally each round regardless of
+    # position.
+    # =====================================================================
+    # -- round-12 window rows, now fresh r12 carries --
     "ts_ewma": (q_ts_ewma, O_TS_EWMA),
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "graph_hyperball": (q_graph_hyperball, O_GRAPH_HYPERBALL),
     "dedup_lines": (q_dedup_lines, O_DEDUP_LINES),
     "vec_bq_topk": (q_vec_bq_topk, O_VEC_BQ_TOPK),
     "sample_temperature": (q_sample_temperature, O_SAMPLE_TEMPERATURE),
-    # -- (B) the twenty r8-stale first-in-line rows --
     "tpch_q1": (q_tpch_q1, O_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, O_TPCH_Q2),
     "tpch_q3": (q_tpch_q3, O_TPCH_Q3),
@@ -6503,7 +6556,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sink_stdout": (q_sink_stdout, O_SINK_STDOUT),
     "agg_word_counts": (q_agg_word_counts, O_AGG_WORD_COUNTS),
     "filt_files": (q_filt_files, O_FILT_FILES),
-    # -- (C) the six r9-new keys without a later driver row --
     "stream_bloom": (q_stream_bloom, O_DECON_BLOOM),
     "dedup_index_write": (q_dedup_index_write, O_DEDUP_INDEX),
     "dedup_incremental_indexed": (
@@ -6513,7 +6565,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_skew_adaptive": (q_join_skew_adaptive, O_JOIN_SKEW_ADAPTIVE),
     "layout_zorder_append": (q_layout_zorder_append, O_LAYOUT_ZORDER_PRUNED),
     "curate_incremental": (q_curate_incremental, O_CURATE_INCREMENTAL),
-    # -- (D) the seven vector/join serving re-anchors --
     "vec_sim_topk": (q_vec_sim_topk, O_VEC_SIM_TOPK),
     "vec_ann_topk": (q_vec_ann_topk, O_VEC_ANN_TOPK),
     "vec_ann_join": (q_vec_ann_join, O_VEC_ANN_JOIN),
@@ -6521,10 +6572,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_pq_topk": (q_vec_pq_topk, O_VEC_PQ_TOPK),
     "vec_ivfpq_topk": (q_vec_ivfpq_topk, O_VEC_IVFPQ_TOPK),
     "join_bucketed": (q_join_bucketed, O_JOIN_BUCKETED),
-    # -- (E) the two r9-changed keys without an r10 row --
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "ts_interpolate": (q_ts_interpolate, O_TS_INTERPOLATE),
-    # -- (F) the first nine r9 (D) carries --
     "agg_context_concat": (q_agg_context_concat, O_AGG_CONTEXT_CONCAT),
     "chunk_bpe": (q_chunk_bpe, O_CHUNK_BPE),
     "chunk_bpe_pretrained": (q_chunk_bpe_pretrained, O_CHUNK_BPE_PRETRAINED),
@@ -6534,12 +6583,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ins_chunk_txn": (q_ins_chunk_txn, O_INS_CHUNK_TXN),
     "join_skew_salted": (q_join_skew_salted, O_JOIN_SKEW_SALTED),
     "json_metadata": (q_json_metadata, O_JSON_METADATA),
-    # =====================================================================
-    # position 51+ - carries under the unchanged-code rule. tools/
-    # parity.py re-verifies ALL keys locally each round regardless of
-    # position.
-    # =====================================================================
-    # -- round-11 window rows, now fresh r11 carries --
+    # -- round-11 window rows, r11 carries --
     "stream_dedup_watermark": (
         q_stream_dedup_watermark,
         O_STREAM_DEDUP_WATERMARK,
@@ -6599,31 +6643,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vec_cosine_dist": (q_vec_cosine_dist, O_VEC_COSINE_DIST),
     "vec_ivf_append": (q_vec_ivf_append, O_VEC_IVF_TOPK),
     "win_range_frame": (q_win_range_frame, O_WIN_RANGE_FRAME),
-    # -- round-10 window rows, r10 carries --
-    "dedup_substring": (q_dedup_substring, O_DEDUP_SUBSTRING),
-    "retrieval_rrf": (q_retrieval_rrf, O_RETRIEVAL_RRF),
-    "stream_curate": (q_stream_curate, O_CURATE_INCREMENTAL),
-    "mm_phash_dedup": (q_mm_phash_dedup, O_MM_PHASH_DEDUP),
-    "set_ops": (q_set_ops, O_SET_OPS),
-    "agg_multidim": (q_agg_multidim, O_AGG_MULTIDIM),
-    "stream_countmin": (q_stream_countmin, O_SKETCH_COUNTMIN),
-    "dedup_url": (q_dedup_url, O_DEDUP_URL),
-    "vec_ivf_drift": (q_vec_ivf_drift, O_VEC_IVF_DRIFT),
-    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, O_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
-    "dedup_embedding": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "dedup_ngram": (q_dedup_ngram, O_DEDUP_NGRAM),
-    "dedup_assign": (q_dedup_assign, O_DEDUP_ASSIGN),
-    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
-    "curate_fuzzy": (q_curate_fuzzy, O_CURATE_FUZZY),
-    "curate_corpus": (q_curate_corpus, O_CURATE_CORPUS),
-    "stream_join": (q_stream_join, O_STREAM_JOIN),
-    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC_JOIN),
-    "stream_join_outer": (q_stream_join_outer, O_STREAM_JOIN_OUTER),
-    "stream_join_right": (q_stream_join_right, O_STREAM_JOIN_RIGHT),
-    "stream_join_full": (q_stream_join_full, O_STREAM_JOIN_FULL),
-    "stream_late_data": (q_stream_late_data, O_STREAM_LATE_DATA),
+    # -- the twenty-five r10 residue rows - the documented round-14
+    # first-in-line block (SURVEY S2 round-14 precomputation) --
     "stream_late_update": (q_stream_late_update, O_STREAM_LATE_UPDATE),
     "stream_ingest": (q_stream_ingest, O_STREAM_INGEST),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
@@ -6652,36 +6673,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "win_sessionize": (q_win_sessionize, O_WIN_SESSIONIZE),
     "vec_mmr_rerank": (q_vec_mmr_rerank, O_VEC_MMR_RERANK),
     "profile_table": (q_profile_table, O_PROFILE_TABLE),
-    # -- the twenty-three r9 (D) residue rows - the documented
-    # round-13 first-in-line block (SURVEY S2 round-13 precomputation) --
-    "meta_sidecar": (q_meta_sidecar, O_META_SIDECAR),
-    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
-    "rag_prompts": (q_rag_prompts, O_RAG_PROMPTS),
-    "sample_mixture": (q_sample_mixture, O_SAMPLE_MIXTURE),
-    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
-    "src_convert_epub": (q_src_convert_epub, O_SRC_CONVERT_EPUB),
-    "src_route": (q_src_route, O_SRC_ROUTE),
-    "text_bm25_topk": (q_text_bm25_topk, O_TEXT_BM25),
-    "text_decontaminate": (q_text_decontaminate, O_TEXT_DECONTAMINATE),
-    "text_keywords": (q_text_keywords, O_TEXT_KEYWORDS),
-    "text_perplexity": (q_text_perplexity, O_TEXT_PERPLEXITY),
-    "text_quality_model": (q_text_quality_model, O_TEXT_QUALITY_MODEL),
-    "text_scrub": (q_text_scrub, O_TEXT_SCRUB),
-    "tpch_q12": (q_tpch_q12, O_TPCH_Q12),
-    "tpch_q20": (q_tpch_q20, O_TPCH_Q20),
-    "tpch_q8": (q_tpch_q8, O_TPCH_Q8),
-    "tpch_q9": (q_tpch_q9, O_TPCH_Q9),
-    "upsert_model": (q_upsert_model, O_UPSERT_MODEL),
-    "upsert_source": (q_upsert_source, O_UPSERT_SOURCE),
-    "vec_ivf_pruned": (q_vec_ivf_pruned, O_VEC_IVF_TOPK),
-    "vec_ivf_trained": (q_vec_ivf_trained, O_VEC_IVF_TRAINED),
-    "vec_ivfpq_pruned": (q_vec_ivfpq_pruned, O_VEC_IVFPQ_PRUNED),
-    "win_range_numeric": (q_win_range_numeric, O_WIN_RANGE_NUMERIC),
-    # -- round-12 past-window breadth (round-13 window candidates,
-    # first-in-line per the standing new-keys-first rule) --
-    "vec_hnsw_topk": (q_vec_hnsw_topk, O_VEC_HNSW_TOPK),
-    "vec_hnsw_append": (q_vec_hnsw_append, O_VEC_HNSW_APPEND),
-    "stream_hnsw_ingest": (q_stream_hnsw_ingest, O_VEC_HNSW_APPEND),
 }
 
 

@@ -29,33 +29,30 @@ SF = "/root/testdata/sf0.001"
 # not listed here carry green rows ≤ 2 rounds old under the
 # unchanged-code rule and are still parity-verified locally every round.
 WINDOW_REQUIRED = {
-    # -- round-12 plan (SURVEY §2 preamble "Round-12 window rotation
-    # (PRECOMPUTED)", VERDICT r11 #1; registry.py block comments are
-    # the same contract). 6 + 20 + 6 + 7 + 2 + 9 = 50 exactly. --
-    # (A) the SIX round-11 past-window additions with no driver row
-    # yet (new-keys-first; ts_ewma's display moved to the floor-micro
-    # ewma_e6 contract this round, before its first row):
-    "ts_ewma", "graph_hits", "graph_hyperball", "dedup_lines",
-    "vec_bq_topk", "sample_temperature",
-    # (B) the TWENTY r8-stale first-in-line rows (17 TPC-H +
-    # sink_stdout + the agg_word_counts/filt_files pair deferred out
-    # of the executed r11 window):
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21",
-    "tpch_q22", "sink_stdout", "agg_word_counts", "filt_files",
-    # (C) the SIX r9-new keys without a later driver row:
-    "stream_bloom", "dedup_index_write", "dedup_incremental_indexed",
-    "join_skew_adaptive", "layout_zorder_append", "curate_incremental",
-    # (D) the SEVEN then-r5-stale vector/join serving keys (r9 rows):
-    "vec_sim_topk", "vec_ann_topk", "vec_ann_join", "vec_ivf_topk",
-    "vec_pq_topk", "vec_ivfpq_topk", "join_bucketed",
-    # (E) the TWO r9-changed keys without an r10 row:
-    "dedup_incremental", "ts_interpolate",
-    # (F) the first NINE of the thirty-two r9 (D) carries:
-    "agg_context_concat", "chunk_bpe", "chunk_bpe_pretrained",
-    "chunk_docling", "classify_source_type", "extract_year",
-    "ins_chunk_txn", "join_skew_salted", "json_metadata",
+    # -- round-13 plan (SURVEY §2 preamble "Round-13 window rotation
+    # (PRECOMPUTED in round 12)", VERDICT r12 #1; registry.py block
+    # comments are the same contract). 3 + 23 + 24 = 50 exactly. --
+    # (A) the THREE round-12 graph-ANN additions with no driver row
+    # yet (new-keys-first):
+    "vec_hnsw_topk", "vec_hnsw_append", "stream_hnsw_ingest",
+    # (B) the TWENTY-THREE r9 residue rows, first-in-line since the
+    # r12 precomputation:
+    "meta_sidecar", "pack_sequences", "rag_prompts", "sample_mixture",
+    "sample_stratified", "src_convert_epub", "src_route",
+    "text_bm25_topk", "text_decontaminate", "text_keywords",
+    "text_perplexity", "text_quality_model", "text_scrub", "tpch_q12",
+    "tpch_q20", "tpch_q8", "tpch_q9", "upsert_model", "upsert_source",
+    "vec_ivf_pruned", "vec_ivf_trained", "vec_ivfpq_pruned",
+    "win_range_numeric",
+    # (C) TWENTY-FOUR of the forty-nine r10 rows re-anchoring, in
+    # their registry (= r10 window) order:
+    "dedup_substring", "retrieval_rrf", "stream_curate",
+    "mm_phash_dedup", "set_ops", "agg_multidim", "stream_countmin",
+    "dedup_url", "vec_ivf_drift", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_simhash", "dedup_embedding", "dedup_ngram", "dedup_assign",
+    "dedup_semantic", "curate_fuzzy", "curate_corpus", "stream_join",
+    "stream_static_join", "stream_join_outer", "stream_join_right",
+    "stream_join_full", "stream_late_data",
 }
 
 
