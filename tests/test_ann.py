@@ -372,16 +372,18 @@ def test_bq_pack_bits_and_query_halves_agree(spark):
 
 
 def test_bq_topk_rejects_unpackable_dims(spark):
-    """The two-word sign-bit pack assumes 32 < dim <= 96: dim <= 32
-    leaves the hi half probing out-of-bounds indexes and dim > 96
-    overflows the BIGINT hi word — both rejected up front (ADVICE
-    r11)."""
+    """The two-word sign-bit pack assumes 32 < dim <= 95: dim <= 32
+    leaves the hi half probing out-of-bounds indexes, and dim >= 96
+    puts bit 63 in play on the hi word — an all-positive query at
+    dim=96 would fold q_hi to 2^63, past Spark's signed-BIGINT
+    literal range (ADVICE r11; boundary tightened 96 -> 95 per ADVICE
+    r12). dim=96 is the formerly-admitted broken boundary."""
     df = spark.createDataFrame(
         [(0, [1.0] * 16, "x")],
         "vec_id long, embedding array<double>, label string",
     )
-    for dim in (16, 32, 97, 128):
-        with pytest.raises(ValueError, match="32 < dim <= 96"):
+    for dim in (16, 32, 96, 97, 128):
+        with pytest.raises(ValueError, match="32 < dim <= 95"):
             ann.bq_topk(df, [1.0] * dim)
 
 
@@ -461,35 +463,93 @@ def test_smallworld_recall_vs_exact_on_clustered(spark, clustered_df):
         assert len(got & exact) >= 8, (probe_id, got, exact)
 
 
-def test_smallworld_probe_never_shuffles_corpus(spark, clustered_df):
-    """Plan pin: the walk is broadcast-join-only (beam ids -> adjacency,
-    candidate ids -> scored corpus) with TakeOrderedAndProject beams —
-    no cartesian product anywhere, and the only hash exchanges belong
-    to the INGEST-time graph build (bucket join, pair dedup, top-m
-    window), bounded so a probe-side regression to a shuffled walk
-    fails here."""
+def _walk_vector_exchanges(jplan):
+    """Walk a physical plan (descending into AQE's leaf wrapper via
+    initialPlan — the pre-runtime plan WITH exchanges, before AQE's
+    broadcast conversions can hide a shuffle that would run at scale)
+    and return (shuffle_count, [names of array<double> attributes in
+    any shuffle Exchange's OUTPUT]). The one-line plan text only
+    prints partition KEYS, so payload columns are invisible to a line
+    grep — this is the type-level check ADVICE r12 asked for."""
+    stack, shuffles, vec_cols = [jplan], 0, []
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        if node.nodeName() == "AdaptiveSparkPlan":
+            # AdaptiveSparkPlanExec is a LEAF node — the real tree
+            # hangs off initialPlan (inputPlan predates
+            # EnsureRequirements and has no exchanges at all)
+            stack.append(node.initialPlan())
+        if node.nodeName() == "Exchange":
+            shuffles += 1
+            outs = node.output()
+            for i in range(outs.size()):
+                attr = outs.apply(i)
+                if attr.dataType().simpleString() == "array<double>":
+                    vec_cols.append(attr.name())
+    return shuffles, vec_cols
+
+
+def test_smallworld_probe_never_shuffles_corpus(spark, clustered_df, tmp_path):
+    """Plan pin on the SERVING shape (staged adjacency, the registry's
+    production layout): the walk is broadcast-join-only (beam ids ->
+    adjacency, candidate ids -> scored corpus) with
+    TakeOrderedAndProject beams — no cartesian product, and NO shuffle
+    exchange anywhere in the probe plan carries an array<double>
+    payload, checked at the type level over the pre-AQE plan so a
+    regression that only AQE's runtime broadcast conversion rescues at
+    test scale still fails (ADVICE r12: the old line-grep saw only
+    partition keys, and building the graph inline mixed the build's
+    _va/_vb attach exchanges into the probed lineage)."""
+    planes = ann.hyperplanes(64)
+    adj = ann.smallworld_build(clustered_df, planes)
+    adj.write.parquet(str(tmp_path / "adj"))
+    adj_stored = spark.read.parquet(str(tmp_path / "adj"))
     rows0 = clustered_df.limit(1).collect()[0]["embedding"]
     # checkpoint=False exposes the FULL lineage (the default lazy
     # localCheckpoints truncate executedPlan to the final segment —
     # the ts_interpolate/graph-family lesson)
-    plan = (
-        ann.smallworld_topk(clustered_df, rows0, k=10, checkpoint=False)
-        ._jdf.queryExecution().executedPlan().toString()
+    jplan = (
+        ann.smallworld_topk(
+            clustered_df, rows0, k=10, planes=planes, adj=adj_stored,
+            checkpoint=False,
+        )
+        ._jdf.queryExecution().executedPlan()
     )
+    plan = jplan.toString()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     # every beam step = 2 broadcast joins (beam ids -> adjacency,
     # candidate ids -> scored corpus) + the routing-layer join
     assert plan.count("BroadcastHashJoin") >= 7, plan
-    # THE invariant that makes the family serve at 100 TB: no exchange
-    # ever carries the 64-dim vector payload or the scored corpus —
-    # candidate pairs travel as bare id pairs, vectors attach by id
-    # join afterwards, and probe steps broadcast only tiny id sets.
-    # (The bucket/dedup/top-m exchanges on t/sig/src/dst ids are the
-    # documented ingest-time build cost.)
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "embedding" not in line and "_qs" not in line, line
+    # THE invariant that makes the family serve at 100 TB: a probe
+    # never shuffles the corpus or any vector payload — candidate ids
+    # broadcast, vectors stay in the scan-side scores projection.
+    shuffles, vec_cols = _walk_vector_exchanges(jplan)
+    assert vec_cols == [], vec_cols
+    assert shuffles > 0  # the walk actually saw the probe's exchanges
+
+
+def test_smallworld_build_vector_shuffles_only_at_attach_sites(
+    spark, clustered_df
+):
+    """The INGEST-time contract, stated honestly: candidate pairs
+    travel as bare id pairs, and the only exchanges allowed to carry
+    vectors are the two _sw_topm attach joins (corpus id -> _va/_vb),
+    i.e. one bounded corpus-vector co-location per build tick — never
+    the scored corpus, never pair rows widened by payloads. At test
+    scale AQE turns these attaches into broadcasts; at 100 TB they are
+    the documented O(corpus) build shuffle. A regression that rides
+    vectors through the bucket/dedup/top-m exchanges fails here."""
+    planes = ann.hyperplanes(64)
+    jplan = (
+        ann.smallworld_build(clustered_df, planes)
+        ._jdf.queryExecution().executedPlan()
+    )
+    shuffles, vec_cols = _walk_vector_exchanges(jplan)
+    assert shuffles > 0
+    assert set(vec_cols) <= {"_va", "_vb"}, sorted(set(vec_cols))
 
 
 def test_smallworld_append_equals_rebuild_for_batch_nodes(spark, clustered_df):
