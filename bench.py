@@ -55,6 +55,16 @@ the round-12 cross-round compare hit (unchanged tpch/upsert keys 2.5-4×
 "slower" on an idle box whose testdata cache had been dropped).
 BENCH_DETAIL records both calibrate_io runs (run 1 cold-vs-warm spread
 is the cache-state signal); the printed line carries the min.
+
+``calib_stream_sec`` (round 13 — VERDICT r12 #2) is the STREAMING
+counterpart: a fixed no-op 3-epoch readStream→foreachBatch drain (see
+``calibrate_stream``). The round-12 driver run showed micro-batch
+drains inflating 2-5× (stream_countmin 2.3→11.7 s) while BOTH existing
+calibrations sat in normal range — trigger/checkpoint wall-clock under
+driver load is invisible to a CPU burn and a parquet scan. Streaming
+keys should be read relative to this number; it is measured at bench
+start (printed line + BENCH_DETAIL, min-of-2) and again at the end
+(``calib_stream_sec_end`` in BENCH_DETAIL) for drift.
 """
 
 from __future__ import annotations
@@ -144,6 +154,53 @@ def calibrate_io(spark, sf_dir: str) -> float:
     return runs
 
 
+def calibrate_stream(spark) -> list[float]:
+    """Fixed no-op streaming workload (round 13 — VERDICT r12 #2): a
+    3-epoch readStream→foreachBatch drain over three tiny staged
+    parquet files (maxFilesPerTrigger=1, availableNow, fresh
+    checkpoint), where the foreachBatch body is a bare count. The work
+    is deliberately negligible so the measurement IS the micro-batch
+    machinery — trigger scheduling, offset/commit-log writes,
+    checkpoint fsyncs — which is the cost component the CPU and I/O
+    calibrations are blind to: in the round-12 driver run the
+    streaming keys read 2-5x the clean record while calib_sec and
+    calib_io_sec both sat in normal range. Read each streaming key's
+    time relative to this number the way batch keys are read against
+    calib_sec. min-of-2; both runs recorded in BENCH_DETAIL."""
+    import shutil
+    import tempfile
+
+    runs = []
+    for _ in range(2):
+        root = tempfile.mkdtemp(prefix="bench_calib_stream_")
+        try:
+            landing = os.path.join(root, "landing")
+            for _epoch in range(3):
+                (
+                    spark.range(0, 10_000, 1, 1)
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(landing)
+                )
+            t0 = time.time()
+            q = (
+                spark.readStream.schema("id bigint")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+                .writeStream.foreachBatch(lambda df, _eid: df.count())
+                .option(
+                    "checkpointLocation", os.path.join(root, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            runs.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -157,6 +214,7 @@ def main() -> None:
 
     calib = calibrate(spark)
     calib_io = calibrate_io(spark, sf_dir)
+    calib_stream = calibrate_stream(spark)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -175,6 +233,7 @@ def main() -> None:
         timings[key] = min(runs)
 
     calib_end = calibrate(spark)
+    calib_stream_end = calibrate_stream(spark)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -190,6 +249,8 @@ def main() -> None:
                 "calib_sec": calib,
                 "calib_sec_end": calib_end,
                 "calib_io_sec": calib_io,
+                "calib_stream_sec": calib_stream,
+                "calib_stream_sec_end": calib_stream_end,
                 "sf": sf,
             },
             f,
@@ -222,6 +283,7 @@ def main() -> None:
         "n_keys": len(timings),
         "calib_sec": calib,
         "calib_io_sec": min(calib_io),
+        "calib_stream_sec": min(calib_stream),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }
