@@ -630,3 +630,124 @@ def test_stream_hnsw_ingest_equals_batch_append(spark):
         tuple(r) for r in registry.q_vec_hnsw_append(spark, sf).collect()
     ]
     assert stream_rows == batch_rows
+
+
+def test_smallworld_pruned_equals_staged_whole_probe(
+    spark, clustered_df, tmp_path
+):
+    """smallworld_topk_pruned is the same walk over the bucketed store:
+    identical routing, identical monotone beam recurrence, identical
+    Catalyst cosine on the same stored doubles — so its rows must equal
+    smallworld_topk's over the same graph, value for value, for
+    multiple probes (including rank and the 6dp score)."""
+    rows = _clustered()
+    planes = ann.hyperplanes(64)
+    root = str(tmp_path / "store")
+    adj = ann.smallworld_build(clustered_df, planes)
+    ann.smallworld_store_write(clustered_df, planes, root, adj=adj)
+    for probe_id in (0, 120, 300, 411):
+        q = rows[probe_id][1]
+        exp = [
+            tuple(r)
+            for r in ann.smallworld_topk(
+                clustered_df, q, k=10, planes=planes, adj=adj
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in ann.smallworld_topk_pruned(spark, root, q, k=10).collect()
+        ]
+        assert got == exp, probe_id
+
+
+def test_smallworld_pruned_probe_reads_only_touched_buckets(
+    spark, clustered_df, tmp_path
+):
+    """The point-lookup contract, pinned twice: (1) the per-round
+    lookup's scan carries a pushed PartitionFilter over ``bucket`` (the
+    candidate buckets as literals) — the untouched directories are
+    pruned at LISTING time, not filtered row-by-row; (2) behaviorally,
+    DELETING every bucket directory the probe does not touch leaves the
+    probe's output byte-identical — impossible if any step scanned the
+    full store. Also pins the one-file-per-bucket layout (the
+    ivf_compact lesson) and that the walk's driver traffic is bare ids
+    only (the lookup frames project id + score, never vectors)."""
+    import os
+    import shutil
+
+    rows = _clustered()
+    planes = ann.hyperplanes(64)
+    root = str(tmp_path / "store")
+    # nb=48 (10-row buckets) instead of the ~512-row default: at 480
+    # corpus rows the default gives nb=8 and the <=64-rep routing layer
+    # alone touches every bucket, leaving nothing to prune at test scale
+    nb = ann.smallworld_store_write(clustered_df, planes, root, nb=48)
+    q = rows[7][1]
+
+    # (1) the lookup plan: PartitionFilters over bucket, no shuffle
+    look = ann._sw_pruned_scores(spark, root, [7, 23, 401], nb, q)
+    plan = look._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].split("]", 1)[0], plan
+    assert "Exchange" not in plan
+    # one file per bucket directory
+    vdirs = [
+        d for d in os.listdir(os.path.join(root, "vectors"))
+        if d.startswith("bucket=")
+    ]
+    assert len(vdirs) == nb
+    for d in vdirs:
+        files = [
+            f for f in os.listdir(os.path.join(root, "vectors", d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+    # (2) record the touched buckets by replaying the walk's id sets,
+    # then delete every OTHER bucket dir from both stores and re-probe
+    before = [
+        tuple(r)
+        for r in ann.smallworld_topk_pruned(spark, root, q, k=10).collect()
+    ]
+    touched_v: set[int] = set()
+    touched_a: set[int] = set()
+    rep_ids = [
+        int(r["id"])
+        for r in spark.read.parquet(os.path.join(root, "reps")).collect()
+    ]
+
+    def top_ids(ids, n):
+        touched_v.update(i % nb for i in ids)
+        return [
+            int(r["id"])
+            for r in ann._sw_pruned_scores(spark, root, ids, nb, q)
+            .orderBy(F.desc("_qs"), F.asc("id")).limit(n).collect()
+        ]
+
+    beam = top_ids(rep_ids, 3)
+    for _ in range(3):
+        touched_a.update(i % nb for i in beam)
+        nbrs = [
+            int(r["dst"])
+            for r in spark.read.parquet(os.path.join(root, "adjacency"))
+            .filter(F.col("bucket").isin(sorted({i % nb for i in beam})))
+            .filter(F.col("src").isin(beam))
+            .select("dst").distinct().collect()
+        ]
+        beam = top_ids(sorted(set(beam) | set(nbrs)), 12)
+    touched_v.update(i % nb for i in beam)
+    assert len(touched_v) < nb  # pruning is actually possible here
+    for b in range(nb):
+        if b not in touched_v:
+            shutil.rmtree(os.path.join(root, "vectors", f"bucket={b}"))
+        if b not in touched_a:
+            shutil.rmtree(
+                os.path.join(root, "adjacency", f"bucket={b}"),
+                ignore_errors=True,
+            )
+    spark.catalog.clearCache()
+    after = [
+        tuple(r)
+        for r in ann.smallworld_topk_pruned(spark, root, q, k=10).collect()
+    ]
+    assert after == before
