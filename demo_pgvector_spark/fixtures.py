@@ -162,3 +162,12 @@ SNIFF_LANE_MIMES = (
 DSIR_BUCKETS = 4096
 DSIR_TARGET_SRCS = ("src0", "src1", "src2", "src3")
 DSIR_K = 50
+# vec_filtered_topk: filtered ANN with iterative probe expansion
+# (pgvector 0.8 iterative_scan) — the metadata predicate is
+# label = FILTERED_LABEL (~10% selectivity on the synthetic labels);
+# the probe set is the minimal prefix of the centroid-distance order
+# whose survivor count reaches FILTERED_K, starting at
+# FILTERED_NPROBE0 clusters and doubling.
+FILTERED_LABEL = 7
+FILTERED_K = 10
+FILTERED_NPROBE0 = 2

@@ -1559,3 +1559,99 @@ def smallworld_topk_pruned(
         F.round("_qs", 6).alias("similarity_score"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fp16 / halfvec storage variant (pgvector's halfvec type)
+# ---------------------------------------------------------------------------
+
+
+def _f16_scale_sql(x_sql: str) -> str:
+    """SQL for the power-of-two rounding scale of one double value under
+    IEEE 754 binary16: 2^(10-e) for normals (e = floor(log2|x|), found by
+    a threshold fold over the normal exponents — exact compares against
+    exact power-of-two LITERALS, NO log2 and no runtime power(), so the
+    exponent can never disagree across engines at a boundary), and the
+    fixed subnormal scale 2^24 when |x| < 2^-13 (which absorbs x = 0,
+    every subnormal, AND the e = -14 normals — their spacing 2^-24 is
+    the subnormal spacing, so the scale coincides). Every power of two
+    is exact in double; Python's repr emits the exact decimal, so the
+    parsed literals are the exact values."""
+    pairs = ", ".join(
+        f"struct({2.0 ** i!r}D as t, {2.0 ** (10 - i)!r}D as s)"
+        for i in range(-13, 16)
+    )
+    return (
+        f"aggregate(array({pairs}), cast(16777216 as double),"
+        f" (acc, p) -> IF(abs({x_sql}) >= p.t, p.s, acc))"
+    )
+
+
+def _f16_round_sql(vec_sql: str) -> str:
+    """SQL rounding each element of an array column to its nearest IEEE
+    754 binary16 (half precision) value, round-half-to-even — the
+    pgvector ``halfvec`` storage transform, as a pure Catalyst
+    expression: x16 = rint(x * 2^(10-e)) / 2^(10-e). Multiplying and
+    dividing by a power of two only shifts the exponent (exact), and
+    Spark's ``rint`` (Math.rint) and DuckDB's ``round_even`` share
+    round-half-to-even, so the rounded value is BIT-IDENTICAL to
+    numpy's float16 cast on both engines (pinned against np.float16 in
+    tests/test_ann.py, including subnormals). Contract: |x| <= 65504
+    (halfvec overflow errors in pgvector; values beyond the binary16
+    normal range would round to 65536 here instead of Inf).
+
+    Physical shape: the scale fold runs ONCE per element into a scales
+    array (HOF lambdas are opaque to codegen CSE — referencing the fold
+    twice inside one lambda would evaluate it twice), then a zip_with
+    applies rint(x·s)/s."""
+    x = "cast(x as double)"
+    scales = f"transform({vec_sql}, x -> {_f16_scale_sql(x)})"
+    return (
+        f"zip_with({vec_sql}, {scales},"
+        f" (x, s) -> rint({x} * s) / s)"
+    )
+
+
+def f16_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    top_k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Top-k over fp16 (halfvec) storage — pgvector's half-precision
+    vector type (halfvec, pgvector ≥ 0.7; the reference's
+    config/init.sql:27-32 stores full float vector columns), the fourth
+    quantization member after PQ codebooks, SQ8 affine, and sign-bit BQ:
+    round the corpus to binary16 values with the exact power-of-two
+    scheme above, then dot the FLOAT query against the rounded doubles
+    with the strict left fold (the module's decode-then-dot ADC form —
+    binary16 decode is the identity on the rounded value, so there is no
+    separate decode step). Near-lossless: ~11 bits of mantissa keep
+    recall@10 ≈ 1 (pytest-gated ≥ 0.9), while a real halfvec column
+    halves scan bytes vs float32 — the storage variant you take BEFORE
+    SQ8's 4× when recall must stay exact-ish.
+
+    Plan shape (same as sq8_topk): scan → scan-fused transform + fold →
+    TakeOrderedAndProject with id tiebreak. No shuffle of the corpus,
+    no training pass at all (binary16 rounding needs no bounds — the
+    one structural simplification vs SQ8's ADC chain)."""
+    q_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.withColumn("_query", q_lit)
+        .withColumn("_h", F.expr(_f16_round_sql(vec_col)))
+        .select(
+            id_col,
+            *payload_cols,
+            F.expr(
+                "aggregate(zip_with(_query, _h, (a, b) -> a * b),"
+                " cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("_score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(id_col, *payload_cols, F.round("_score", 6).alias("f16_score"))
+    )

@@ -33,13 +33,17 @@ def assign_clusters(
     vec_col: str = "embedding",
     centroid_id: str = "cid",
     centroid_vec: str = "cv",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, embedding, cluster): each vector's nearest centroid by cosine.
-    Centroids broadcast (k rows); one argmax aggregation, no skew — every
-    vector contributes exactly k scored rows collapsed map-side."""
+    """(id, embedding, [keep_cols...,] cluster): each vector's nearest
+    centroid by cosine. Centroids broadcast (k rows); one argmax
+    aggregation, no skew — every vector contributes exactly k scored rows
+    collapsed map-side. ``keep_cols`` (per-id-constant metadata, e.g. a
+    filter label) ride through the aggregation as ``first()``."""
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in keep_cols],
         F.col(centroid_id),
         cosine_similarity(F.col(vec_col), F.col(centroid_vec)).alias("_sim"),
     )
@@ -48,6 +52,7 @@ def assign_clusters(
     # (plain max_by keeps an arbitrary tied row).
     return scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
+        *[F.first(c).alias(c) for c in keep_cols],
         F.expr(f"max_by({centroid_id}, struct(_sim, -{centroid_id}))").alias(
             "cluster"
         ),
@@ -161,6 +166,7 @@ def assign_clusters_auto(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_literals: int = INLINE_MAX_LITERALS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Driver-known-centroid assignment with automatic physical-strategy
     selection (VERDICT r3 #3): the shuffle-free inlined-literal argmax
@@ -172,14 +178,14 @@ def assign_clusters_auto(
     never see the switch."""
     kdim = len(cents) * (len(cents[0]) if cents else 0)
     if kdim < max_literals:
-        return assign_clusters_inline(vectors, cents, id_col, vec_col)
+        return assign_clusters_inline(vectors, cents, id_col, vec_col, keep_cols)
     cdf = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, cv array<double>",
     )
-    return assign_clusters(vectors, cdf, id_col, vec_col).select(
-        id_col, vec_col, "cluster"
-    )
+    return assign_clusters(
+        vectors, cdf, id_col, vec_col, keep_cols=keep_cols
+    ).select(id_col, vec_col, *keep_cols, "cluster")
 
 
 def _rank_centroids(
@@ -303,6 +309,7 @@ def assign_clusters_inline(
     cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, embedding, cluster) against DRIVER-KNOWN centroids — a pure
     projection, ZERO shuffle.
@@ -340,11 +347,15 @@ def assign_clusters_inline(
     # argmax reads the materialized column; CollapseProject keeps expensive
     # multi-referenced aliases in their own projection.
     scored = vectors.select(
-        F.col(id_col), F.col(vec_col), F.expr(scores).alias("_scores")
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(scores).alias("_scores"),
     )
     return scored.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in keep_cols],
         F.expr("cast(array_position(_scores, array_max(_scores)) - 1 as int)").alias(
             "cluster"
         ),
@@ -554,4 +565,125 @@ def ivf_drift(
         "share_now_pm",
         "drift_pm",
         (F.col("_mx") >= drift_per_mille).cast("int").alias("retrain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — metadata predicate + iterative probe expansion
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_filtered(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = ("label",),
+) -> None:
+    """The ``ivf_write_clustered`` layout with METADATA columns carried
+    into the partitioned store — the write-time shape filtered ANN
+    needs: probe-time predicates on ``meta_cols`` push down into the
+    pruned parquet scan (PushedFilters next to the cluster
+    PartitionFilters), so a filtered probe reads only the probed
+    directories AND row-group-skips on the metadata inside them."""
+    assigned = assign_clusters_auto(
+        vectors, cents, id_col, vec_col, keep_cols=meta_cols
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_filtered(
+    spark,
+    path: str,
+    cents: list[list[float]],
+    qvec: list[float],
+    predicate,
+    k: int = 10,
+    nprobe0: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Filtered ANN with ITERATIVE probe expansion — the pgvector 0.8
+    iterative-scan contract (``hnsw.iterative_scan`` /
+    ``ivfflat.iterative_scan``): a metadata predicate composed with an
+    IVF top-k such that a selective filter cannot starve recall. A
+    fixed-nprobe probe under a 1% filter returns ~nprobe·|cluster|/100
+    survivors — usually < k; the fix is to keep opening the next-nearest
+    cluster until enough survivors exist.
+
+    Deterministic semantics (shared with the DuckDB replay,
+    O_VEC_FILTERED_TOPK): rank all K centroids by (query cosine DESC,
+    cid ASC); the probe set is the MINIMAL PREFIX of that order whose
+    predicate-surviving row count reaches ``k`` (all K clusters if none
+    does); the result is the exact-cosine top-k among survivors in that
+    prefix. Expansion never changes already-counted survivors, so the
+    doubling loop below finds exactly the minimal prefix: it reads
+    prefix nprobe0, 2·nprobe0, … only until the TOTAL survivor count
+    reaches k (one scalar per round — no data rows reach the driver),
+    then computes the minimal prefix ENGINE-SIDE from per-cluster
+    survivor counts (≤K rows) and filters candidates to it.
+
+    100 TB shape: every round's scan shows ``cluster IN (prefix)`` as
+    pushed PartitionFilters and the predicate as PushedFilters (pinned
+    in tests/test_ivf.py) — a probe under a p-selective filter reads
+    ~k/p candidate rows' worth of directories, never the corpus; the
+    final top-k is TakeOrderedAndProject over the pruned survivors."""
+    n_cl = len(cents)
+    order = _rank_centroids(spark, cents, qvec, n_cl)
+    np_cur = max(1, min(int(nprobe0), n_cl))
+    while True:
+        probe = order[:np_cur]
+        surv = (
+            spark.read.parquet(path)
+            .filter(F.col("cluster").isin(probe))
+            .filter(predicate)
+        )
+        if np_cur >= n_cl or surv.count() >= int(k):
+            break
+        np_cur = min(np_cur * 2, n_cl)
+    pos_case = "CASE cluster " + " ".join(
+        f"WHEN {int(c)} THEN {i + 1}" for i, c in enumerate(probe)
+    ) + " END"
+    surv = surv.withColumn("_pos", F.expr(pos_case).cast("int"))
+    from pyspark.sql import Window
+
+    # ≤K-row frames throughout: counts per probed cluster, cumulative
+    # prefix sums, and the 1-row minimal-prefix scalar (constant-key
+    # window per the repo's ≤k-row convention).
+    wcum = (
+        Window.partitionBy(F.col("_pos") - F.col("_pos"))
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pstar = (
+        surv.groupBy("_pos")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_cum", F.sum("_n").over(wcum))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("_cum") >= int(k), F.col("_pos"))),
+                F.lit(int(np_cur)),
+            ).alias("_pstar")
+        )
+    )
+    q = query_vector_literal(qvec)
+    cand = surv.crossJoin(F.broadcast(pstar)).filter(
+        F.col("_pos") <= F.col("_pstar")
+    )
+    scored = cand.select(
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        cosine_similarity(F.col(vec_col), q).alias("_s"),
+    )
+    top = scored.orderBy(F.desc("_s"), F.asc(id_col)).limit(int(k))
+    w = Window.partitionBy(F.col(id_col) - F.col(id_col)).orderBy(
+        F.desc("_s"), F.asc(id_col)
+    )
+    return top.select(
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        F.round("_s", 6).alias("similarity_score"),
+        F.row_number().over(w).cast("int").alias("rank"),
     )

@@ -28,6 +28,8 @@ from demo_pgvector_spark.fixtures import (
     _SOURCE_COLS,
     BFS_MAX_HOPS,
     BFS_SEED_MOD,
+    FILTERED_K,
+    FILTERED_LABEL,
     FUZZY_MAX_KEY,
     FUZZY_TAU,
     FUZZY_W1,
@@ -5682,4 +5684,101 @@ b3 AS (SELECT qs.id, qs.s FROM qs JOIN e3 USING (id) ORDER BY s DESC, id ASC LIM
 SELECT id AS vec_id, ROUND(s, 6) AS similarity_score,
        CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS INT) AS rank
 FROM b3 ORDER BY s DESC, id ASC LIMIT 10
+"""
+
+
+# fp16 / halfvec top-k (registry q_vec_f16_topk, operators/ann.py
+# f16_topk — pgvector's halfvec storage type): the oracle re-rounds the
+# corpus to IEEE binary16 with the identical exact power-of-two scheme
+# (threshold fold over the 30 normal exponents — no log2, so boundary
+# exponents cannot disagree; fixed 2^24 subnormal scale; round_even ==
+# Spark rint == round-half-to-even, pinned against numpy float16 in
+# tests/test_ann.py) and re-scores the FLOAT query against the rounded
+# doubles with the same strict left fold.
+_O_F16_SCALE = (
+    "list_reduce(list_prepend(CAST(16777216 AS DOUBLE), "
+    "list_transform(range(-14, 16), i -> CAST(i AS DOUBLE))), "
+    "(acc, i) -> CASE WHEN abs(x) >= power(2.0, i) "
+    "THEN power(2.0, 10 - i) ELSE acc END)"
+)
+
+O_VEC_F16_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+h AS (
+  SELECT vec_id, label,
+         list_transform(v, x ->
+           round_even(x * {_O_F16_SCALE}, 0) / {_O_F16_SCALE}) AS hv
+  FROM e
+),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT h.vec_id, h.label,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> qv.v[i] * h.hv[i])),
+           (acc, x) -> acc + x) AS s
+  FROM h CROSS JOIN qv
+)
+SELECT vec_id, label, round(s, 6) AS f16_score
+FROM scored
+ORDER BY s DESC, vec_id
+LIMIT 10
+"""
+
+
+# Filtered ANN with iterative probe expansion (registry
+# q_vec_filtered_topk, operators/ivf.py ivf_topk_filtered — the
+# pgvector 0.8 iterative_scan contract): the oracle replays the full
+# deterministic semantics — seed-centroid assignment (the
+# O_VEC_IVF_TOPK convention), the centroid-distance probe ORDER, the
+# MINIMAL PREFIX of that order whose label-surviving count reaches k
+# (all 16 clusters if none does), and the exact-cosine top-k among
+# survivors inside that prefix. A wrong probe order, an off-by-one
+# prefix, or a filter evaluated after the top-k instead of before all
+# hash-mismatch.
+O_VEC_FILTERED_TOPK = f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_ORACLE_QVEC}),
+corder AS (
+  SELECT cid,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(cv, q.qv) DESC, cid ASC
+         ) AS INT) AS pos
+  FROM c, q
+),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster
+  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id
+),
+surv AS (
+  SELECT a.vec_id, co.pos
+  FROM assign a
+  JOIN corder co ON a.cluster = co.cid
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE e.label = {FILTERED_LABEL}
+),
+cnt AS (SELECT pos, COUNT(*) AS n FROM surv GROUP BY pos),
+pref AS (
+  SELECT p.pos, SUM(COALESCE(cnt.n, 0)) OVER (ORDER BY p.pos) AS cumn
+  FROM (SELECT CAST(unnest(range(1, 17)) AS INT) AS pos) p
+  LEFT JOIN cnt USING (pos)
+),
+chosen AS (
+  SELECT COALESCE(MIN(pos) FILTER (WHERE cumn >= {FILTERED_K}), 16) AS pstar
+  FROM pref
+),
+cand AS (SELECT s.vec_id FROM surv s, chosen WHERE s.pos <= chosen.pstar),
+scored AS (
+  SELECT cd.vec_id, e.label, {_ORACLE_SIM} AS sim
+  FROM cand cd JOIN embeddings e ON cd.vec_id = e.vec_id, q
+)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {FILTERED_K}
 """

@@ -36,6 +36,9 @@ from demo_pgvector_spark.fixtures import (
     SNIFF_LANE_HEADERS,
     BFS_MAX_HOPS,
     BFS_SEED_MOD,
+    FILTERED_K,
+    FILTERED_LABEL,
+    FILTERED_NPROBE0,
     FUZZY_MAX_KEY,
     FUZZY_TAU,
     FUZZY_W1,
@@ -231,6 +234,8 @@ from demo_pgvector_spark.oracles import (  # noqa: F401
     O_VEC_ANN_TOPK,
     O_VEC_BQ_TOPK,
     O_VEC_HNSW_APPEND,
+    O_VEC_F16_TOPK,
+    O_VEC_FILTERED_TOPK,
     O_VEC_HNSW_TOPK,
     O_VEC_COSINE_DIST,
     O_VEC_IVF_DRIFT,
@@ -2225,6 +2230,10 @@ def _ivf_layout(spark: SparkSession, sf_dir: str, kind: str) -> str:
             emb.filter(F.col("vec_id") % 5 != 0), cents, work
         )
         ivf_ops.ivf_append(emb.filter(F.col("vec_id") % 5 == 0), cents, work)
+    elif kind == "ivf_filtered":
+        # label rides into the partitioned store so probe-time
+        # predicates push down next to the cluster partition filter
+        ivf_ops.ivf_write_filtered(emb, cents, work, meta_cols=("label",))
     else:
         ivf_ops.ivf_write_clustered(emb, cents, work)
     _IVF_LAYOUT_CACHE[key] = work
@@ -6480,6 +6489,64 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-13 breadth: fp16 storage + filtered ANN (VERDICT r12 #8/#9)
+# ---------------------------------------------------------------------------
+
+
+def q_vec_f16_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fp16 (halfvec) top-k (operators/ann.py f16_topk) — pgvector's
+    half-precision storage type (halfvec, ≥ 0.7; the reference's
+    config/init.sql:27-32 stores full float columns), completing the
+    precision ladder float32 → f16 → SQ8 → PQ → BQ: the corpus is
+    rounded to IEEE binary16 values by an EXACT power-of-two Catalyst
+    scheme (threshold fold over the 30 normal exponents — no log2, so
+    a boundary exponent cannot disagree across engines; fixed 2^24
+    subnormal scale; rint == round_even == round-half-to-even, pinned
+    bit-identical to numpy float16 in tests/test_ann.py), then scored
+    by the strict-left-fold dot of the float query — decode is the
+    identity, so unlike SQ8 there is no training pass at all. At 100 TB
+    a real halfvec column halves scan bytes vs float32 with recall@10
+    ≈ 1 (pytest-gated ≥ 0.9) — the storage cut you take BEFORE lossy
+    quantization. Plan: scan → scan-fused transform + fold →
+    TakeOrderedAndProject; zero shuffle, zero training job."""
+    tune_session(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return ann_ops.f16_topk(emb, _query_vec(spark, sf_dir), top_k=10)
+
+
+def q_vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN with iterative probe expansion (operators/ivf.py
+    ivf_write_filtered → ivf_topk_filtered) — the pgvector 0.8
+    iterative-scan contract (hnsw.iterative_scan/ivfflat.iterative_scan)
+    composing a metadata predicate (label = 7, ~10% selective) with the
+    IVF probe such that the filter cannot starve recall: the probe set
+    is the MINIMAL PREFIX of the centroid-distance order whose
+    label-surviving count reaches k, found by doubling from nprobe0=2
+    (one pruned+filtered scalar count per round — no data rows to the
+    driver), then top-k by exact cosine among survivors in that prefix,
+    minimal-prefix selection computed ENGINE-SIDE from ≤16-row counts.
+    The layout carries label INTO the cluster-partitioned store, so
+    every round's scan shows cluster PartitionFilters AND the label
+    PushedFilters (pinned in tests/test_ivf.py) — at 100 TB a
+    p-selective probe reads ~k/p candidate rows' worth of directories,
+    never the corpus. The oracle replays order, minimal prefix, and
+    filtered re-rank end to end; recall under the filter is
+    pytest-gated against the exact filtered scan."""
+    tune_session(spark)
+    work = _ivf_layout(spark, sf_dir, "ivf_filtered")
+    cents = _seed_vectors(spark, sf_dir)
+    return ivf_ops.ivf_topk_filtered(
+        spark,
+        work,
+        cents,
+        _query_vec(spark, sf_dir),
+        F.col("label") == FILTERED_LABEL,
+        k=FILTERED_K,
+        nprobe0=FILTERED_NPROBE0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry assembly
 # ---------------------------------------------------------------------------
 
@@ -6727,6 +6794,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round-13 past-window breadth (round-14 window candidates,
     # first-in-line per the standing new-keys-first rule) --
     "vec_hnsw_pruned": (q_vec_hnsw_pruned, O_VEC_HNSW_TOPK),
+    "vec_f16_topk": (q_vec_f16_topk, O_VEC_F16_TOPK),
+    "vec_filtered_topk": (q_vec_filtered_topk, O_VEC_FILTERED_TOPK),
 }
 
 

@@ -751,3 +751,59 @@ def test_smallworld_pruned_probe_reads_only_touched_buckets(
         for r in ann.smallworld_topk_pruned(spark, root, q, k=10).collect()
     ]
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# fp16 / halfvec (f16_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_f16_round_matches_numpy_float16_bitwise(spark):
+    """The Catalyst binary16 rounding must agree with numpy's float16
+    cast on EVERY value class: normals across the exponent range,
+    exact halves (round-to-even both directions), subnormals, zero,
+    negatives, and the largest normal."""
+    rng = np.random.RandomState(11)
+    vals = (
+        list(rng.normal(0, 0.3, 40))
+        + list(rng.uniform(-2e-4, 2e-4, 20))  # straddles the subnormal cut
+        + [0.0, -0.0, 1.0, -1.0, 65503.0, 2.0 ** -14, 2.0 ** -24,
+           1.5 * 2.0 ** -24, 0.1, 1.0 / 3.0, -0.333, 2048.0, 2050.0]
+    )
+    df = spark.createDataFrame([(0, [float(v) for v in vals])],
+                               "vec_id long, embedding array<double>")
+    got = df.selectExpr(
+        ann._f16_round_sql("embedding") + " as h"
+    ).collect()[0]["h"]
+    want = [float(np.float16(v)) for v in vals]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ]
+
+
+def test_f16_recall_vs_exact_on_clustered(spark, clustered_df):
+    """binary16 keeps ~11 mantissa bits — recall@10 against the float64
+    brute force must be >= 0.9 on clustered data (near-lossless, the
+    halfvec contract)."""
+    rows = [(r["vec_id"], r["embedding"]) for r in clustered_df.collect()]
+    q = np.array(rows[0][1])
+    exact = set(_exact_topk(rows, q, 10))
+    got = {
+        r["vec_id"]
+        for r in ann.f16_topk(
+            clustered_df, rows[0][1], top_k=10, payload_cols=()
+        ).collect()
+    }
+    assert len(got & exact) >= 9, (got, exact)
+
+
+def test_f16_topk_no_corpus_shuffle(spark, clustered_df):
+    """No training pass, no bounds aggregate: the whole plan is scan →
+    projection → TakeOrderedAndProject, ZERO exchanges."""
+    q = clustered_df.limit(1).collect()[0]["embedding"]
+    plan = (
+        ann.f16_topk(clustered_df, q, top_k=10, payload_cols=())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -285,3 +285,115 @@ def test_ivf_drift_raises_on_empty_totals(spark):
         ivf.ivf_drift(empty_layout, train)
     with _pytest.raises(ValueError, match="total count is 0"):
         ivf.ivf_drift(layout, empty_train)
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (ivf_write_filtered / ivf_topk_filtered)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled_df(spark):
+    rows = [(i, v, i % 10) for i, v in _clustered()]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).cache()
+
+
+def _filtered_replay(layout_rows, order, q, pred, k):
+    """Python replay of the deterministic filtered-ANN semantics:
+    minimal prefix of ``order`` whose predicate-surviving count reaches
+    k (all clusters if none does), exact cosine top-k among survivors
+    in that prefix."""
+    surv = [r for r in layout_rows if pred(r)]
+    pos = {c: i + 1 for i, c in enumerate(order)}
+    npos = len(order)
+    counts = {}
+    for r in surv:
+        counts[pos[r["cluster"]]] = counts.get(pos[r["cluster"]], 0) + 1
+    cum, pstar = 0, npos
+    for p in range(1, npos + 1):
+        cum += counts.get(p, 0)
+        if cum >= k:
+            pstar = p
+            break
+    qn = np.array(q)
+    cand = [r for r in surv if pos[r["cluster"]] <= pstar]
+    scored = [
+        (
+            float(np.dot(r["embedding"], qn)
+                  / (np.linalg.norm(r["embedding"]) * np.linalg.norm(qn))),
+            r["vec_id"],
+        )
+        for r in cand
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [v for _s, v in scored[:k]]
+
+
+def test_filtered_probe_equals_minimal_prefix_replay(spark, labeled_df, tmp_path):
+    """The operator must implement EXACTLY the minimal-prefix
+    semantics: equality against a Python replay over the layout's own
+    assignment, for a ~10% filter (iterative expansion fires: one
+    cluster holds ~6 survivors < k=10)."""
+    _, cents = ivf.kmeans_lloyd(labeled_df.select("vec_id", "embedding"), k=8, iters=3)
+    path = str(tmp_path / "ivf_filtered")
+    ivf.ivf_write_filtered(labeled_df, cents, path)
+
+    rows = _clustered()
+    q = rows[0][1]
+    out = ivf.ivf_topk_filtered(
+        spark, path, cents, q, F.col("label") == 3, k=10, nprobe0=2
+    ).collect()
+    order = ivf._rank_centroids(spark, cents, q, len(cents))
+    layout = spark.read.parquet(path).collect()
+    want = _filtered_replay(layout, order, q, lambda r: r["label"] == 3, 10)
+    assert [r["vec_id"] for r in out] == want
+    assert [r["rank"] for r in out] == list(range(1, len(want) + 1))
+    assert all(r["label"] == 3 for r in out)
+    # the filter did not starve the result (pgvector iterative_scan's
+    # whole point): a 10% filter still returns a full k rows
+    assert len(out) == 10
+
+
+def test_filtered_probe_starved_filter_returns_all_survivors(
+    spark, labeled_df, tmp_path
+):
+    """When fewer than k rows survive the predicate ANYWHERE, the probe
+    set must expand to all clusters and return every survivor."""
+    _, cents = ivf.kmeans_lloyd(labeled_df.select("vec_id", "embedding"), k=8, iters=3)
+    path = str(tmp_path / "ivf_starved")
+    ivf.ivf_write_filtered(labeled_df, cents, path)
+    rows = _clustered()
+    q = rows[0][1]
+    pred = (F.col("label") == 3) & (F.col("vec_id") < 40)
+    out = ivf.ivf_topk_filtered(spark, path, cents, q, pred, k=10, nprobe0=2).collect()
+    want = sorted(
+        i for i, _v in rows if i % 10 == 3 and i < 40
+    )
+    assert sorted(r["vec_id"] for r in out) == want
+    assert len(want) < 10
+
+
+def test_filtered_probe_pushes_filter_into_pruned_scan(
+    spark, labeled_df, tmp_path
+):
+    """The probe's scan must show BOTH prunings: cluster as a partition
+    filter and the metadata predicate as pushed parquet filters — the
+    100 TB contract that a filtered probe reads only probed directories
+    and row-group-skips inside them."""
+    _, cents = ivf.kmeans_lloyd(labeled_df.select("vec_id", "embedding"), k=8, iters=3)
+    path = str(tmp_path / "ivf_filtered_plan")
+    ivf.ivf_write_filtered(labeled_df, cents, path)
+    rows = _clustered()
+    q = rows[0][1]
+    out = ivf.ivf_topk_filtered(
+        spark, path, cents, q, F.col("label") == 3, k=10, nprobe0=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cluster" in pf, plan
+    assert "PushedFilters" in plan, plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "label" in pushed and ("EqualTo" in pushed or "label,3" in pushed), plan
