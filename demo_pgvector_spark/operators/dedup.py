@@ -614,6 +614,9 @@ def dedup_assign(
     to a few million edges; pass None to inherit the session width (a
     100 TB run with a billion-edge graph would).
     """
+    loop_width = shuffle_partitions or int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -625,6 +628,11 @@ def dedup_assign(
         # LAZY: round 0's convergence-count job computes it, caches the
         # blocks, and truncates lineage at job end — an eager checkpoint
         # here would spend a whole extra job on the same materialization.
+        # Pre-partitioned by the per-round join key at the LOOP's width
+        # (round 13, guide §2.4: every propagation round joins edges on
+        # dst; one exchange here instead of one per round — explicit
+        # width so AQE cannot coalesce it away from the rounds' width).
+        .repartition(loop_width, F.col("dst"))
         .localCheckpoint(eager=False)
     )
     labels = docs.select(F.col(id_col).alias("id")).withColumn(

@@ -53,6 +53,21 @@ MICRO = 1_000_000
 RESET_MICRO = 150_000  # 0.15 in micro-units; rank_0 = 1.0 = 1_000_000
 
 
+def _loop_width(df: DataFrame) -> int:
+    """Partition width for the iterative loops' pre-partitioned static
+    frames: the session's CURRENT shuffle-partition count, passed
+    EXPLICITLY so AQE does not coalesce the one-time repartition to a
+    size-based count that mismatches the per-round shuffles (measured:
+    ``repartition(col)`` collapsed the 600k-edge list to 5 partitions
+    under AQE while the rounds ran 32-wide, forcing a re-shuffle every
+    round — the exact exchange this pattern exists to remove).
+    Scale-adaptive by construction: the driver's lower-core benches set
+    ``spark.sql.shuffle.partitions`` to their core count."""
+    return int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -67,17 +82,32 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
-        # lazy: materialized by the final action's first pass, reused by
-        # every iteration's joins instead of re-running the distinct
+        # Pre-partition the STATIC edge list by its per-round join key
+        # once (round 13, guide §2.4 "share one exchange"): every
+        # iteration joins e on src, and without this each round paid its
+        # own Exchange of the biggest table in the query. The checkpoint
+        # freezes hashpartitioning(src) into the cached blocks, so
+        # EnsureRequirements shuffles only the (small) rank side per
+        # round. lazy: materialized by the final action's first pass.
+        .repartition(_loop_width(edges), F.col("src"))
         .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        # same argument: nodes is joined on id every round
+        .repartition(_loop_width(edges), F.col("id"))
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg inherits hashpartitioning(src) from e (groupBy over the
+    # co-partitioned input needs no exchange); checkpoint so the agg
+    # runs once, not once per round.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("r", F.lit(MICRO).cast("bigint"))
     for _ in range(iterations):
         contrib = (
@@ -142,6 +172,9 @@ def personalized_pagerank(
         )
         .filter(F.col("s") != F.col("d"))
         .dropDuplicates(["s", "d"])
+        # static side pre-partitioned by its per-round join key (round
+        # 13, guide §2.4) — see pagerank for the argument
+        .repartition(_loop_width(edges), F.col("s"))
         .localCheckpoint(eager=False)
     )
     seed_ids = seeds.select(F.col(seed_col).alias("sid")).distinct()
@@ -156,9 +189,14 @@ def personalized_pagerank(
             .cast("bigint")
             .alias("reset"),
         )
+        .repartition(_loop_width(edges), F.col("id"))
         .localCheckpoint(eager=False)
     )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select(
         "id",
         # r0 = MICRO on seeds, 0 elsewhere — pure integer: reset is
@@ -298,6 +336,9 @@ def bfs_hops(
         )
         .filter(F.col("s") != F.col("d"))
         .dropDuplicates(["s", "d"])
+        # static side pre-partitioned by its per-round join key (round
+        # 13, guide §2.4) — see pagerank for the argument
+        .repartition(_loop_width(edges), F.col("s"))
         .localCheckpoint(eager=False)
     )
     dist = seeds.select(F.col(seed_col).alias("id")).distinct().withColumn(
@@ -351,6 +392,9 @@ def label_propagation(
         )
         .filter(F.col("s") != F.col("d"))
         .dropDuplicates(["s", "d"])
+        # static side pre-partitioned by its per-round join key (round
+        # 13, guide §2.4) — see pagerank for the argument
+        .repartition(_loop_width(edges), F.col("s"))
         .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(
@@ -425,10 +469,16 @@ def kcore_membership(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
+        # static side pre-partitioned by the first per-round join key
+        # (round 13, guide §2.4); the dst-side join of each round still
+        # shuffles the induced intermediate — that one is fundamental
+        .repartition(_loop_width(edges), F.col("src"))
         .localCheckpoint(eager=False)
     )
-    kept = nodes.select(F.col(node_col).alias("n")).localCheckpoint(
-        eager=False
+    kept = (
+        nodes.select(F.col(node_col).alias("n"))
+        .repartition(_loop_width(edges), F.col("n"))
+        .localCheckpoint(eager=False)
     )
     prev = kept
     for _ in range(rounds):
@@ -511,22 +561,33 @@ def hits(
             "authority relation only exists after the first a <- A'h "
             "half-step"
         )
-    e = (
+    # HITS joins the static edge list on BOTH keys, alternating per
+    # half-step — keep TWO pre-partitioned checkpoints (round 13, guide
+    # §2.4): e_src feeds the a ← Aᵀh half (join on src), e_dst the
+    # h ← Aa half (join on dst). e_dst is derived FROM e_src's cache so
+    # the dedup runs once. Two cached copies of the edge list is the
+    # standard price for alternating-key iteration (both are narrow
+    # 2-column frames).
+    e_src = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition(_loop_width(edges), F.col("src"))
         .localCheckpoint(eager=False)
     )
-    hubs = e.select(F.col("src").alias("id")).distinct().localCheckpoint(
+    e_dst = e_src.repartition(
+        _loop_width(edges), F.col("dst")
+    ).localCheckpoint(eager=False)
+    hubs = e_src.select(F.col("src").alias("id")).distinct().localCheckpoint(
         eager=False
     )
-    auths = e.select(F.col("dst").alias("id")).distinct().localCheckpoint(
+    auths = e_dst.select(F.col("dst").alias("id")).distinct().localCheckpoint(
         eager=False
     )
     h = hubs.withColumn("h", F.lit(MICRO).cast("bigint"))
     a = None
     for _ in range(iterations):
         a_raw = (
-            e.join(h.withColumnRenamed("id", "src"), "src")
+            e_src.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("s"))
         )
@@ -540,7 +601,7 @@ def hits(
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            e_dst.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("s"))
         )
@@ -619,6 +680,10 @@ def hyperball_harmonic(
             )
         )
         .dropDuplicates(["src", "dst"])
+        # static side pre-partitioned by its per-round join key (the
+        # round merge joins sym.dst == state.node each round — round 13,
+        # guide §2.4)
+        .repartition(_loop_width(edges), F.col("dst"))
         .localCheckpoint(eager=False)
     )
     items0 = nodes.select(

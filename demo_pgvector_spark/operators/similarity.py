@@ -205,17 +205,23 @@ def mmr_rerank(
     100 TB posture: the scan-side cost is the pool construction —
     TakeOrderedAndProject over the full vector table (the flagship's
     zero-shuffle shape). Everything after operates on the pool, which is
-    ≤ pool_size rows BY CONSTRUCTION: the pairwise cross join is
-    pool_size², and each greedy step is a micro-job over broadcast
-    joins of k-bounded frames. The per-step EAGER localCheckpoint on
-    the selected set is load-bearing: each step references the running
-    selection twice (anti-join + penalty keys), so an unbroken lineage
-    grows ~3^k analysis nodes — k=8 hung Catalyst for minutes, while
-    checkpointed steps run in ~0.1 s each. The pool/pairs lazy
-    checkpoints materialize once, during step 1's job; the k driver
-    round-trips are constant cost, independent of corpus size (the
-    dedup_assign CC-loop class).
+    ≤ pool_size rows BY CONSTRUCTION — and since round 13 the ENTIRE
+    greedy recursion is ONE Catalyst ``aggregate()`` fold over the
+    pool collected into a single array row: the per-step argmax, the
+    max-penalty lookup, and the tie-break all run as array
+    higher-order functions inside one projection. The previous shape
+    ran k driver round-trips with an EAGER localCheckpoint per step
+    (each ~0.3-0.5 s of pure job-scheduling latency — measured as the
+    whole cost of the operator at sf0.1); the fold removes every
+    round-trip, leaving exactly two jobs: the TakeOrdered pool
+    construction and the 1-row selection projection. The arithmetic is
+    expression-for-expression the old one (6dp HALF_UP rounds on the
+    same doubles, max over 6dp pair cosines, score-desc/id-asc
+    argmax), so the output is bit-identical — gated by the pure-Python
+    replay + margin test (tests/test_vector.py).
     """
+    lam = float(lam)
+    k = int(k)
     q = query_vector_literal(query_vec)
     pool = (
         vectors.select(
@@ -225,59 +231,84 @@ def mmr_rerank(
         )
         .orderBy(F.col("simq").desc(), F.col(id_col).asc())
         .limit(int(pool_size))
-        .localCheckpoint(eager=False)
     )
-    a = pool.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    packed = pool.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("_v").alias("v"),
+                    F.col("simq").alias("simq"),
+                )
+            )
+        ).alias("pool")
     )
-    b = pool.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
-    )
-    pairs = (
-        a.join(b, F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_similarity(F.col("_va"), F.col("_vb")), 6
-            ).alias("simp"),
+
+    def _dot(a: str, b: str, s: str) -> str:
+        # same fold as functions.vector.dot — cast to double, zip_with
+        # product, sequential left-to-right sum; unique lambda-variable
+        # suffix ``s`` so nested uses never shadow each other
+        return (
+            f"aggregate(zip_with({a}, {b},"
+            f" (x{s}, y{s}) -> cast(x{s} as double) * cast(y{s} as double)),"
+            f" cast(0.0 as double), (acc{s}, e{s}) -> acc{s} + e{s})"
         )
-        .localCheckpoint(eager=False)
-    )
-    lam = float(lam)
-    first = (
-        pool.select(
-            F.col(id_col),
-            F.lit(1).cast("bigint").alias("mmr_rank"),
-            F.round(F.lit(lam) * F.col("simq"), 6).alias("mmr_score"),
+
+    def _cos6(a: str, b: str, s: str) -> str:
+        # round(cosine, 6) — identical to round(cosine_similarity(), 6)
+        return (
+            f"round(try_divide({_dot(a, b, s + 'p')},"
+            f" sqrt({_dot(a, a, s + 'q')} * {_dot(b, b, s + 'r')})), 6)"
         )
-        .orderBy(F.col("mmr_score").desc(), F.col(id_col).asc())
-        .limit(1)
+
+    lam_r = repr(lam)
+    mu_r = repr(1.0 - lam)
+    # argmax convention (the topk_per_group struct trick): sort
+    # ascending on (ns_sort, id) where ns = -score; a NULL score (zero
+    # -norm vector) coalesces to +Inf in the SORT KEY ONLY so non-null
+    # scores always win — the exact nulls-last behavior of the old
+    # ``orderBy(score.desc(), id.asc())``.
+    def _pick(scored: str) -> str:
+        return f"slice(array_sort({scored}), 1, 1)"
+
+    first_scored = (
+        "transform(pool, p -> struct("
+        f"coalesce(-round({lam_r}D * p.simq, 6), cast('Infinity' as double))"
+        " as ns_sort, p.id as id,"
+        f" round({lam_r}D * p.simq, 6) as score))"
     )
-    selected = first.localCheckpoint()
-    for t in range(2, int(k) + 1):
-        sel_ids = selected.select(F.col(id_col).alias("id_b"))
+    init = (
+        f"transform({_pick(first_scored)}, b -> named_struct("
+        "'id', b.id, 'mmr_rank', 1L, 'mmr_score', b.score))"
+    )
+    if k >= 2:
         penalty = (
-            pairs.join(F.broadcast(sel_ids), "id_b")
-            .groupBy("id_a")
-            .agg(F.max("simp").alias("maxp"))
-        )
-        step = (
-            pool.join(
-                selected.select(id_col), id_col, "left_anti"
+            "array_max(transform(sel, s -> "
+            + _cos6(
+                "p.v",
+                "element_at(filter(pool, pp -> pp.id = s.id), 1).v",
+                "c",
             )
-            .join(penalty, pool[id_col] == penalty["id_a"])
-            .select(
-                F.col(id_col),
-                F.lit(t).cast("bigint").alias("mmr_rank"),
-                F.round(
-                    F.lit(lam) * F.col("simq")
-                    - F.lit(1.0 - lam) * F.col("maxp"),
-                    6,
-                ).alias("mmr_score"),
-            )
-            .orderBy(F.col("mmr_score").desc(), F.col(id_col).asc())
-            .limit(1)
+            + "))"
         )
-        selected = selected.union(step).localCheckpoint()
-    return selected
+        step_scored = (
+            "transform(filter(pool, p -> not exists(sel, s -> s.id = p.id)),"
+            " p -> struct("
+            f"coalesce(-round({lam_r}D * p.simq - {mu_r}D * {penalty}, 6),"
+            " cast('Infinity' as double)) as ns_sort, p.id as id,"
+            f" round({lam_r}D * p.simq - {mu_r}D * {penalty}, 6) as score))"
+        )
+        selection = (
+            f"aggregate(sequence(2, {k}), {init}, (sel, t) -> "
+            "case when size(sel) >= size(pool) then sel else "
+            f"sel || transform({_pick(step_scored)}, b -> named_struct("
+            "'id', b.id, 'mmr_rank', cast(t as bigint),"
+            " 'mmr_score', b.score)) end)"
+        )
+    else:
+        selection = init
+    return packed.select(
+        F.inline(F.expr(selection))
+    ).select(
+        F.col("id").alias(id_col), "mmr_rank", "mmr_score"
+    )

@@ -25,6 +25,14 @@ def get_session(app_name: str = "demo_pgvector_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round 13 (guide §3.1/§9): allow shuffled-hash join when its
+        # size conditions are met instead of always sort-merge — skips
+        # both sides' sorts on the per-round joins of the iterative
+        # operators (measured: pagerank plan 10 SMJ → 10 SHJ, no sorts).
+        # Scale posture: SHJ is chosen only when the planner's size
+        # conditions hold (build side fits per-partition); sort-merge
+        # remains the fallback for same-size giant joins.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is TIMESTAMP(NANOS): session-wide decision to
@@ -48,6 +56,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # guide §3.1/§9 — see get_session; runtime-settable, so the
+        # driver-owned session gets the same join menu
+        ("spark.sql.join.preferSortMergeJoin", "false"),
         # nanos-timestamp parquet (events.ts) reads as LongType session-wide;
         # see tables.load for the explicit truncation to micros.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
