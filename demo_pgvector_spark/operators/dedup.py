@@ -787,7 +787,7 @@ def ngram_jaccard_pairs(
     grams = (
         with_shingles(src, text_col, k)
         .select(id_col, "shingles")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ex = grams.select(
         F.col(id_col), F.explode("shingles").alias("_gs")
@@ -909,7 +909,7 @@ def ngram_containment_pairs(
     grams = (
         with_shingles(src, text_col, k)
         .select(id_col, "shingles")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ex = grams.select(
         F.col(id_col), F.explode("shingles").alias("_gs")
@@ -1109,7 +1109,7 @@ def semdedup(
     # The pair stage and the CC loop both consume `assigned`, and CC
     # re-evaluates its input once per propagation round — materialize the
     # projection once.
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=False)
     pairs = semantic_pairs(assigned, threshold, id_col, vec_col)
     # CC only over vertices that APPEAR in a pair (singletons trivially
     # keep themselves and would just pad every propagation round's label
@@ -1208,7 +1208,7 @@ def substring_pairs(
     # corpus per branch.
     toked = src.select(
         id_col, F.split(F.lower(F.col(text_col)), " ").alias("_toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     grams = toked.select(
         id_col,
         F.posexplode(
@@ -1311,7 +1311,7 @@ def line_dedup(
                 " as bigint)"
             ).alias("_k"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per_key = lines.groupBy("_k").agg(
         F.countDistinct(id_col).alias("_ndocs")

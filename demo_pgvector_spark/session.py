@@ -33,6 +33,17 @@ def get_session(app_name: str = "demo_pgvector_spark", cpus: int | None = None) 
         # conditions hold (build side fits per-partition); sort-merge
         # remains the fallback for same-size giant joins.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Round 13: the engine's streaming surface is short-lived
+        # availableNow drains; the default 60 s state-store maintenance
+        # cadence snapshots dozens of accumulated (already-terminated)
+        # providers and measurably taxes later micro-batches (A/B:
+        # aged-session no-op drain 2.3 s @60s vs 1.0 s @600s). For a
+        # continuous production stream pick the cadence for its
+        # recovery-time target via SPARK_GRAFT_STATE_MAINT_INTERVAL.
+        .config(
+            "spark.sql.streaming.stateStore.maintenanceInterval",
+            os.environ.get("SPARK_GRAFT_STATE_MAINT_INTERVAL", "600s"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is TIMESTAMP(NANOS): session-wide decision to
@@ -59,6 +70,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # guide §3.1/§9 — see get_session; runtime-settable, so the
         # driver-owned session gets the same join menu
         ("spark.sql.join.preferSortMergeJoin", "false"),
+        # see get_session — short-lived drains don't need 60 s snapshots
+        (
+            "spark.sql.streaming.stateStore.maintenanceInterval",
+            os.environ.get("SPARK_GRAFT_STATE_MAINT_INTERVAL", "600s"),
+        ),
         # nanos-timestamp parquet (events.ts) reads as LongType session-wide;
         # see tables.load for the explicit truncation to micros.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),

@@ -56,7 +56,7 @@ def read_table(spark: SparkSession, root: str, schema_ddl: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, v))
 
 
-def commit_table(df: DataFrame, root: str) -> str:
+def commit_table(df: DataFrame, root: str, single_file: bool = False) -> str:
     """Write ``df`` as the next version and atomically swap the pointer.
 
     The parquet job is all-or-nothing (Spark's file-commit protocol); the
@@ -66,11 +66,21 @@ def commit_table(df: DataFrame, root: str) -> str:
     semantics: until the pointer names it, no reader can hold it, so an
     orphan left by a crash BETWEEN write and swap is simply rewritten by
     the retry — the rerun self-repairs instead of erroring on the
-    leftover directory."""
+    leftover directory.
+
+    ``single_file=True`` coalesces the write to one task/one file —
+    for tables whose size is CONSTANT-bounded by construction (a d×w
+    count-min grid, ≤m HLL registers per group, ≤BLOOM_M bloom
+    positions). Per guide §6 those tables were the small-files
+    anti-pattern both ways: every epoch's commit scheduled one task
+    per shuffle partition to write a few KB each, and the NEXT epoch's
+    fold re-opened that many footers. Tables that scale with the data
+    (staged day-batches, dimensions) keep the default parallel write."""
     v = current_version(root)
     nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
     os.makedirs(root, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(os.path.join(root, nxt))
     tmp = os.path.join(root, f".{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(nxt)

@@ -79,7 +79,9 @@ def _commit_with_epoch(df: DataFrame, root: str, epoch_id: int) -> str:
     v = ingest_ops.current_version(root)
     nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
     os.makedirs(root, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    # single file: the sketch is ≤ d×w rows by construction — see
+    # ingest.commit_table(single_file=True) for the small-files argument
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, nxt))
     with open(
         os.path.join(root, nxt, _EPOCH_MARKER), "w", encoding="utf-8"
     ) as fh:
@@ -186,7 +188,8 @@ def bloom_sink(
         delta = curation_ops.bloom_build(batch, text_col=text_col)
         existing = ingest_ops.read_table(spark, root, BLOOM_SCHEMA_DDL)
         merged = existing.unionByName(delta).distinct()
-        ingest_ops.commit_table(merged, root)
+        # ≤ BLOOM_M positions forever — constant-bounded, single file
+        ingest_ops.commit_table(merged, root, single_file=True)
 
     return apply
 
@@ -255,7 +258,8 @@ def hll_sink(
             .groupBy(*group_cols, "register")
             .agg(F.max("rho").alias("rho"))
         )
-        ingest_ops.commit_table(merged, root)
+        # ≤ m rows per group forever — constant-bounded, single file
+        ingest_ops.commit_table(merged, root, single_file=True)
 
     return apply
 
