@@ -56,6 +56,14 @@ FUZZY_MAX_KEY = 2000
 # two BIGINT key domains cannot collide. Fixed iteration count keeps the
 # whole computation one deterministic unrolled plan on both engines.
 PAGERANK_ITERS = 5
+
+# Loop width for the iterative graph keys' pre-partitioned static
+# frames and per-round shuffles (the dedup_assign shuffle_partitions=8
+# convention): the bench-scale edge/label tables are a few MB, so
+# session-wide 32-partition rounds schedule mostly-empty tasks on
+# every one of K x 3 stages (measured 1.5-2x slower than narrow). A
+# 100 TB deployment passes None and inherits the session width.
+GRAPH_LOOP_PARTITIONS = 8
 SUPP_NODE_OFFSET = 10_000_000
 
 # graph_triangles: the part co-order graph (two parts linked iff they

@@ -53,16 +53,21 @@ MICRO = 1_000_000
 RESET_MICRO = 150_000  # 0.15 in micro-units; rank_0 = 1.0 = 1_000_000
 
 
-def _loop_width(df: DataFrame) -> int:
+def _loop_width(df: DataFrame, requested: int | None = None) -> int:
     """Partition width for the iterative loops' pre-partitioned static
-    frames: the session's CURRENT shuffle-partition count, passed
-    EXPLICITLY so AQE does not coalesce the one-time repartition to a
-    size-based count that mismatches the per-round shuffles (measured:
-    ``repartition(col)`` collapsed the 600k-edge list to 5 partitions
-    under AQE while the rounds ran 32-wide, forcing a re-shuffle every
-    round — the exact exchange this pattern exists to remove).
-    Scale-adaptive by construction: the driver's lower-core benches set
-    ``spark.sql.shuffle.partitions`` to their core count."""
+    frames. EXPLICIT (never a bare ``repartition(col)``) because the
+    width is a contract: per-round joins align their other side to the
+    checkpointed frame's partitioning (the bucketed-join alignment in
+    EnsureRequirements), so whatever number is frozen here is the
+    loop's parallelism. ``requested`` is the dedup_assign
+    ``shuffle_partitions`` convention — call sites whose graphs are
+    known output-volume-sized pass a narrow width (32-wide rounds over
+    a few-MB edge list schedule mostly-empty tasks on every one of
+    K×3 stages — measured as a 1.5-2x regression at bench scale);
+    ``None`` inherits the session width, which is what a 100 TB run
+    with a billion-edge graph wants."""
+    if requested is not None:
+        return int(requested)
     return int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -73,6 +78,7 @@ def pagerank(
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node_id, pr) after ``iterations`` fixed PageRank steps over the
     DISTINCT directed edge set. Nodes = every id appearing as src or
@@ -89,7 +95,7 @@ def pagerank(
         # freezes hashpartitioning(src) into the cached blocks, so
         # EnsureRequirements shuffles only the (small) rank side per
         # round. lazy: materialized by the final action's first pass.
-        .repartition(_loop_width(edges), F.col("src"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("src"))
         .localCheckpoint(eager=False)
     )
     nodes = (
@@ -97,7 +103,7 @@ def pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         # same argument: nodes is joined on id every round
-        .repartition(_loop_width(edges), F.col("id"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("id"))
         .localCheckpoint(eager=False)
     )
     # deg inherits hashpartitioning(src) from e (groupBy over the
@@ -142,6 +148,7 @@ def personalized_pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "id",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank from a seed SET over the UNDIRECTED graph —
     the TrustRank primitive (Gyöngyi et al., VLDB 2004): random walks
@@ -174,7 +181,7 @@ def personalized_pagerank(
         .dropDuplicates(["s", "d"])
         # static side pre-partitioned by its per-round join key (round
         # 13, guide §2.4) — see pagerank for the argument
-        .repartition(_loop_width(edges), F.col("s"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("s"))
         .localCheckpoint(eager=False)
     )
     seed_ids = seeds.select(F.col(seed_col).alias("sid")).distinct()
@@ -189,7 +196,7 @@ def personalized_pagerank(
             .cast("bigint")
             .alias("reset"),
         )
-        .repartition(_loop_width(edges), F.col("id"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("id"))
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -310,6 +317,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "id",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over the UNDIRECTED graph,
     bounded at ``max_hops`` — multi-source BFS, the propagation-radius
@@ -338,7 +346,7 @@ def bfs_hops(
         .dropDuplicates(["s", "d"])
         # static side pre-partitioned by its per-round join key (round
         # 13, guide §2.4) — see pagerank for the argument
-        .repartition(_loop_width(edges), F.col("s"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("s"))
         .localCheckpoint(eager=False)
     )
     dist = seeds.select(F.col(seed_col).alias("id")).distinct().withColumn(
@@ -369,6 +377,7 @@ def label_propagation(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Community detection via synchronous label propagation (Raghavan
     2007; the GraphX ``LabelPropagation`` contract) over the UNDIRECTED
@@ -394,7 +403,7 @@ def label_propagation(
         .dropDuplicates(["s", "d"])
         # static side pre-partitioned by its per-round join key (round
         # 13, guide §2.4) — see pagerank for the argument
-        .repartition(_loop_width(edges), F.col("s"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("s"))
         .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(
@@ -435,6 +444,7 @@ def kcore_membership(
     k: int = KCORE_K,
     rounds: int = KCORE_ROUNDS,
     node_col: str = "node",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """k-core membership by iterative peeling (Seidman 1983; the
     Batagelj-Zaversnik fixpoint): repeatedly drop nodes whose degree in
@@ -472,12 +482,12 @@ def kcore_membership(
         # static side pre-partitioned by the first per-round join key
         # (round 13, guide §2.4); the dst-side join of each round still
         # shuffles the induced intermediate — that one is fundamental
-        .repartition(_loop_width(edges), F.col("src"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("src"))
         .localCheckpoint(eager=False)
     )
     kept = (
         nodes.select(F.col(node_col).alias("n"))
-        .repartition(_loop_width(edges), F.col("n"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("n"))
         .localCheckpoint(eager=False)
     )
     prev = kept
@@ -527,6 +537,7 @@ def hits(
     iterations: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over the DISTINCT
     directed edge set: ``iterations`` fixed power-iteration rounds of
@@ -571,11 +582,11 @@ def hits(
     e_src = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(_loop_width(edges), F.col("src"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("src"))
         .localCheckpoint(eager=False)
     )
     e_dst = e_src.repartition(
-        _loop_width(edges), F.col("dst")
+        _loop_width(edges, loop_partitions), F.col("dst")
     ).localCheckpoint(eager=False)
     hubs = e_src.select(F.col("src").alias("id")).distinct().localCheckpoint(
         eager=False
@@ -633,6 +644,7 @@ def hyperball_harmonic(
     rounds: int = 3,
     node_col: str = "node",
     p: int = 6,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded-radius harmonic centrality via HyperBall (Boldi & Vigna,
     2013) — the algorithm web-scale corpus pipelines actually use to
@@ -683,7 +695,7 @@ def hyperball_harmonic(
         # static side pre-partitioned by its per-round join key (the
         # round merge joins sym.dst == state.node each round — round 13,
         # guide §2.4)
-        .repartition(_loop_width(edges), F.col("dst"))
+        .repartition(_loop_width(edges, loop_partitions), F.col("dst"))
         .localCheckpoint(eager=False)
     )
     items0 = nodes.select(

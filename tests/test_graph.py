@@ -430,3 +430,26 @@ def test_hyperball_matches_python_replay(spark):
     # structural ordering: the hub's 1-ball dominates the tail's
     assert got[1][0] > got[8][0]
     assert got[1][3] > got[8][3]
+
+
+def test_loop_partitions_is_result_invariant(spark):
+    """Round 13: the iterative ops pre-partition their static frames at
+    an explicit loop width (and registry passes a narrow bench-scale
+    width). The width is a pure physical-plan knob — results must be
+    bit-identical across widths, including widths that differ from the
+    session shuffle-partition count."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    base = sorted(map(tuple, graph.pagerank(df, 3).collect()))
+    for w in (1, 3, 8):
+        got = sorted(
+            map(tuple, graph.pagerank(df, 3, loop_partitions=w).collect())
+        )
+        assert got == base, f"loop_partitions={w} changed the result"
+    lpa_base = sorted(map(tuple, graph.label_propagation(df, 2).collect()))
+    lpa_w = sorted(
+        map(
+            tuple,
+            graph.label_propagation(df, 2, loop_partitions=2).collect(),
+        )
+    )
+    assert lpa_w == lpa_base
