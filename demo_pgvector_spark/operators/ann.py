@@ -1173,6 +1173,23 @@ def smallworld_build(
     return _sw_topm(pairs, emb, m, id_col, vec_col)
 
 
+def smallworld_base_entries(
+    emb_base: DataFrame,
+    planes: np.ndarray,
+    coarse_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The base corpus's (id, t, sig) bucket-membership rows, computed
+    ONCE for reuse across repeated ``smallworld_append`` calls against
+    the same base (the streaming index tick's per-epoch loop). A pure
+    function of (base, planes[:, :coarse_bits, :]) — passing the result
+    via ``smallworld_append(base_entries=...)`` is bit-identical to
+    letting each call re-derive it, it just stops E epochs from paying
+    E signature scans over the never-changing base corpus."""
+    return _sw_entries(emb_base, planes[:, :coarse_bits, :], id_col, vec_col)
+
+
 def smallworld_append(
     emb_base: DataFrame,
     emb_batch: DataFrame,
@@ -1182,6 +1199,7 @@ def smallworld_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     backlinks: bool = True,
+    base_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental small-world maintenance — the graph-ANN member of
     the module's O(batch) family (ivf_append / dedup_index /
@@ -1215,7 +1233,14 @@ def smallworld_append(
     coarse = planes[:, :coarse_bits, :]
     grown = emb_base.unionByName(emb_batch)
     batch_e = _sw_entries(emb_batch, coarse, id_col, vec_col)
-    all_e = _sw_entries(grown, coarse, id_col, vec_col)
+    # entries(grown) == entries(base) ∪ entries(batch) row for row
+    # (the signature is per-node); a caller looping appends against a
+    # static base passes its entries once instead of re-banding the
+    # corpus every call.
+    if base_entries is None:
+        all_e = _sw_entries(grown, coarse, id_col, vec_col)
+    else:
+        all_e = base_entries.unionByName(batch_e)
     a = batch_e.select("t", "sig", F.col(id_col).alias("src"))
     b = all_e.select("t", "sig", F.col(id_col).alias("dst"))
     pairs = (

@@ -101,6 +101,22 @@ def upsert(
     key referenced by ``batch_order``), which are dropped after dedup.
     """
     payload_cols = [c for c in existing.columns if c != id_col]
+    return existing.select(id_col, *payload_cols).unionByName(
+        upsert_allocated(existing, incoming, keys, id_col, batch_order)
+    )
+
+
+def upsert_allocated(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    id_col: str = "id",
+    batch_order: Sequence[str] | None = None,
+) -> DataFrame:
+    """Just the NOVEL rows of the upsert, with freshly allocated ids —
+    the delta a versioned add-files commit appends (``upsert`` ==
+    ``existing`` ∪ this, and the id allocation is shared verbatim)."""
+    payload_cols = [c for c in existing.columns if c != id_col]
     batch = dedupe_batch(incoming, keys, batch_order).select(*payload_cols)
     novel = batch.join(existing, _nullsafe_cond(batch, existing, keys), "left_anti")
 
@@ -113,9 +129,7 @@ def upsert(
         .withColumn(id_col, (F.col("_max_id") + F.row_number().over(w)).cast("long"))
         .drop("_max_id")
     )
-    return existing.select(id_col, *payload_cols).unionByName(
-        allocated.select(id_col, *payload_cols)
-    )
+    return allocated.select(id_col, *payload_cols)
 
 
 def upsert_models(

@@ -59,17 +59,32 @@ def hnsw_sink(
     stage_root = os.path.join(root, "staged")
     adj_root = os.path.join(root, "adj")
 
+    # the base side of every epoch's append is STATIC: band it once per
+    # stream (lazy localCheckpoint — materializes inside epoch 1's job,
+    # reused by later epochs). Without this each epoch re-ran the
+    # signature pass over the full base corpus — at 100 TB the base IS
+    # the biggest table in the query, so E epochs paid E corpus scans
+    # for entries smallworld_append's own contract says are never
+    # re-banded (guide §2.4, the iterative-graph static-side rule).
+    base_entries = ann_ops.smallworld_base_entries(base, planes).localCheckpoint(
+        eager=False
+    )
+
     def apply(batch: DataFrame, _epoch_id: int) -> None:
         spark = batch.sparkSession
         staged = ingest_ops.read_table(spark, stage_root, STAGE_SCHEMA_DDL)
         fresh = batch.select("vec_id", "embedding").join(
             staged.select("vec_id"), "vec_id", "left_anti"
         )
-        ingest_ops.commit_table(staged.unionByName(fresh), stage_root)
+        # the staged crawl batch is GROW-ONLY: add-files commit writes
+        # the slice, hardlinks the rest (O(slice), not O(batch) per epoch)
+        ingest_ops.commit_table(fresh, stage_root, delta=True)
         staged_now = ingest_ops.read_table(
             spark, stage_root, STAGE_SCHEMA_DDL
         )
-        adj = ann_ops.smallworld_append(base, staged_now, planes)
+        adj = ann_ops.smallworld_append(
+            base, staged_now, planes, base_entries=base_entries
+        )
         ingest_ops.commit_table(adj, adj_root)
 
     return apply

@@ -67,7 +67,9 @@ def curate_sink(
         fresh = batch.select("doc_id", "text").join(
             staged.select("doc_id"), "doc_id", "left_anti"
         )
-        ingest_ops.commit_table(staged.unionByName(fresh), stage_root)
+        # the staged day-batch is GROW-ONLY: add-files commit writes
+        # the slice, hardlinks the rest (O(slice), not O(day) per epoch)
+        ingest_ops.commit_table(fresh, stage_root, delta=True)
         staged_now = ingest_ops.read_table(
             spark, stage_root, STAGE_SCHEMA_DDL
         )

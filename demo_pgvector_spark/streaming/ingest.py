@@ -56,7 +56,9 @@ def read_table(spark: SparkSession, root: str, schema_ddl: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, v))
 
 
-def commit_table(df: DataFrame, root: str, single_file: bool = False) -> str:
+def commit_table(
+    df: DataFrame, root: str, single_file: bool = False, delta: bool = False
+) -> str:
     """Write ``df`` as the next version and atomically swap the pointer.
 
     The parquet job is all-or-nothing (Spark's file-commit protocol); the
@@ -75,12 +77,40 @@ def commit_table(df: DataFrame, root: str, single_file: bool = False) -> str:
     anti-pattern both ways: every epoch's commit scheduled one task
     per shuffle partition to write a few KB each, and the NEXT epoch's
     fold re-opened that many footers. Tables that scale with the data
-    (staged day-batches, dimensions) keep the default parallel write."""
+    (staged day-batches, dimensions) keep the default parallel write.
+
+    ``delta=True`` is the ADD-FILES commit for GROW-ONLY tables
+    (guide §6 / the Delta-Iceberg add-file transaction): ``df`` is the
+    NEW ROWS ONLY; the next version starts as hardlinks to the previous
+    version's immutable data files and the delta lands as appended
+    files, so the per-commit write job is O(delta) instead of
+    O(table) — across an E-epoch day the staged-table write volume
+    drops from O(day²) to O(day). Atomicity is unchanged: links and
+    appended files accumulate in an unreferenced directory until the
+    pointer swap, a crashed attempt's orphan is rebuilt from scratch by
+    the retry (the rmtree below), and hardlinks keep file CONTENT
+    immutable — vacuuming an old version only unlinks names, never
+    bytes a newer version still references. Before the first commit
+    ``delta`` degrades to a whole write (the delta IS the table).
+    The trade is the small-files accretion every add-file log pays;
+    ``compact_table`` is the standing OPTIMIZE pairing."""
+    import shutil
+
     v = current_version(root)
     nxt = f"v{(int(v[1:]) + 1) if v else 1:06d}"
     os.makedirs(root, exist_ok=True)
+    dst = os.path.join(root, nxt)
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").parquet(os.path.join(root, nxt))
+    if delta and v is not None:
+        shutil.rmtree(dst, ignore_errors=True)  # orphan from a crash
+        os.makedirs(dst)
+        prev = os.path.join(root, v)
+        for name in os.listdir(prev):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(prev, name), os.path.join(dst, name))
+        out.write.mode("append").parquet(dst)
+    else:
+        out.write.mode("overwrite").parquet(dst)
     tmp = os.path.join(root, f".{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(nxt)
@@ -99,18 +129,23 @@ def upsert_sink(
 
     Per epoch: read the committed state, run the null-safe dedup upsert
     (operators/write.py — novel keys get ``max(id)+row_number`` ids),
-    commit the union as a new version. A retried epoch re-reads the
-    already-updated state, finds no novel keys, and commits an identical
-    version — idempotent by construction.
+    commit the result as a new version. The upsert is INSERT-ONLY
+    (existing rows pass through untouched), so the commit is an
+    add-files delta: only the freshly allocated novel rows are written,
+    the previous version's files are hardlinked (commit_table
+    ``delta=True``) — the per-epoch write job is O(novel), not
+    O(table). A retried epoch re-reads the already-updated state, finds
+    no novel keys, and commits a content-identical version — idempotent
+    by construction.
     """
 
     def apply(batch: DataFrame, _epoch_id: int) -> None:
         spark = batch.sparkSession
         existing = read_table(spark, root, schema_ddl)
-        merged = write_ops.upsert(
+        novel = write_ops.upsert_allocated(
             existing, batch, keys=list(keys), id_col=id_col, batch_order=batch_order
         )
-        commit_table(merged, root)
+        commit_table(novel, root, delta=True)
 
     return apply
 

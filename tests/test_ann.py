@@ -807,3 +807,26 @@ def test_f16_topk_no_corpus_shuffle(spark, clustered_df):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_smallworld_append_base_entries_reuse_is_identical(spark, clustered_df):
+    """smallworld_base_entries + smallworld_append(base_entries=...) —
+    the streaming index tick's static-side reuse (band the base ONCE
+    per stream, not once per epoch) — is bit-identical to letting each
+    append re-derive the base's bucket entries."""
+    planes = ann.hyperplanes(64)
+    base = clustered_df.filter(F.col("vec_id") % 5 != 0)
+    batch = clustered_df.filter(F.col("vec_id") % 5 == 0)
+    be = ann.smallworld_base_entries(base, planes)
+    plain = sorted(
+        map(tuple, ann.smallworld_append(base, batch, planes).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            ann.smallworld_append(
+                base, batch, planes, base_entries=be
+            ).collect(),
+        )
+    )
+    assert plain == reused

@@ -226,3 +226,94 @@ def test_time_travel_and_compaction(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ingest.read_table_at(spark, root, ddl, v1)
+
+
+def test_delta_commit_matches_whole_commit_and_links_files(spark, tmp_path):
+    """commit_table(delta=True) — the add-files commit for grow-only
+    tables (guide §6): content equals the whole-table rewrite, the
+    previous version's data files are HARDLINKED into the new version
+    (write job is O(delta), not O(table)), and vacuuming the old
+    version unlinks names without touching bytes the new version still
+    references."""
+    root = str(tmp_path / "t")
+    ddl = "id long, name string"
+    ingest.commit_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], ddl), root
+    )
+    v1 = ingest.current_version(root)
+    v1_files = {
+        f
+        for f in os.listdir(os.path.join(root, v1))
+        if f.endswith(".parquet")
+    }
+    assert v1_files
+
+    ingest.commit_table(
+        spark.createDataFrame([(3, "c")], ddl), root, delta=True
+    )
+    v2 = ingest.current_version(root)
+    got = sorted(map(tuple, ingest.read_table(spark, root, ddl).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    v2_files = {
+        f
+        for f in os.listdir(os.path.join(root, v2))
+        if f.endswith(".parquet")
+    }
+    # every v1 data file is carried as a hardlink (same inode — no
+    # rewrite), and the delta landed as at least one NEW file
+    assert v1_files < v2_files
+    for f in v1_files:
+        assert os.path.samefile(
+            os.path.join(root, v1, f), os.path.join(root, v2, f)
+        )
+
+    ingest.vacuum_versions(root, keep=1)
+    assert ingest.list_versions(root) == [v2]
+    assert (
+        sorted(map(tuple, ingest.read_table(spark, root, ddl).collect()))
+        == got
+    )
+
+
+def test_delta_commit_repairs_crash_orphan(spark, tmp_path):
+    """A crash between a delta commit's write and its pointer swap
+    leaves an orphan directory (links + partial appends); the retried
+    delta commit rebuilds it from scratch and lands the same content."""
+    root = str(tmp_path / "t")
+    ddl = "id long, name string"
+    ingest.commit_table(spark.createDataFrame([(1, "a")], ddl), root)
+    # simulate the crash: v000002 exists with garbage, pointer unswapped
+    spark.createDataFrame([(99, "stale")], ddl).write.parquet(
+        os.path.join(root, "v000002")
+    )
+    assert ingest.current_version(root) == "v000001"
+
+    ingest.commit_table(
+        spark.createDataFrame([(2, "b")], ddl), root, delta=True
+    )
+    assert ingest.current_version(root) == "v000002"
+    got = sorted(map(tuple, ingest.read_table(spark, root, ddl).collect()))
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_upsert_sink_delta_version_is_content_identical(spark, tmp_path):
+    """The upsert sink's add-files commit (novel rows only + hardlinks)
+    produces version content identical to the old whole-rewrite
+    (existing ∪ allocated-novel), including on a retried no-novel epoch."""
+    root = str(tmp_path / "t")
+    sink = ingest.upsert_sink(root, keys=["name"], schema_ddl=SCHEMA)
+    sink(spark.createDataFrame([("a",), ("b",)], "name string"), 0)
+    sink(spark.createDataFrame([("b",), ("c",)], "name string"), 1)
+    got = {
+        r["name"]: r["id"]
+        for r in ingest.read_table(spark, root, SCHEMA).collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 3}
+    # retried epoch: no novel keys -> content-identical new version
+    sink(spark.createDataFrame([("b",), ("c",)], "name string"), 1)
+    again = {
+        r["name"]: r["id"]
+        for r in ingest.read_table(spark, root, SCHEMA).collect()
+    }
+    assert again == got
