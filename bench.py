@@ -205,6 +205,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -235,8 +236,16 @@ def main() -> None:
     calib_end = calibrate(spark)
     calib_stream_end = calibrate_stream(spark)
 
+    # VERDICT r13 #6: the scaling pass (lower $SPARK_GRAFT_CPUS) used to
+    # overwrite the 32-core detail record because every run wrote one
+    # fixed path. Non-default core counts now write a suffixed file so
+    # the committed BENCH_DETAIL.json always matches the printed
+    # 32-core line.
+    detail_name = (
+        "BENCH_DETAIL.json" if cpus == 32 else f"BENCH_DETAIL_c{cpus}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -284,7 +293,7 @@ def main() -> None:
         "calib_sec": calib,
         "calib_io_sec": min(calib_io),
         "calib_stream_sec": min(calib_stream),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
         "sf": sf,
     }
     line = json.dumps(out, separators=(",", ":"))

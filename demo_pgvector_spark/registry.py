@@ -44,7 +44,6 @@ from demo_pgvector_spark.fixtures import (
     FUZZY_W1,
     FUZZY_W2,
     FUZZY_W3,
-    GRAPH_LOOP_PARTITIONS,
     LPA_ITERS,
     MMR_K,
     MMR_LAMBDA,
@@ -4342,9 +4341,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("src"),
         (F.col("l_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("dst"),
     )
-    return graph_ops.pagerank(
-        edges, iterations=PAGERANK_ITERS, loop_partitions=GRAPH_LOOP_PARTITIONS
-    )
+    return graph_ops.pagerank(edges, iterations=PAGERANK_ITERS)
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4386,9 +4383,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = supp.filter(F.col("s_suppkey") % BFS_SEED_MOD == 0).select(
         (F.col("s_suppkey") + F.lit(SUPP_NODE_OFFSET)).alias("id")
     )
-    return graph_ops.bfs_hops(
-        edges, seeds, max_hops=BFS_MAX_HOPS, loop_partitions=GRAPH_LOOP_PARTITIONS
-    )
+    return graph_ops.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4414,7 +4409,6 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         seeds,
         iterations=PAGERANK_ITERS,
-        loop_partitions=GRAPH_LOOP_PARTITIONS,
     )
 
 
@@ -4448,9 +4442,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("node")))
         .distinct()
     )
-    return graph_ops.kcore_membership(
-        pairs, nodes, loop_partitions=GRAPH_LOOP_PARTITIONS
-    )
+    return graph_ops.kcore_membership(pairs, nodes)
 
 
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4473,7 +4465,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return graph_ops.hits(edges, loop_partitions=GRAPH_LOOP_PARTITIONS)
+    return graph_ops.hits(edges)
 
 
 def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4504,9 +4496,7 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("node")))
         .distinct()
     )
-    return graph_ops.hyperball_harmonic(
-        pairs, nodes, loop_partitions=GRAPH_LOOP_PARTITIONS
-    )
+    return graph_ops.hyperball_harmonic(pairs, nodes)
 
 
 def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4550,9 +4540,7 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
-    return graph_ops.label_propagation(
-        edges, iterations=LPA_ITERS, loop_partitions=GRAPH_LOOP_PARTITIONS
-    )
+    return graph_ops.label_propagation(edges, iterations=LPA_ITERS)
 
 
 def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

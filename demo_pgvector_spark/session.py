@@ -44,6 +44,21 @@ def get_session(app_name: str = "demo_pgvector_spark", cpus: int | None = None) 
             "spark.sql.streaming.stateStore.maintenanceInterval",
             os.environ.get("SPARK_GRAFT_STATE_MAINT_INTERVAL", "600s"),
         )
+        # Round 14 (guide §5 caching/driver): the engine's iterative and
+        # streaming operators localCheckpoint intermediates whose blocks
+        # are reclaimed by ContextCleaner only after a JVM GC enqueues
+        # their weak references — on an 8 GiB heap that rarely GCs, a
+        # long session (the 187-key bench, a day-long production driver)
+        # accumulates hundreds of dead cached RDDs and their block-
+        # manager entries. Spark's own remedy is the periodic-GC cleaner
+        # tick (default 30min — longer than the whole bench session).
+        # Measured same-session: an explicit System.gc() after ~30 keys
+        # took graph_hyperball from 10.2 to 8.7 s. Static conf, so it is
+        # set here (builder) and cannot be applied by tune_session.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is TIMESTAMP(NANOS): session-wide decision to
